@@ -1,0 +1,155 @@
+"""Distribution-drift constraint: KL divergence + PSI on span histograms.
+
+The reference's drift machinery is the VAE's analytic Gaussian KL term
+(VAE_utils.py:112-115) and per-class reconstruction-error histograms
+(VAE_utils.py:296-301). The engine's discrete analog: per-partition
+histograms of span kind and span text length (SURVEY A11) compared to a
+stored baseline with
+
+    KL(p||q)  = Σ p·ln(p/q)
+    PSI(p,q)  = Σ (p-q)·ln(p/q)
+
+computed as plain column arithmetic after the histogram agg (A14) — no
+Python. Laplace-style epsilon smoothing keeps empty buckets finite.
+
+Scale design: the histogram is one hash-agg over the exploded spans
+(map-side partials), producing ≤ (partitions × features × buckets) rows —
+kilobytes at any input scale. The baseline join is a broadcast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+CONSTRAINT = "distribution_drift"
+
+LENGTH_BUCKET_WIDTH = 20
+LENGTH_BUCKET_MAX = 19  # lengths ≥ max*width collapse into the last bucket
+
+
+@dataclass(frozen=True)
+class DriftThresholds:
+    max_kl: float = 0.05
+    max_psi: float = 0.1
+    epsilon: float = 1e-6
+
+
+def _bucketed(exploded: DataFrame) -> DataFrame:
+    """(partition_id, feature, bucket) rows, one per span per feature."""
+    kind_rows = exploded.select(
+        "partition_id",
+        F.lit("span_kind").alias("feature"),
+        F.col("kind").alias("bucket"),
+    )
+    len_bucket = F.least(
+        F.floor(F.length("text") / F.lit(LENGTH_BUCKET_WIDTH)),
+        F.lit(LENGTH_BUCKET_MAX),
+    )
+    length_rows = exploded.filter(F.col("text").isNotNull()).select(
+        "partition_id",
+        F.lit("span_length").alias("feature"),
+        len_bucket.cast("string").alias("bucket"),
+    )
+    return kind_rows.unionByName(length_rows)
+
+
+def histograms(exploded: DataFrame) -> DataFrame:
+    """Per-partition normalized histograms: (partition_id, feature, bucket, p)."""
+    counts = _bucketed(exploded).groupBy("partition_id", "feature", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(
+        Window.partitionBy("partition_id", "feature")
+    )
+    return counts.select(
+        "partition_id", "feature", "bucket", (F.col("n") / total).alias("p")
+    )
+
+
+def compute_baseline(exploded: DataFrame) -> DataFrame:
+    """Global (all-partition) histograms: (feature, bucket, p) — the stored
+    baseline a production deployment would persist from a blessed snapshot."""
+    counts = _bucketed(exploded).groupBy("feature", "bucket").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(
+        Window.partitionBy("feature")
+    )
+    return counts.select("feature", "bucket", (F.col("n") / total).alias("p"))
+
+
+def check(
+    exploded: DataFrame,
+    baseline: DataFrame,
+    th: DriftThresholds = DriftThresholds(),
+) -> tuple[DataFrame, DataFrame]:
+    """distribution_drift constraint → (verdicts, violations).
+
+    Violations are partition-level (doc_id NULL): one row per
+    (partition, feature) whose KL or PSI exceeds threshold.
+    """
+    cur = histograms(exploded)
+    base = baseline.select("feature", "bucket", F.col("p").alias("q"))
+
+    # full outer per (feature,bucket) within each partition: a partition may
+    # miss baseline buckets and vice versa → epsilon smoothing.
+    parts = cur.select("partition_id").distinct()
+    base_x = parts.crossJoin(F.broadcast(base))
+    joined = base_x.join(cur, ["partition_id", "feature", "bucket"], "full_outer").select(
+        "partition_id",
+        "feature",
+        "bucket",
+        (F.coalesce(F.col("p"), F.lit(0.0)) + F.lit(th.epsilon)).alias("p"),
+        (F.coalesce(F.col("q"), F.lit(0.0)) + F.lit(th.epsilon)).alias("q"),
+    )
+
+    scores = joined.groupBy("partition_id", "feature").agg(
+        F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl"),
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
+    )
+    scored = scores.withColumn(
+        "ok", (F.col("kl") <= F.lit(th.max_kl)) & (F.col("psi") <= F.lit(th.max_psi))
+    )
+
+    violations = scored.filter(~F.col("ok")).select(
+        "partition_id",
+        F.lit(CONSTRAINT).alias("constraint"),
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit(None).cast("int").alias("pos"),
+        F.format_string(
+            "drift on %s: kl=%.6f psi=%.6f", F.col("feature"), F.col("kl"), F.col("psi")
+        ).alias("detail"),
+    )
+
+    row_counts = exploded.groupBy("partition_id").agg(
+        F.count("*").cast("long").alias("row_count")
+    )
+    verdicts = (
+        scored.groupBy("partition_id")
+        .agg(
+            F.bool_and("ok").alias("passed"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("long").alias("violation_count"),
+            F.map_from_arrays(
+                F.array(F.lit("kl_span_kind"), F.lit("psi_span_kind"),
+                        F.lit("kl_span_length"), F.lit("psi_span_length")),
+                F.array(
+                    F.max(F.when(F.col("feature") == "span_kind", F.col("kl"))),
+                    F.max(F.when(F.col("feature") == "span_kind", F.col("psi"))),
+                    F.max(F.when(F.col("feature") == "span_length", F.col("kl"))),
+                    F.max(F.when(F.col("feature") == "span_length", F.col("psi"))),
+                ),
+            ).alias("metrics"),
+        )
+        .join(row_counts, "partition_id", "left")
+        .select(
+            "partition_id",
+            F.lit(CONSTRAINT).alias("constraint"),
+            "passed",
+            "violation_count",
+            F.coalesce(F.col("row_count"), F.lit(0)).cast("long").alias("row_count"),
+            "metrics",
+        )
+    )
+    return verdicts, violations

@@ -1,0 +1,140 @@
+"""Span explode / reassemble with the span-sequence-equality invariant.
+
+The reference aligns everything positionally (feature matrices and report
+frames glued by row index, end_to_end_prediction.py:502-516, guarded only
+by row-count equality). That silently breaks under any reordering. Here
+order is carried explicitly: ``posexplode`` keeps ``pos``, reassembly sorts
+by the span's own ``offset`` — so the pipeline is correct under arbitrary
+shuffles (the 1000-executor case), not just single-threaded execution.
+
+Invariant (BASELINE.json input_hint): for every doc,
+``reassemble(explode(doc)) == array_sort_by_offset(doc.spans)`` on
+``(kind, text, media_ref, offset)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CONSTRAINT = "span_order"
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """One row per span: (doc_id, partition_id, pos, kind, text, media_ref, offset).
+
+    ``posexplode`` (not ``explode``) so the original array position survives
+    independently of the declared ``offset`` — the two are compared by the
+    span_order constraint. Docs with empty span arrays are dropped here
+    (they are doc-level, handled by stats).
+    """
+    return docs.select(
+        "doc_id",
+        "partition_id",
+        F.posexplode("spans").alias("pos", "span"),
+    ).select(
+        "doc_id",
+        "partition_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def reassemble(exploded: DataFrame) -> DataFrame:
+    """Rebuild (doc_id, partition_id, spans) ordered by span offset.
+
+    ``array_sort(collect_list(struct(offset, ...)))`` — sorting by the
+    carried key, never by shuffle order (struct comparison is
+    lexicographic, offset first; offsets are unique per doc for valid
+    docs). Fields are then re-projected to the canonical
+    (kind, text, media_ref, offset) order.
+
+    Precondition: ``doc_id`` unique (duplicate keys would merge span sets —
+    exactly what the uniqueness constraint flags first).
+    """
+    return (
+        exploded.groupBy("doc_id", "partition_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("_sorted")
+        )
+        .select(
+            "doc_id",
+            "partition_id",
+            F.transform(
+                "_sorted",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
+def sorted_spans(docs: DataFrame) -> DataFrame:
+    """Docs with spans canonically ordered by offset (no explode round-trip)."""
+    return docs.select(
+        "doc_id",
+        "partition_id",
+        F.array_sort(
+            F.transform("spans", lambda s: F.struct(
+                s["offset"].alias("offset"), s["kind"].alias("kind"),
+                s["text"].alias("text"), s["media_ref"].alias("media_ref"),
+            ))
+        ).alias("_sorted"),
+    ).select(
+        "doc_id",
+        "partition_id",
+        F.transform("_sorted", lambda s: F.struct(
+            s["kind"].alias("kind"), s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"), s["offset"].alias("offset"),
+        )).alias("spans"),
+    )
+
+
+def check(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """span_order constraint → (verdicts, violations).
+
+    A doc violates iff its offsets are not exactly a permutation of
+    0..n_spans-1 (nulls, duplicates, gaps). Reversed-but-complete offsets
+    are VALID (order is recoverable); the reference's positional pipeline
+    would silently corrupt those — this engine reorders them.
+
+    Single narrow pass: the permutation test is pure array arithmetic on
+    the spans column (no explode, no shuffle except the final per-partition
+    count agg).
+    """
+    offsets = F.transform("spans", lambda s: s["offset"])
+    is_perm = F.array_sort(offsets) == F.sequence(F.lit(0), F.size("spans") - 1)
+    checked = docs.select(
+        "doc_id",
+        "partition_id",
+        F.when(F.size("spans") == 0, F.lit(True)).otherwise(is_perm).alias("ok"),
+    )
+
+    violations = checked.filter(~F.col("ok")).select(
+        "partition_id",
+        F.lit(CONSTRAINT).alias("constraint"),
+        "doc_id",
+        F.lit(None).cast("int").alias("pos"),
+        F.lit("offsets are not a permutation of 0..n-1").alias("detail"),
+    )
+
+    verdicts = checked.groupBy("partition_id").agg(
+        F.lit(CONSTRAINT).alias("constraint"),
+        F.bool_and("ok").alias("passed"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("long").alias("violation_count"),
+        F.count("*").cast("long").alias("row_count"),
+        F.create_map(
+            F.lit("violation_rate"),
+            F.avg(F.when(~F.col("ok"), 1.0).otherwise(0.0)),
+        ).alias("metrics"),
+    )
+    return verdicts, violations

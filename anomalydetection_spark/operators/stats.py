@@ -1,0 +1,123 @@
+"""Per-partition column statistics constraint.
+
+Generalizes the reference's feature-matrix summary (count / n_features /
+mean / std / min / max, mlflow_utils.py:71-97) and its null filter
+(feature_extraction.py:79) into declarative per-Iceberg-partition column
+stats with pass/fail thresholds:
+
+- doc level: row count, empty-span rate, spans-per-doc mean/max
+- span level: per-kind counts, null-text rate on text/code spans,
+  span text-length count/mean/stddev/min/max/p50/p95
+
+Scale design: ONE explode + ONE hash aggregate per level. All metrics are
+conditional aggregates inside a single ``groupBy(partition_id)`` — Spark
+plans a partial (map-side) + final agg, so the shuffle carries one row per
+(partition_id × metric-set), not per span. Exact ``percentile`` matches
+NumPy's linear interpolation (reference end_to_end_prediction.py:447); at
+10^12-row scale swap to ``percentile_approx`` / the t-digest sketch path
+(operators/tdigest.py) via ``exact_quantiles=False``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CONSTRAINT = "column_stats"
+
+
+@dataclass(frozen=True)
+class StatsThresholds:
+    max_null_text_rate: float = 0.05   # share of text/code spans with NULL text
+    max_empty_spans_rate: float = 0.05
+    min_rows: int = 1
+    exact_quantiles: bool = True       # False → percentile_approx at scale
+
+
+def check(
+    docs: DataFrame,
+    exploded: DataFrame,
+    th: StatsThresholds = StatsThresholds(),
+) -> tuple[DataFrame, DataFrame]:
+    """column_stats constraint → (verdicts, violations)."""
+    # --- doc-level single-pass agg ---------------------------------------
+    doc_stats = docs.groupBy("partition_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg(F.when(F.size("spans") == 0, 1.0).otherwise(0.0)).alias("empty_spans_rate"),
+        F.avg(F.size("spans")).alias("spans_per_doc_mean"),
+        F.max(F.size("spans")).cast("double").alias("spans_per_doc_max"),
+    )
+
+    # --- span-level single-pass agg --------------------------------------
+    texty = F.col("kind").isin("text", "code")
+    tlen = F.length("text").cast("double")
+    if th.exact_quantiles:
+        p50 = F.expr("percentile(length(text), 0.5)")
+        p95 = F.expr("percentile(length(text), 0.95)")
+    else:
+        p50 = F.expr("percentile_approx(length(text), 0.5, 10000)").cast("double")
+        p95 = F.expr("percentile_approx(length(text), 0.95, 10000)").cast("double")
+
+    span_stats = exploded.groupBy("partition_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(texty, 1).otherwise(0)).cast("long").alias("n_texty"),
+        F.sum(F.when(texty & F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.avg(tlen).alias("text_len_mean"),
+        F.stddev(tlen).alias("text_len_std"),
+        F.min(tlen).alias("text_len_min"),
+        F.max(tlen).alias("text_len_max"),
+        p50.alias("text_len_p50"),
+        p95.alias("text_len_p95"),
+        F.approx_count_distinct("media_ref").cast("double").alias("media_ref_approx_distinct"),
+    )
+
+    joined = doc_stats.join(span_stats, "partition_id", "left")
+    null_text_rate = F.when(
+        F.col("n_texty") > 0, F.col("n_null_text") / F.col("n_texty")
+    ).otherwise(F.lit(0.0))
+
+    passed = (
+        (F.col("n_docs") >= F.lit(th.min_rows))
+        & (F.col("empty_spans_rate") <= F.lit(th.max_empty_spans_rate))
+        & (null_text_rate <= F.lit(th.max_null_text_rate))
+    )
+
+    verdicts = joined.select(
+        "partition_id",
+        F.lit(CONSTRAINT).alias("constraint"),
+        passed.alias("passed"),
+        F.coalesce(F.col("n_null_text"), F.lit(0)).cast("long").alias("violation_count"),
+        F.col("n_docs").cast("long").alias("row_count"),
+        F.map_from_arrays(
+            F.array(
+                F.lit("n_docs"), F.lit("n_spans"), F.lit("empty_spans_rate"),
+                F.lit("spans_per_doc_mean"), F.lit("spans_per_doc_max"),
+                F.lit("null_text_rate"), F.lit("text_len_mean"), F.lit("text_len_std"),
+                F.lit("text_len_min"), F.lit("text_len_max"),
+                F.lit("text_len_p50"), F.lit("text_len_p95"),
+                F.lit("media_ref_approx_distinct"),
+            ),
+            F.array(
+                F.col("n_docs").cast("double"), F.col("n_spans").cast("double"),
+                F.col("empty_spans_rate"), F.col("spans_per_doc_mean"),
+                F.col("spans_per_doc_max"), null_text_rate,
+                F.col("text_len_mean"), F.col("text_len_std"),
+                F.col("text_len_min"), F.col("text_len_max"),
+                F.col("text_len_p50"), F.col("text_len_p95"),
+                F.col("media_ref_approx_distinct"),
+            ),
+        ).alias("metrics"),
+    )
+
+    violations = exploded.filter(texty & F.col("text").isNull()).select(
+        "partition_id",
+        F.lit(CONSTRAINT).alias("constraint"),
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.concat(F.lit("null text on kind="), F.col("kind")).alias("detail"),
+    )
+    return verdicts, violations

@@ -1,0 +1,81 @@
+"""doc_id uniqueness via a salted two-phase aggregate.
+
+Generalizes the reference's group-count + threshold filter
+(``value_counts`` + ``isin``, preprocessing.py:4-13) into a global key
+constraint. Violations are the duplicated keys (materialized, not dropped).
+
+Skew design (SURVEY §4 O10): a plain ``groupBy(doc_id).count`` already gets
+map-side partial aggregation for the count itself, but the violation
+report also collects *which partitions* each duplicate lands in —
+``collect_set`` partials on one hot key all route to one reducer. The salt
+splits a hot key across S reducers in phase 1; phase 2 merges the (tiny)
+per-salt partials. On a 1000-executor cluster with a pathological hot
+doc_id this caps any single task's input at ~1/S of the hot key's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CONSTRAINT = "uniqueness"
+
+
+def duplicate_keys(docs: DataFrame, n_salts: int = 16) -> DataFrame:
+    """(doc_id, n, partition_ids) for every doc_id appearing more than once."""
+    salted = docs.withColumn(
+        "_salt", F.pmod(F.xxhash64("partition_id", F.lit("uniq-salt")), F.lit(n_salts))
+    )
+    partial = salted.groupBy("doc_id", "_salt").agg(
+        F.count("*").alias("n_partial"),
+        F.collect_set("partition_id").alias("parts_partial"),
+    )
+    final = partial.groupBy("doc_id").agg(
+        F.sum("n_partial").cast("long").alias("n"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("parts_partial")))).alias(
+            "partition_ids"
+        ),
+    )
+    return final.filter(F.col("n") > 1)
+
+
+def check(docs: DataFrame, n_salts: int = 16) -> tuple[DataFrame, DataFrame]:
+    """uniqueness constraint → (verdicts, violations).
+
+    Violation rows carry the partition the offending row lives in, so the
+    per-partition verdict counts every physical duplicate row. The dup-key
+    set is small relative to the table (it's a *constraint* violation), so
+    attaching partition context is a broadcast-friendly semi-join back —
+    Catalyst/AQE picks broadcast once the dup side fits the threshold.
+    """
+    dups = duplicate_keys(docs, n_salts=n_salts)
+
+    viol_src = docs.join(
+        F.broadcast(dups.select("doc_id", "n")), "doc_id", "inner"
+    )
+    violations = viol_src.select(
+        "partition_id",
+        F.lit(CONSTRAINT).alias("constraint"),
+        "doc_id",
+        F.lit(None).cast("int").alias("pos"),
+        F.concat(F.lit("doc_id occurs "), F.col("n").cast("string"), F.lit(" times")).alias(
+            "detail"
+        ),
+    )
+
+    per_part = docs.groupBy("partition_id").agg(F.count("*").cast("long").alias("row_count"))
+    viol_per_part = violations.groupBy("partition_id").agg(
+        F.count("*").cast("long").alias("violation_count")
+    )
+    verdicts = per_part.join(viol_per_part, "partition_id", "left").select(
+        "partition_id",
+        F.lit(CONSTRAINT).alias("constraint"),
+        (F.coalesce(F.col("violation_count"), F.lit(0)) == 0).alias("passed"),
+        F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+        "row_count",
+        F.create_map(
+            F.lit("duplicate_row_rate"),
+            F.coalesce(F.col("violation_count"), F.lit(0)) / F.col("row_count"),
+        ).alias("metrics"),
+    )
+    return verdicts, violations

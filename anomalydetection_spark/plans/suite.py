@@ -1,0 +1,71 @@
+"""ValidationSuite — the engine's top-level plan builder.
+
+Composes the four constraint operators (stats, uniqueness, referential,
+drift) plus the span_order invariant into ONE lazy DataFrame DAG:
+
+    scan → posexplode (once) → {stats agg | anti-join | histogram agg}
+         ⊎ doc-level {permutation check | salted uniqueness}
+         → union verdicts / union violations → per-partition rollup
+
+This replaces the reference's eager file-materialized stage chain
+(end_to_end_prediction.py:618-667: each step writes .csv/.npy before the
+next starts) with a single Catalyst-optimized plan: stage boundaries exist
+only at shuffles, and the exploded span view is computed once and shared
+(Spark reuses the scan; with ``persist_exploded=True`` it is cached for the
+multi-consumer fan-out).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators import drift, referential, reassembly, stats, uniqueness
+
+
+@dataclass(frozen=True)
+class SuiteConfig:
+    stats: stats.StatsThresholds = field(default_factory=stats.StatsThresholds)
+    drift: drift.DriftThresholds = field(default_factory=drift.DriftThresholds)
+    n_salts: int = 16
+    broadcast_media: bool = True
+    persist_exploded: bool = True
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame      # VERDICTS_SCHEMA: one row per (partition, constraint)
+    violations: DataFrame    # VIOLATIONS_SCHEMA
+    partition_rollup: DataFrame  # (partition_id, passed, violation_count, row_count)
+
+
+def run_suite(
+    docs: DataFrame,
+    media: DataFrame,
+    baseline_hist: DataFrame,
+    cfg: SuiteConfig = SuiteConfig(),
+) -> ValidationResult:
+    """Build the full-suite validation plan (lazy — caller triggers actions)."""
+    exploded = reassembly.explode_spans(docs)
+    if cfg.persist_exploded:
+        exploded = exploded.persist()
+
+    v_stats = stats.check(docs, exploded, cfg.stats)
+    v_uniq = uniqueness.check(docs, n_salts=cfg.n_salts)
+    v_ref = referential.check(exploded, media, broadcast=cfg.broadcast_media)
+    v_drift = drift.check(exploded, baseline_hist, cfg.drift)
+    v_order = reassembly.check(docs)
+
+    all_pairs = [v_stats, v_uniq, v_ref, v_drift, v_order]
+    verdicts = reduce(DataFrame.unionByName, [p[0] for p in all_pairs])
+    violations = reduce(DataFrame.unionByName, [p[1] for p in all_pairs])
+
+    rollup = verdicts.groupBy("partition_id").agg(
+        F.bool_and("passed").alias("passed"),
+        F.sum("violation_count").cast("long").alias("violation_count"),
+        F.max("row_count").cast("long").alias("row_count"),
+    )
+    return ValidationResult(verdicts=verdicts, violations=violations, partition_rollup=rollup)

@@ -1,0 +1,110 @@
+"""spark-submit entry point: run the full constraint suite.
+
+Usage (local smoke; on a cluster drop --master and add --py-files):
+
+    spark-submit anomalydetection_spark/validate.py \
+        --n-docs 10000 --n-partitions 8 --drift-partitions 7 \
+        --out /tmp/validation_out
+
+Generates the deterministic synthetic interleaved documents table (or
+reads --docs-path parquet of the same shape), runs
+stats + uniqueness + referential + drift + span_order, writes
+verdicts/violations parquet, prints a summary JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="interleaved-documents validation suite")
+    ap.add_argument("--docs-path", help="parquet of documents (doc_id, spans, partition_id)")
+    ap.add_argument("--media-path", help="parquet of media_assets")
+    ap.add_argument("--baseline-path", help="parquet of baseline histograms")
+    ap.add_argument("--n-docs", type=int, default=10_000)
+    ap.add_argument("--n-partitions", type=int, default=8)
+    ap.add_argument("--n-media", type=int, default=1_000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--drift-partitions", type=int, nargs="*", default=[])
+    ap.add_argument("--out", help="output dir for verdicts/violations parquet")
+    ap.add_argument("--master", default=None, help="override spark master (tests)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from anomalydetection_spark.datagen import (
+        DataGenConfig,
+        clean_config,
+        generate_documents,
+        generate_media_assets,
+    )
+    from anomalydetection_spark.operators import drift, reassembly
+    from anomalydetection_spark.plans.suite import run_suite
+    from anomalydetection_spark.session import get_spark
+
+    spark = get_spark(app_name="validate-suite", master=args.master)
+
+    cfg = DataGenConfig(
+        n_docs=args.n_docs,
+        n_partitions=args.n_partitions,
+        n_media=args.n_media,
+        seed=args.seed,
+        drift_partitions=tuple(args.drift_partitions),
+    )
+    if args.docs_path:
+        docs = spark.read.parquet(args.docs_path)
+    else:
+        docs = generate_documents(spark, cfg)
+    if args.media_path:
+        media = spark.read.parquet(args.media_path)
+    else:
+        media = generate_media_assets(spark, cfg)
+    if args.baseline_path:
+        baseline = spark.read.parquet(args.baseline_path)
+    else:
+        baseline = drift.compute_baseline(
+            reassembly.explode_spans(generate_documents(spark, clean_config(cfg)))
+        )
+
+    t0 = time.time()
+    res = run_suite(docs, media, baseline)
+    verdicts = res.verdicts.orderBy("partition_id", "constraint")
+    if args.out:
+        verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")
+        res.violations.write.mode("overwrite").partitionBy("constraint").parquet(
+            f"{args.out}/violations"
+        )
+        n_viol = spark.read.parquet(f"{args.out}/violations").count()
+        rows = spark.read.parquet(f"{args.out}/verdicts").collect()
+    else:
+        rows = verdicts.collect()
+        n_viol = res.violations.count()
+    elapsed = time.time() - t0
+
+    n_docs = docs.count()
+    summary = {
+        "n_docs": n_docs,
+        "elapsed_sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "n_violations": n_viol,
+        "partitions_failed": sorted(
+            {r["partition_id"] for r in rows if not r["passed"]}
+        ),
+        "constraints_failed": sorted({r["constraint"] for r in rows if not r["passed"]}),
+    }
+    print(json.dumps(summary))
+    for r in rows:
+        status = "PASS" if r["passed"] else "FAIL"
+        print(
+            f"  partition={r['partition_id']:>4} {r['constraint']:<20} {status}"
+            f" violations={r['violation_count']}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""Golden tests: each constraint operator vs the single-node pandas oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark import oracle
+from anomalydetection_spark.datagen import DataGenConfig, generate_documents, generate_media_assets
+from anomalydetection_spark.operators import drift, reassembly, referential, stats, uniqueness
+
+CFG = DataGenConfig(n_docs=1500, n_partitions=4, n_media=300, drift_partitions=(3,))
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    docs = generate_documents(spark, CFG).cache()
+    media = generate_media_assets(spark, CFG).cache()
+    exploded = reassembly.explode_spans(docs).cache()
+    pdocs = docs.toPandas()
+    pdocs["spans"] = pdocs["spans"].apply(
+        lambda arr: [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "offset": s["offset"]}
+            for s in arr
+        ]
+    )
+    pmedia = media.toPandas()
+    psp = oracle.explode(pdocs)
+    return docs, media, exploded, pdocs, pmedia, psp
+
+
+def test_stats_vs_oracle(data, spark):
+    docs, media, exploded, pdocs, pmedia, psp = data
+    verdicts, violations = stats.check(docs, exploded)
+    got = {r["partition_id"]: r.asDict() for r in verdicts.collect()}
+    want = oracle.stats_metrics(pdocs, psp, stats.StatsThresholds())
+    assert set(got) == set(want["partition_id"])
+    for _, w in want.iterrows():
+        g = got[w["partition_id"]]
+        assert g["passed"] == w["passed"]
+        assert g["violation_count"] == w["violation_count"]
+        assert g["row_count"] == w["row_count"]
+        m = g["metrics"]
+        assert m["n_spans"] == w["n_spans"]
+        for key in (
+            "null_text_rate", "empty_spans_rate", "spans_per_doc_mean",
+            "text_len_mean", "text_len_std", "text_len_min", "text_len_max",
+            "text_len_p50", "text_len_p95",
+        ):
+            assert m[key] == pytest.approx(w[key], rel=1e-9), key
+    # violation rows = exactly the null-text spans
+    n_null = int(psp[psp["kind"].isin(oracle.TEXTY) & psp["text"].isna()].shape[0])
+    assert violations.count() == n_null
+
+
+def test_uniqueness_vs_oracle(data):
+    docs, *_ , pdocs, pmedia, psp = data
+    verdicts, violations = uniqueness.check(docs)
+    want = oracle.uniqueness_violations(pdocs)
+    got = violations.select("partition_id", "doc_id").toPandas()
+    key = lambda df: sorted(map(tuple, df[["partition_id", "doc_id"]].to_numpy()))
+    assert key(got) == key(want)
+    # verdict rollup consistent with violations
+    vc = {r["partition_id"]: r["violation_count"] for r in verdicts.collect()}
+    wc = want.groupby("partition_id").size().to_dict()
+    for pid, n in vc.items():
+        assert n == wc.get(pid, 0)
+
+
+def test_referential_vs_oracle(data):
+    docs, media, exploded, pdocs, pmedia, psp = data
+    verdicts, violations = referential.check(exploded, media)
+    want = oracle.referential_violations(psp, pmedia)
+    got = violations.select("partition_id", "doc_id", "pos").toPandas()
+    key = lambda df: sorted(map(tuple, df[["partition_id", "doc_id", "pos"]].to_numpy()))
+    assert key(got) == key(want)
+
+
+def test_drift_vs_oracle(data, spark):
+    docs, media, exploded, pdocs, pmedia, psp = data
+    # baseline = non-drifted partitions
+    base_exploded = exploded.filter(~F.col("partition_id").isin([3]))
+    baseline = drift.compute_baseline(base_exploded)
+    verdicts, violations = drift.check(exploded, baseline, drift.DriftThresholds())
+    want = oracle.drift_scores(psp, psp[psp["partition_id"] != 3], drift.DriftThresholds())
+    got = {r["partition_id"]: r.asDict() for r in verdicts.collect()}
+    for pid, g in want.groupby("partition_id"):
+        m = got[pid]["metrics"]
+        for _, row in g.iterrows():
+            assert m[f"kl_{row['feature']}"] == pytest.approx(row["kl"], rel=1e-6, abs=1e-9)
+            assert m[f"psi_{row['feature']}"] == pytest.approx(row["psi"], rel=1e-6, abs=1e-9)
+    # the drifted partition must actually trip the constraint
+    assert got[3]["passed"] is False
+    for pid in (0, 1, 2):
+        assert got[pid]["passed"] is True
+
+
+def test_span_order_vs_oracle(data, spark):
+    docs, *_ , pdocs, pmedia, psp = data
+    verdicts, violations = reassembly.check(docs)
+    # datagen's reversed offsets are valid permutations → zero violations
+    assert violations.count() == 0
+    assert len(oracle.span_order_violations(pdocs)) == 0
+    # hand-made malformed docs: duplicate / gapped / null offsets
+    bad = spark.createDataFrame(
+        [
+            ("bad-dup", [("text", "a", None, 0), ("text", "b", None, 0)], 0),
+            ("bad-gap", [("text", "a", None, 0), ("text", "b", None, 2)], 0),
+            ("bad-null", [("text", "a", None, None)], 1),
+            ("good", [("text", "a", None, 1), ("text", "b", None, 0)], 1),
+            ("good-empty", [], 1),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, partition_id int",
+    )
+    v2, viol2 = reassembly.check(bad)
+    got = sorted(r["doc_id"] for r in viol2.collect())
+    assert got == ["bad-dup", "bad-gap", "bad-null"]
+
+
+def test_explode_reassemble_roundtrip(data, spark):
+    """Span-sequence-equality invariant: explode → reassemble reproduces the
+    offset-sorted span sequence exactly (kind, text, media_ref, offset)."""
+    docs, *_ = data
+    # restrict to unique doc_ids: reassembly's groupBy key precondition
+    # (duplicates are the uniqueness constraint's job)
+    from pyspark.sql.window import Window
+
+    uniq = (
+        docs.withColumn("_n", F.count("*").over(Window.partitionBy("doc_id")))
+        .filter(F.col("_n") == 1)
+        .drop("_n")
+    )
+    nonempty = uniq.filter(F.size("spans") > 0)
+    round_tripped = reassembly.reassemble(reassembly.explode_spans(nonempty))
+    expected = reassembly.sorted_spans(nonempty)
+    diff = round_tripped.exceptAll(expected)
+    assert diff.count() == 0
+    assert expected.exceptAll(round_tripped).count() == 0
+    assert round_tripped.count() == nonempty.count()

@@ -1,0 +1,59 @@
+"""Full-suite composition tests: verdicts, rollup, clean-data all-pass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.datagen import (
+    DataGenConfig,
+    clean_config,
+    generate_documents,
+    generate_media_assets,
+)
+from anomalydetection_spark.operators import drift, reassembly
+from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
+from anomalydetection_spark.schema import VERDICTS_SCHEMA, VIOLATIONS_SCHEMA
+
+CFG = DataGenConfig(n_docs=1500, n_partitions=4, n_media=300, drift_partitions=(3,))
+
+CONSTRAINTS = {"column_stats", "uniqueness", "referential", "distribution_drift", "span_order"}
+
+
+@pytest.fixture(scope="module")
+def baseline(spark):
+    clean = generate_documents(spark, clean_config(CFG))
+    return drift.compute_baseline(reassembly.explode_spans(clean)).cache()
+
+
+def test_suite_shapes_and_coverage(spark, baseline):
+    docs = generate_documents(spark, CFG)
+    media = generate_media_assets(spark, CFG)
+    res = run_suite(docs, media, baseline)
+    assert res.verdicts.schema.simpleString() == VERDICTS_SCHEMA.simpleString()
+    assert res.violations.schema.simpleString() == VIOLATIONS_SCHEMA.simpleString()
+    rows = res.verdicts.collect()
+    # every (partition, constraint) pair present
+    assert {(r["partition_id"], r["constraint"]) for r in rows} == {
+        (p, c) for p in range(CFG.n_partitions) for c in CONSTRAINTS
+    }
+    # dirty data: uniqueness + referential must fail somewhere; drift on partition 3
+    failed = {(r["partition_id"], r["constraint"]) for r in rows if not r["passed"]}
+    assert any(c == "uniqueness" for _, c in failed)
+    assert any(c == "referential" for _, c in failed)
+    assert (3, "distribution_drift") in failed
+    # rollup agrees with verdicts
+    roll = {r["partition_id"]: r["passed"] for r in res.partition_rollup.collect()}
+    for p in range(CFG.n_partitions):
+        assert roll[p] == all(r["passed"] for r in rows if r["partition_id"] == p)
+
+
+def test_clean_data_all_pass(spark, baseline):
+    ccfg = clean_config(CFG)
+    docs = generate_documents(spark, ccfg)
+    media = generate_media_assets(spark, ccfg)
+    res = run_suite(docs, media, baseline)
+    rows = res.verdicts.collect()
+    bad = [(r["partition_id"], r["constraint"]) for r in rows if not r["passed"]]
+    assert bad == []
+    assert res.violations.count() == 0
