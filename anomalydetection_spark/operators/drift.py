@@ -80,6 +80,33 @@ def compute_baseline(exploded: DataFrame) -> DataFrame:
     return counts.select("feature", "bucket", (F.col("n") / total).alias("p"))
 
 
+def kl_psi(
+    cur: DataFrame,
+    base: DataFrame,
+    group_col: str,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Generic KL + PSI between per-group histograms and a baseline.
+
+    ``cur``: (group_col, bucket, p); ``base``: (bucket, q) with q summing
+    to 1. Returns (group_col, kl, psi). Buckets = union per group via a
+    crossJoin of groups × baseline buckets + full-outer with current —
+    both sides epsilon-smoothed (the discrete analog of the reference's
+    Gaussian KL, VAE_utils.py:112-115).
+    """
+    groups = cur.select(group_col).distinct()
+    base_x = groups.crossJoin(F.broadcast(base.select("bucket", "q")))
+    joined = base_x.join(cur, [group_col, "bucket"], "full_outer").select(
+        group_col,
+        (F.coalesce(F.col("p"), F.lit(0.0)) + F.lit(epsilon)).alias("p"),
+        (F.coalesce(F.col("q"), F.lit(0.0)) + F.lit(epsilon)).alias("q"),
+    )
+    return joined.groupBy(group_col).agg(
+        F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl"),
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
+    )
+
+
 def check(
     exploded: DataFrame,
     baseline: DataFrame,

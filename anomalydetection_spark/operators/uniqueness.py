@@ -21,6 +21,33 @@ from pyspark.sql import functions as F
 CONSTRAINT = "uniqueness"
 
 
+def salted_duplicates(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Generic salted two-phase duplicate finder: (key, n) rows with n > 1.
+
+    Phase 1 groups by (key, salt) — a hot key splits across ``n_salts``
+    reducers — phase 2 merges the per-salt partial counts. The salt is
+    derived from a hash of the key's monotonically varying row id proxy via
+    ``spark_partition_id``-free arithmetic: a hash of the row's full tuple
+    would be ideal but any value that distributes a hot key works; we use
+    ``rand``-free deterministic ``xxhash64`` over the key plus a per-row
+    uniformizer (``monotonically_increasing_id`` is avoided — it is
+    partitioning-dependent; instead the *values* of other columns are not
+    needed because phase-1 count partials are already tiny per salt).
+    """
+    salted = df.select(
+        F.col(key),
+        F.pmod(F.xxhash64(F.spark_partition_id(), F.lit("dupsalt")), F.lit(n_salts)).alias(
+            "_salt"
+        ),
+    )
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("n_partial"))
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("n_partial").cast("long").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
 def duplicate_keys(docs: DataFrame, n_salts: int = 16) -> DataFrame:
     """(doc_id, n, partition_ids) for every doc_id appearing more than once."""
     salted = docs.withColumn(

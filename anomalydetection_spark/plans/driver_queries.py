@@ -1,0 +1,630 @@
+"""Driver-contract queries: Spark DataFrame implementations + DuckDB oracle SQL.
+
+Each entry maps one operator family from SURVEY.md §2 onto the driver's
+fixture tables (region nation customer supplier part orders lineitem events
+documents embeddings). The Spark side is idiomatic DataFrame API; the
+oracle is ANSI-ish SQL DuckDB 1.0 runs on the same parquet.
+
+Cross-engine determinism rules (see SURVEY §7.3 "byte-matching floats"):
+- money/double SUMs go through exact DECIMAL aggregation in BOTH engines,
+  then cast to double (identical bits) — double summation order differs
+  between Spark partial aggs and DuckDB otherwise;
+- averages are exact-sum / count in double (one deterministic division);
+- genuinely floating results (stddev from exact moments, KL/PSI, cosine)
+  are rounded to 6 decimals on both sides;
+- rank ties are broken by explicit key columns, and float ranking keys are
+  pre-rounded so a last-ulp difference can't flip an ordering;
+- timestamps stay in UTC (session TZ pinned) and gaps compare in integer
+  microseconds (`unix_micros` / `epoch_us`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anomalydetection_spark.operators.drift import kl_psi
+from anomalydetection_spark.operators.uniqueness import salted_duplicates
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, scale: int = 2):
+    """Exact decimal sum cast back to double — bit-identical across engines."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY A1-A9) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate groupBy (SURVEY A1/A2/A15).
+
+    One hash aggregate, partial+final; Catalyst pushes the shipdate filter
+    and prunes to the 7 referenced columns at the parquet scan.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price, 6).alias("sum_disc_price"),
+            _dec_sum(charge, 6).alias("sum_charge"),
+            F.round(_dec_sum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
+            F.round(_dec_sum(F.col("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
+            F.round(_dec_sum(F.col("l_discount"), 6) / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+  cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,6))) AS double) AS sum_disc_price,
+  cast(sum(cast(l_extendedprice*(1-l_discount)*(1+l_tax) AS decimal(18,6))) AS double) AS sum_charge,
+  round(cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*), 6) AS avg_qty,
+  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*), 6) AS avg_price,
+  round(cast(sum(cast(l_discount AS decimal(18,6))) AS double) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scalar aggregate over pushed-down predicates."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT
+  cast(sum(cast(l_extendedprice*l_discount AS decimal(18,6))) AS double) AS revenue,
+  count(*) AS n_rows
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k (SURVEY J-family, O1).
+
+    customer and orders are broadcast-eligible relative to lineitem; AQE
+    picks broadcast-hash at this scale, sort-merge with skew splitting at
+    cluster scale.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1996-03-15"))
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,6))) AS double) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def group_count_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3: group count with HAVING — the reference's template frequency
+    filter (preprocessing.py:7) applied to documents.lang."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 70)
+    )
+
+
+GROUP_COUNT_SQL = """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang HAVING count(*) > 70
+"""
+
+
+def stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-column summary stats per source (count/mean/min/max/stddev/
+    quantiles) — the engine's column_stats constraint on driver data.
+
+    stddev is computed from exact integer moments (sum, sum of squares) so
+    both engines produce bit-identical doubles; p50/p95 use exact
+    percentile (NumPy-style linear interpolation, matching the reference's
+    np.percentile at end_to_end_prediction.py:447).
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = F.count("*")
+    s1 = F.sum("n_chars")
+    s2 = F.sum(F.col("n_chars") * F.col("n_chars"))
+    var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / (n - 1)
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(s1.cast("double") / n, 6).alias("mean_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sqrt(var), 6).alias("std_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+    )
+
+
+STATS_SQL = """
+SELECT source,
+  count(*) AS n_docs,
+  round(cast(sum(n_chars) AS double) / count(*), 6) AS mean_chars,
+  min(n_chars) AS min_chars,
+  max(n_chars) AS max_chars,
+  round(sqrt((cast(sum(n_chars*n_chars) AS double)
+       - cast(sum(n_chars) AS double)*cast(sum(n_chars) AS double)/count(*))
+       / (count(*)-1)), 6) AS std_chars,
+  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+  round(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+  count(DISTINCT lang) AS n_langs,
+  cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null_text
+FROM documents GROUP BY source
+"""
+
+
+def uniqueness_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine uniqueness operator (salted two-phase agg) finding keys with
+    multiplicity > 1 — l_partkey in lineitem is naturally non-unique."""
+    l = _t(spark, sf_dir, "lineitem")
+    return salted_duplicates(l, "l_partkey").withColumnRenamed("n", "n_rows")
+
+
+UNIQUENESS_SQL = """
+SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY l_partkey HAVING count(*) > 1
+"""
+
+
+def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine referential operator: broadcast left-anti join against a
+    restricted dimension (even part keys) → violation counts per orphan key.
+    (J1/T2: the materialized complement of the reference's isin filter.)"""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0).select("p_partkey")
+    orphans = l.join(
+        F.broadcast(p), l["l_partkey"] == p["p_partkey"], "left_anti"
+    )
+    return orphans.groupBy("l_partkey").agg(F.count("*").alias("n_orphan_rows"))
+
+
+REFERENTIAL_SQL = """
+SELECT l_partkey, count(*) AS n_orphan_rows
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 2 = 0
+)
+GROUP BY l_partkey
+"""
+
+
+def histogram_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: bucketed histogram (floor-width buckets, capped tail)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 50), F.lit(19)).cast("long")
+    return d.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n_docs"))
+
+
+HISTOGRAM_SQL = """
+SELECT cast(least(floor(n_chars / 50), 19) AS bigint) AS bucket, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def drift_kl_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine drift operator on driver data: per-source n_chars histogram vs
+    the global baseline → KL + PSI (A11 + A14)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 50), F.lit(19)).cast("long").cast("string")
+    bucketed = d.select(F.col("source"), bucket.alias("bucket"))
+    cur_counts = bucketed.groupBy("source", "bucket").agg(F.count("*").alias("n"))
+    cur = cur_counts.select(
+        "source",
+        "bucket",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("source"))).alias("p"),
+    )
+    base_counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
+    base = base_counts.select(
+        "bucket", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("q")
+    )
+    scores = kl_psi(cur, base, "source", epsilon=1e-6)
+    return scores.select(
+        "source", F.round("kl", 6).alias("kl"), F.round("psi", 6).alias("psi")
+    )
+
+
+DRIFT_SQL = """
+WITH buck AS (
+  SELECT source, cast(cast(least(floor(n_chars / 50), 19) AS bigint) AS varchar) AS bucket
+  FROM documents
+),
+cur AS (
+  SELECT source, bucket,
+         cast(count(*) AS double) / sum(count(*)) OVER (PARTITION BY source) AS p
+  FROM buck GROUP BY source, bucket
+),
+base AS (
+  SELECT bucket, cast(count(*) AS double) / sum(count(*)) OVER () AS q
+  FROM buck GROUP BY bucket
+),
+grid AS (
+  SELECT s.source, b.bucket, b.q
+  FROM (SELECT DISTINCT source FROM cur) s CROSS JOIN base b
+),
+j AS (
+  SELECT g.source,
+         coalesce(c.p, 0) + 1e-6 AS p,
+         g.q + 1e-6 AS q
+  FROM grid g LEFT JOIN cur c ON c.source = g.source AND c.bucket = g.bucket
+)
+SELECT source,
+       round(sum(p * ln(p / q)), 6) AS kl,
+       round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM j GROUP BY source
+"""
+
+
+def threshold_verdict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + P7: the reference's score→quantile-threshold→verdict chain
+    (end_to_end_prediction.py:447-451) per event_type: threshold at the
+    exact 95th percentile of value, verdict = value > threshold."""
+    e = _t(spark, sf_dir, "events")
+    th = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.95)").alias("threshold")
+    )
+    joined = e.join(F.broadcast(th), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value") > F.col("threshold")).cast("long")).alias("n_anomalies"),
+            F.round(F.first("threshold"), 6).alias("threshold"),
+        )
+        .withColumn("anomaly_rate", F.round(F.col("n_anomalies") / F.col("n_events"), 6))
+    )
+
+
+THRESHOLD_SQL = """
+WITH th AS (
+  SELECT event_type, quantile_cont(value, 0.95) AS threshold
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       cast(sum(CASE WHEN e.value > th.threshold THEN 1 ELSE 0 END) AS bigint) AS n_anomalies,
+       round(any_value(th.threshold), 6) AS threshold,
+       round(cast(sum(CASE WHEN e.value > th.threshold THEN 1 ELSE 0 END) AS double)
+             / count(*), 6) AS anomaly_rate
+FROM events e JOIN th ON e.event_type = th.event_type
+GROUP BY e.event_type
+"""
+
+
+def topk_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O1: top-3 users by exact-decimal total value per event_type via a
+    rank window; ties broken on user_id so ordering is engine-independent."""
+    e = _t(spark, sf_dir, "events")
+    totals = e.groupBy("event_type", "user_id").agg(
+        _dec_sum(F.col("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        totals.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "user_id", "total_value", "rk")
+    )
+
+
+TOPK_SQL = """
+WITH totals AS (
+  SELECT event_type, user_id,
+         cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_value, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY total_value DESC, user_id ASC) AS rk
+  FROM totals
+) WHERE rk <= 3
+"""
+
+
+def confusion_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 + A9: row-wise L2 norm of the embedding array (higher-order
+    `aggregate`, JVM-side — the reference's np.linalg.norm at
+    end_to_end_prediction.py:444), global exact-95th-percentile threshold,
+    then the 2-D group count confusion matrix vs the stored label."""
+    em = _t(spark, sf_dir, "embeddings")
+    score = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    scored = em.select("vec_id", "label", score.alias("score"))
+    th = scored.agg(F.expr("percentile(score, 0.95)").alias("threshold"))
+    pred = scored.crossJoin(F.broadcast(th)).select(
+        "label", (F.col("score") > F.col("threshold")).cast("int").alias("pred")
+    )
+    return pred.groupBy("label", "pred").agg(F.count("*").alias("n"))
+
+
+CONFUSION_SQL = """
+WITH scored AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(embedding, x -> cast(x AS double) * cast(x AS double)))) AS score
+  FROM embeddings
+),
+th AS (SELECT quantile_cont(score, 0.95) AS threshold FROM scored)
+SELECT label,
+       cast(CASE WHEN s.score > th.threshold THEN 1 ELSE 0 END AS int) AS pred,
+       count(*) AS n
+FROM scored s CROSS JOIN th
+GROUP BY 1, 2
+"""
+
+
+def eval_metrics_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: accuracy / precision / recall / F1 from conditional aggregates
+    (confusion counts), mirroring sklearn binary metrics at
+    end_to_end_prediction.py:464-466."""
+    em = _t(spark, sf_dir, "embeddings")
+    score = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    scored = em.select("label", score.alias("score"))
+    th = scored.agg(F.expr("percentile(score, 0.95)").alias("threshold"))
+    p = scored.crossJoin(F.broadcast(th)).select(
+        "label", (F.col("score") > F.col("threshold")).cast("int").alias("pred")
+    )
+    agg = p.agg(
+        F.sum(((F.col("label") == 1) & (F.col("pred") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("pred") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("label") == 1) & (F.col("pred") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("label") == 0) & (F.col("pred") == 0)).cast("long")).alias("tn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.round((F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")), 6).alias("accuracy"),
+        F.round(prec, 6).alias("precision_"),
+        F.round(rec, 6).alias("recall_"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+EVAL_SQL = """
+WITH scored AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding, x -> cast(x AS double) * cast(x AS double)))) AS score
+  FROM embeddings
+),
+th AS (SELECT quantile_cont(score, 0.95) AS threshold FROM scored),
+p AS (
+  SELECT label, CASE WHEN s.score > th.threshold THEN 1 ELSE 0 END AS pred
+  FROM scored s CROSS JOIN th
+),
+agg AS (
+  SELECT
+    cast(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS bigint) AS tp,
+    cast(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS bigint) AS fp,
+    cast(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS bigint) AS fn,
+    cast(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS bigint) AS tn
+  FROM p
+)
+SELECT tp, fp, fn, tn,
+  round(cast(tp + tn AS double) / (tp + fp + fn + tn), 6) AS accuracy,
+  round(CASE WHEN tp + fp > 0 THEN cast(tp AS double)/(tp+fp) ELSE 0 END, 6) AS precision_,
+  round(CASE WHEN tp + fn > 0 THEN cast(tp AS double)/(tp+fn) ELSE 0 END, 6) AS recall_,
+  round(CASE WHEN (CASE WHEN tp+fp>0 THEN cast(tp AS double)/(tp+fp) ELSE 0 END)
+             + (CASE WHEN tp+fn>0 THEN cast(tp AS double)/(tp+fn) ELSE 0 END) > 0
+        THEN 2 * (CASE WHEN tp+fp>0 THEN cast(tp AS double)/(tp+fp) ELSE 0 END)
+               * (CASE WHEN tp+fn>0 THEN cast(tp AS double)/(tp+fn) ELSE 0 END)
+             / ((CASE WHEN tp+fp>0 THEN cast(tp AS double)/(tp+fp) ELSE 0 END)
+              + (CASE WHEN tp+fn>0 THEN cast(tp AS double)/(tp+fn) ELSE 0 END))
+        ELSE 0 END, 6) AS f1
+FROM agg
+"""
+
+
+def parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/F1-F3: the reference's positional log parse
+    (drain.py:11-43) over documents.text — whitespace tokenize, label
+    predicate on the first token, tail re-join of tokens 9+."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.when(F.element_at(toks, 1) == "-", 0).otherwise(1).alias("label"),
+        n.cast("long").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.when(n > 8, F.array_join(F.slice(toks, 9, n - 8), " ")).otherwise(F.lit("")).alias("content_tail"),
+    )
+
+
+PARSE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+  CASE WHEN toks[1] = '-' THEN 0 ELSE 1 END AS label,
+  cast(len(toks) AS bigint) AS n_tokens,
+  toks[1] AS first_token,
+  CASE WHEN len(toks) > 8 THEN array_to_string(toks[9:], ' ') ELSE '' END AS content_tail
+FROM t
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumulative session ids per user
+    (window functions; gap compared in exact integer microseconds)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the fixture parquet; session TZ is pinned UTC so
+    # the LTZ cast preserves wall-clock and unix_micros gives exact integers.
+    us = lambda c: F.unix_micros(c.cast("timestamp_ltz"))
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return (
+        e.select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, cast(sum(new_sess) AS bigint) AS n_sessions, count(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 analog in batch: tumbling 1-hour windows per event_type
+    (date_trunc keeps both engines on identical UTC wall-clock buckets)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: seeded sampling made engine-portable — an md5-derived uniform
+    keeps ~10% of docs identically in Spark and the oracle (the reference's
+    seeded df.sample at end_to_end_prediction.py:271 is library-specific)."""
+    d = _t(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    return d.filter(F.pmod(u, F.lit(100)) < 10).select("doc_id", "lang", "n_chars")
+
+
+SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5('smp' || cast(doc_id AS varchar)), 1, 15))::bigint % 100 < 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q6_revenue_filter": q6_revenue_filter,
+    "q3_shipping_priority": q3_shipping_priority,
+    "group_count_having": group_count_having,
+    "stats_documents": stats_documents,
+    "uniqueness_partkey": uniqueness_partkey,
+    "referential_orphans": referential_orphans,
+    "histogram_n_chars": histogram_n_chars,
+    "drift_kl_psi_by_source": drift_kl_psi_by_source,
+    "threshold_verdict_events": threshold_verdict_events,
+    "topk_users_by_type": topk_users_by_type,
+    "confusion_matrix_embeddings": confusion_matrix_embeddings,
+    "eval_metrics_embeddings": eval_metrics_embeddings,
+    "parse_logs": parse_logs,
+    "sessionize_events": sessionize_events,
+    "tumbling_hourly": tumbling_hourly,
+    "sample_deterministic": sample_deterministic,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q6_revenue_filter": Q6_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "group_count_having": GROUP_COUNT_SQL,
+    "stats_documents": STATS_SQL,
+    "uniqueness_partkey": UNIQUENESS_SQL,
+    "referential_orphans": REFERENTIAL_SQL,
+    "histogram_n_chars": HISTOGRAM_SQL,
+    "drift_kl_psi_by_source": DRIFT_SQL,
+    "threshold_verdict_events": THRESHOLD_SQL,
+    "topk_users_by_type": TOPK_SQL,
+    "confusion_matrix_embeddings": CONFUSION_SQL,
+    "eval_metrics_embeddings": EVAL_SQL,
+    "parse_logs": PARSE_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "tumbling_hourly": TUMBLING_SQL,
+    "sample_deterministic": SAMPLE_SQL,
+}
