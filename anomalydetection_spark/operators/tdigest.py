@@ -1,0 +1,205 @@
+"""Mergeable t-digest quantile sketches as Arrow-batched UDF partials.
+
+Spark has no Python UDAF with a merge phase, so the partial/final pattern
+is hand-rolled (SURVEY §2.11 U5):
+
+    mapInPandas  — one serialized digest per Arrow batch per group (the
+                   map-side "partial aggregate"; no shuffle of raw values)
+    applyInPandas — merge the per-batch digests per group (the shuffle
+                   carries kilobyte blobs, not the 10^12 raw rows)
+
+The digest follows Dunning's merging t-digest (public algorithm,
+"Computing Extremely Accurate Quantiles Using t-Digests"): centroids
+bounded by the scale function k(q) = δ/2π · asin(2q-1); fully mergeable
+and associative-enough for resume (blobs are version-stamped and stored in
+the manifest's sketch_blob column).
+
+Everything is NumPy over Arrow batches — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+MAGIC = b"TD01"  # version stamp for manifest blobs
+
+
+class TDigest:
+    """Merging t-digest over float64 values."""
+
+    def __init__(self, compression: float = 200.0):
+        self.compression = float(compression)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf_means: list[np.ndarray] = []
+        self._buf_weights: list[np.ndarray] = []
+
+    # -- construction ------------------------------------------------------
+    def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        w = np.ones_like(v) if weights is None else np.asarray(weights, dtype=np.float64)
+        self._buf_means.append(v)
+        self._buf_weights.append(w)
+        # amortized compaction keeps the buffer bounded
+        if sum(b.size for b in self._buf_means) > 32 * self.compression:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> None:
+        if other.total_weight() == 0:
+            return
+        self._buf_means.append(other._all_means())
+        self._buf_weights.append(other._all_weights())
+        self._compress()
+
+    def _all_means(self) -> np.ndarray:
+        return np.concatenate([self.means, *self._buf_means]) if self._buf_means else self.means
+
+    def _all_weights(self) -> np.ndarray:
+        return (
+            np.concatenate([self.weights, *self._buf_weights])
+            if self._buf_weights
+            else self.weights
+        )
+
+    def total_weight(self) -> float:
+        return float(self._all_weights().sum()) if self._all_means().size else 0.0
+
+    def _compress(self) -> None:
+        means = self._all_means()
+        weights = self._all_weights()
+        self._buf_means, self._buf_weights = [], []
+        if means.size == 0:
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        # merge pass: greedily absorb while the k-size bound allows
+        out_m: list[float] = []
+        out_w: list[float] = []
+        delta = self.compression
+        k_limit = lambda q: (delta / (2 * np.pi)) * np.arcsin(np.clip(2 * q - 1, -1, 1))
+        w_so_far = 0.0
+        cur_m, cur_w = means[0], weights[0]
+        k_lo = k_limit(0.0)
+        for i in range(1, means.size):
+            q_new = (w_so_far + cur_w + weights[i]) / total
+            if k_limit(q_new) - k_lo <= 1.0:
+                cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
+                cur_w += weights[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_so_far += cur_w
+                k_lo = k_limit(w_so_far / total)
+                cur_m, cur_w = means[i], weights[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    # -- queries -----------------------------------------------------------
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    # -- serialization -----------------------------------------------------
+    def to_bytes(self) -> bytes:
+        self._compress()
+        buf = io.BytesIO()
+        buf.write(MAGIC)
+        buf.write(struct.pack("<dI", self.compression, self.means.size))
+        buf.write(self.means.tobytes())
+        buf.write(self.weights.tobytes())
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TDigest":
+        assert data[:4] == MAGIC, "unknown t-digest blob version"
+        compression, n = struct.unpack_from("<dI", data, 4)
+        off = 4 + 12
+        td = cls(compression)
+        td.means = np.frombuffer(data, dtype=np.float64, count=n, offset=off).copy()
+        td.weights = np.frombuffer(data, dtype=np.float64, count=n, offset=off + 8 * n).copy()
+        return td
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: partial (mapInPandas) → merge (applyInPandas)
+# ---------------------------------------------------------------------------
+
+def group_digests(df, value_col: str, group_cols: list[str], compression: float = 200.0):
+    """Per-group serialized t-digest: (group_cols..., digest binary).
+
+    Map-side partials mean the shuffle moves one blob per (batch × group),
+    never raw values — the property that makes this viable at 10^12 rows.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    narrow = df.select(*group_cols, value_col)
+    schema_partial = ", ".join(f"`{c}` {t}" for c, t in _types(narrow, group_cols)) + ", digest binary"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for key, g in pdf.groupby(group_cols, dropna=False, sort=False):
+                td = TDigest(compression)
+                td.add(g[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+                key_t = key if isinstance(key, tuple) else (key,)
+                rows.append((*key_t, td.to_bytes()))
+            yield pd.DataFrame(rows, columns=[*group_cols, "digest"])
+
+    partials = narrow.mapInPandas(partial, schema_partial)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest(compression)
+        for blob in pdf["digest"]:
+            td.merge(TDigest.from_bytes(bytes(blob)))
+        return pd.DataFrame([(*key, td.to_bytes())], columns=[*group_cols, "digest"])
+
+    return partials.groupBy(*group_cols).applyInPandas(merge, schema_partial)
+
+
+def group_quantiles(
+    df,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[float],
+    compression: float = 200.0,
+):
+    """Per-group approximate quantiles from merged digests:
+    (group_cols..., q_<pct> double ...)."""
+    digests = group_digests(df, value_col, group_cols, compression)
+    qcols = [f"q_{int(q * 100)}" for q in qs]
+    schema = ", ".join(f"`{c}` {t}" for c, t in _types(df.select(*group_cols), group_cols))
+    schema += ", " + ", ".join(f"{c} double" for c in qcols)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                td = TDigest.from_bytes(bytes(r["digest"]))
+                rows.append((*[r[c] for c in group_cols], *[td.quantile(q) for q in qs]))
+            yield pd.DataFrame(rows, columns=[*group_cols, *qcols])
+
+    return digests.mapInPandas(extract, schema)
+
+
+def _types(df, cols: list[str]) -> list[tuple[str, str]]:
+    m = dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))
+    return [(c, m[c]) for c in cols]

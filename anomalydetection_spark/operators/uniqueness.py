@@ -66,7 +66,9 @@ def duplicate_keys(docs: DataFrame, n_salts: int = 16) -> DataFrame:
     return final.filter(F.col("n") > 1)
 
 
-def check(docs: DataFrame, n_salts: int = 16) -> tuple[DataFrame, DataFrame]:
+def check(
+    docs: DataFrame, n_salts: int = 16, scope_docs: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """uniqueness constraint → (verdicts, violations).
 
     Violation rows carry the partition the offending row lives in, so the
@@ -74,8 +76,14 @@ def check(docs: DataFrame, n_salts: int = 16) -> tuple[DataFrame, DataFrame]:
     set is small relative to the table (it's a *constraint* violation), so
     attaching partition context is a broadcast-friendly semi-join back —
     Catalyst/AQE picks broadcast once the dup side fits the threshold.
+
+    ``scope_docs``: the table over which duplicate *detection* runs
+    (defaults to ``docs``). A resumed run passes the FULL table here while
+    ``docs`` holds only the unfinished partitions — uniqueness is global,
+    so a duplicate spanning a done and a pending partition must still be
+    flagged in the pending partition's verdict.
     """
-    dups = duplicate_keys(docs, n_salts=n_salts)
+    dups = duplicate_keys(scope_docs if scope_docs is not None else docs, n_salts=n_salts)
 
     viol_src = docs.join(
         F.broadcast(dups.select("doc_id", "n")), "doc_id", "inner"

@@ -1,0 +1,156 @@
+"""Checkpointed per-partition manifest → resumable validation runs.
+
+The reference's only resumability is Drain3's ``FilePersistence`` state file
+(models/drain.py:48-51): a killed parse run resumes from the persisted
+prefix tree. The engine's analog is a *manifest table* keyed by Iceberg
+partition: each run plans only partitions whose status != 'done', validates
+them, writes their verdict/violation parquet partitions idempotently
+(dynamic partition overwrite), and flips their manifest rows to 'done'.
+
+Scale design: the manifest has one row per Iceberg partition (thousands of
+rows at 10^12 docs — driver-side small). Output writes use dynamic
+partition overwrite so a re-run of partition P replaces exactly P's files;
+a crash between write and manifest update re-validates P (idempotent
+overwrite), never skips or duplicates it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
+
+STATUS_DONE = "done"
+STATUS_PENDING = "pending"
+
+
+class ManifestStore:
+    """Parquet-backed manifest table under ``state_dir``."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.path = f"{state_dir}/manifest"
+
+    def read(self) -> DataFrame | None:
+        if not Path(self.path).exists():
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def done_partitions(self) -> set[int]:
+        m = self.read()
+        if m is None:
+            return set()
+        return {
+            r["partition_id"]
+            for r in m.filter(F.col("status") == STATUS_DONE).select("partition_id").collect()
+        }
+
+    def mark_done(self, rollup_rows: list[dict], run_id: str) -> None:
+        """Upsert finished partitions (small driver-side merge, then atomic
+        single-file rewrite — the manifest is tiny by construction)."""
+        now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        existing = self.read()
+        prev = (
+            {r["partition_id"]: r.asDict() for r in existing.collect()} if existing is not None else {}
+        )
+        for row in rollup_rows:
+            prev[row["partition_id"]] = {
+                "partition_id": row["partition_id"],
+                "status": STATUS_DONE,
+                "row_count": row["row_count"],
+                "violation_count": row["violation_count"],
+                "run_id": run_id,
+                "sketch_blob": row.get("sketch_blob"),
+                "updated_at": now,
+            }
+        df = self.spark.createDataFrame(
+            list(prev.values()),
+            "partition_id int, status string, row_count long, violation_count long, "
+            "run_id string, sketch_blob binary, updated_at string",
+        )
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = Path(self.path)
+        if final.exists():
+            import shutil
+
+            shutil.rmtree(final)
+        Path(tmp).rename(final)
+
+    def invalidate(self, partition_ids: list[int]) -> None:
+        """Flip partitions back to pending (test hook: simulates a kill that
+        lost those partitions' completion records)."""
+        m = self.read()
+        if m is None:
+            return
+        rows = [r.asDict() for r in m.collect()]
+        for r in rows:
+            if r["partition_id"] in set(partition_ids):
+                r["status"] = STATUS_PENDING
+        df = self.spark.createDataFrame(
+            rows,
+            "partition_id int, status string, row_count long, violation_count long, "
+            "run_id string, sketch_blob binary, updated_at string",
+        )
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.path)
+        Path(tmp).rename(Path(self.path))
+
+
+class ResumableValidator:
+    """Plans and executes validation over only the unfinished partitions."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, out_dir: str):
+        self.spark = spark
+        self.manifest = ManifestStore(spark, state_dir)
+        self.out_dir = out_dir
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def run(
+        self,
+        docs: DataFrame,
+        media: DataFrame,
+        baseline: DataFrame,
+        cfg: SuiteConfig = SuiteConfig(),
+    ) -> dict:
+        """One (possibly resumed) validation pass. Returns run summary with
+        the set of partitions validated this pass."""
+        done = self.manifest.done_partitions()
+        pending_docs = docs.filter(~F.col("partition_id").isin(list(done))) if done else docs
+        todo = [r["partition_id"] for r in pending_docs.select("partition_id").distinct().collect()]
+        run_id = uuid.uuid4().hex[:12]
+        if not todo:
+            return {"run_id": run_id, "validated_partitions": [], "skipped_partitions": sorted(done)}
+
+        # uniqueness stays global: detection scans the full table even when
+        # only a subset of partitions is re-validated
+        res = run_suite(pending_docs, media, baseline, cfg, uniqueness_scope=docs)
+        # idempotent per-partition output: dynamic overwrite replaces exactly
+        # the partitions validated in this pass
+        res.verdicts.write.mode("overwrite").partitionBy("partition_id").parquet(
+            f"{self.out_dir}/verdicts"
+        )
+        res.violations.write.mode("overwrite").partitionBy("partition_id").parquet(
+            f"{self.out_dir}/violations"
+        )
+        rollup_rows = [r.asDict() for r in res.partition_rollup.collect()]
+        self.manifest.mark_done(rollup_rows, run_id)
+        return {
+            "run_id": run_id,
+            "validated_partitions": sorted(todo),
+            "skipped_partitions": sorted(done),
+        }
+
+    def verdicts(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/verdicts")
+
+    def violations(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/violations")

@@ -47,14 +47,19 @@ def run_suite(
     media: DataFrame,
     baseline_hist: DataFrame,
     cfg: SuiteConfig = SuiteConfig(),
+    uniqueness_scope: DataFrame | None = None,
 ) -> ValidationResult:
-    """Build the full-suite validation plan (lazy — caller triggers actions)."""
+    """Build the full-suite validation plan (lazy — caller triggers actions).
+
+    ``uniqueness_scope``: full table for global duplicate detection when
+    ``docs`` is a resumed subset (see operators/uniqueness.py).
+    """
     exploded = reassembly.explode_spans(docs)
     if cfg.persist_exploded:
         exploded = exploded.persist()
 
     v_stats = stats.check(docs, exploded, cfg.stats)
-    v_uniq = uniqueness.check(docs, n_salts=cfg.n_salts)
+    v_uniq = uniqueness.check(docs, n_salts=cfg.n_salts, scope_docs=uniqueness_scope)
     v_ref = referential.check(exploded, media, broadcast=cfg.broadcast_media)
     v_drift = drift.check(exploded, baseline_hist, cfg.drift)
     v_order = reassembly.check(docs)

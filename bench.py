@@ -1,0 +1,199 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs per round): executes the headline
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1, "docs_per_sec": ...}
+
+The suite throughput component runs the full constraint suite on a
+deterministic synthetic interleaved documents table (BASELINE.json's
+north-rule workload) sized ~sf*1e6 docs.
+
+--scaling mode: runs the identical suite job in two fresh subprocesses at
+local[8] (N) and local[32] (4N) and reports throughput at both plus
+scaling efficiency throughput_4N/(4*throughput_N) into BENCH.md (the
+in-sandbox proxy for the two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "uniqueness_partkey",
+    "referential_orphans",
+    "drift_kl_psi_by_source",
+    "threshold_verdict_events",
+    "sessionize_events",
+    "confusion_matrix_embeddings",
+]
+
+SUITE_DOCS_PER_SF = 1_000_000  # n_docs = sf * this (sf0.1 → 100k docs)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_suite_once(master: str, n_docs: int, shuffle_partitions: int | None = None) -> dict:
+    """Run the full constraint suite on synthetic docs; return timing."""
+    from anomalydetection_spark.datagen import (
+        DataGenConfig,
+        clean_config,
+        generate_documents,
+        generate_media_assets,
+    )
+    from anomalydetection_spark.operators import drift, reassembly
+    from anomalydetection_spark.plans.suite import run_suite
+    from anomalydetection_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-suite", master=master, shuffle_partitions=shuffle_partitions)
+    cfg = DataGenConfig(
+        n_docs=n_docs,
+        n_partitions=32,
+        n_media=10_000,
+        drift_partitions=(31,),
+        data_partitions=64,
+    )
+    docs = generate_documents(spark, cfg)
+    media = generate_media_assets(spark, cfg)
+    baseline = drift.compute_baseline(
+        reassembly.explode_spans(generate_documents(spark, clean_config(cfg)))
+    )
+    # materialize input first so datagen cost isn't in the validated-docs/sec
+    docs = docs.persist()
+    n = docs.count()
+    t0 = time.time()
+    res = run_suite(docs, media, baseline)
+    n_verdicts = res.verdicts.count()
+    n_viol = res.violations.count()
+    elapsed = time.time() - t0
+    spark.stop()
+    return {
+        "n_docs": n,
+        "elapsed_sec": elapsed,
+        "docs_per_sec": n / elapsed,
+        "n_verdicts": n_verdicts,
+        "n_violations": n_viol,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true", help="measure local[8] vs local[32] into BENCH.md")
+    ap.add_argument("--suite-docs", type=int, default=None)
+    ap.add_argument("--_suite-worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--master", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args._suite_worker:
+        r = run_suite_once(args.master, args.suite_docs or 100_000)
+        print("WORKER_RESULT " + json.dumps(r))
+        return 0
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_from_dir(sf_dir)
+    n_suite_docs = args.suite_docs or max(int(sf * SUITE_DOCS_PER_SF), 10_000)
+
+    if args.scaling:
+        results = {}
+        for cores in (8, 32):
+            cmd = [
+                sys.executable, __file__, "--_suite-worker",
+                "--master", f"local[{cores}]", "--suite-docs", str(n_suite_docs),
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+            line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+            if not line:
+                print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+                return 1
+            results[cores] = json.loads(line[0][len("WORKER_RESULT "):])
+        eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
+        report = {
+            "n_docs": n_suite_docs,
+            "throughput_local8_docs_per_sec": round(results[8]["docs_per_sec"], 1),
+            "throughput_local32_docs_per_sec": round(results[32]["docs_per_sec"], 1),
+            "scaling_efficiency": round(eff, 3),
+        }
+        md = (
+            "# BENCH — suite throughput + scaling efficiency\n\n"
+            "Full constraint suite (stats + uniqueness + referential + drift +\n"
+            "span_order) over the deterministic synthetic interleaved documents\n"
+            "table; identical input at two parallelism levels (in-sandbox proxy\n"
+            "for the N vs 4N cluster-size criterion, BASELINE.md protocol).\n\n"
+            f"| config | docs | elapsed (s) | docs/sec |\n|---|---|---|---|\n"
+            f"| local[8] (N) | {results[8]['n_docs']} | {results[8]['elapsed_sec']:.2f} | {results[8]['docs_per_sec']:.1f} |\n"
+            f"| local[32] (4N) | {results[32]['n_docs']} | {results[32]['elapsed_sec']:.2f} | {results[32]['docs_per_sec']:.1f} |\n\n"
+            f"**Scaling efficiency** = throughput_32 / (4 × throughput_8) = "
+            f"**{eff:.3f}** (target ≥ 0.8)\n"
+        )
+        Path("BENCH.md").write_text(md)
+        print(json.dumps(report))
+        return 0
+
+    # ---- default driver mode: headline queries + suite throughput --------
+    from anomalydetection_spark.plans import driver_queries
+    from anomalydetection_spark.plans.flagship import flagship_suite
+    from anomalydetection_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = driver_queries.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    flagship_suite(spark, sf_dir).collect()
+    timings["flagship_suite"] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # suite throughput on the north-rule synthetic workload (fresh session,
+    # subprocess so JVM/session state can't leak into the measurement)
+    cmd = [
+        sys.executable, __file__, "--_suite-worker",
+        "--master", f"local[{cpus}]", "--suite-docs", str(n_suite_docs),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    suite = None
+    for l in out.stdout.splitlines():
+        if l.startswith("WORKER_RESULT "):
+            suite = json.loads(l[len("WORKER_RESULT "):])
+    if suite:
+        timings["suite_synthetic"] = round(suite["elapsed_sec"], 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_plus_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "suite_docs": n_suite_docs,
+        "docs_per_sec": round(suite["docs_per_sec"], 1) if suite else None,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

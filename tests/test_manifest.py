@@ -1,0 +1,94 @@
+"""Resume semantics: kill after K of N partitions → only N−K re-validated,
+final verdicts identical to a single uninterrupted run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.datagen import (
+    DataGenConfig,
+    clean_config,
+    generate_documents,
+    generate_media_assets,
+)
+from anomalydetection_spark.operators import drift, reassembly
+from anomalydetection_spark.plans.manifest import ResumableValidator
+from anomalydetection_spark.plans.suite import run_suite
+
+CFG = DataGenConfig(n_docs=1200, n_partitions=6, n_media=200, drift_partitions=(5,))
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    docs = generate_documents(spark, CFG).cache()
+    media = generate_media_assets(spark, CFG).cache()
+    baseline = drift.compute_baseline(
+        reassembly.explode_spans(generate_documents(spark, clean_config(CFG)))
+    ).cache()
+    return docs, media, baseline
+
+
+def _verdict_key(df):
+    return sorted(
+        (r["partition_id"], r["constraint"], r["passed"], r["violation_count"], r["row_count"])
+        for r in df.collect()
+    )
+
+
+def test_full_then_resume_identical(spark, tmp_path, inputs):
+    docs, media, baseline = inputs
+
+    # ---- uninterrupted run (golden) -------------------------------------
+    golden = run_suite(docs, media, baseline)
+    golden_verdicts = _verdict_key(golden.verdicts)
+
+    # ---- run 1: validates everything ------------------------------------
+    v = ResumableValidator(spark, str(tmp_path / "state"), str(tmp_path / "out"))
+    s1 = v.run(docs, media, baseline)
+    assert s1["validated_partitions"] == list(range(6))
+    assert s1["skipped_partitions"] == []
+
+    # ---- simulated kill: partitions 2 and 4 lose their done status ------
+    v.manifest.invalidate([2, 4])
+
+    # ---- resume: only 2 and 4 re-validated ------------------------------
+    s2 = v.run(docs, media, baseline)
+    assert s2["validated_partitions"] == [2, 4]
+    assert sorted(s2["skipped_partitions"]) == [0, 1, 3, 5]
+
+    # ---- final persisted verdicts == uninterrupted run ------------------
+    persisted = v.verdicts().select(
+        "partition_id", "constraint", "passed", "violation_count", "row_count"
+    )
+    assert _verdict_key(persisted) == golden_verdicts
+
+    # ---- third run: nothing to do ---------------------------------------
+    s3 = v.run(docs, media, baseline)
+    assert s3["validated_partitions"] == []
+    assert sorted(s3["skipped_partitions"]) == list(range(6))
+
+
+def test_resume_keeps_global_uniqueness(spark, tmp_path, inputs):
+    """A duplicate pair spanning a done and a pending partition must still
+    be flagged when only the pending partition is re-validated."""
+    docs, media, baseline = inputs
+    # construct: same doc_id in partition 0 (done) and partition 1 (pending)
+    extra = spark.createDataFrame(
+        [
+            ("xdup-1", [("text", "a b", None, 0)], 0),
+            ("xdup-1", [("text", "c d", None, 0)], 1),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, partition_id int",
+    )
+    docs2 = docs.unionByName(extra)
+    v = ResumableValidator(spark, str(tmp_path / "state2"), str(tmp_path / "out2"))
+    v.run(docs2, media, baseline)
+    v.manifest.invalidate([1])
+    s = v.run(docs2, media, baseline)
+    assert s["validated_partitions"] == [1]
+    viol = v.violations().filter(
+        (F.col("constraint") == "uniqueness") & (F.col("doc_id") == "xdup-1")
+    )
+    parts = sorted(r["partition_id"] for r in viol.collect())
+    assert parts == [0, 1]
