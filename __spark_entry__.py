@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from anomalydetection_spark.plans import driver_queries
+from anomalydetection_spark.plans import driver_queries, driver_queries_dedup
 from anomalydetection_spark.plans.flagship import flagship_suite
 
 
@@ -30,9 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(driver_queries.QUERIES)
+    q.update(driver_queries_dedup.QUERIES)
     q["suite_verdicts"] = flagship_suite  # non-SQL-expressible: rows-only check
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(driver_queries.ORACLE_SQL)
+    sql = dict(driver_queries.ORACLE_SQL)
+    sql.update(driver_queries_dedup.ORACLE_SQL)
+    return sql

@@ -1,0 +1,221 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, each expressed as DataFrame ops (no per-row Python):
+
+- exact:          hash-groupBy on normalized text
+- minhash + LSH:  shingle → 60-bit portable hash → H minhashes → banded
+                  bucket join → candidate pairs → exact-Jaccard verify
+- simhash:        per-bit majority over shingle hashes → 32-bit signature,
+                  banded candidate join, hamming-distance verify
+- n-gram Jaccard: shingle-join blocking + exact set-overlap arithmetic
+- embedding cosine: see operators/similarity.py
+
+Scale design: every family is shuffle-bounded by (candidate pairs +
+shingle rows), never by |docs|²: LSH bands / hash blocks prune the
+quadratic pair space before any join. The 60-bit hash is md5-derived so
+the same values are computable in any engine (the DuckDB oracle included);
+a production deployment would swap in xxhash64 for speed without changing
+the shapes.
+
+Reference tie-in: the reference dedups nothing, but its frequency filter
+(preprocessing.py:4-13) is the same shape as `exact_duplicates` —
+group-count + threshold + semi/anti join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P = 2_147_483_647  # 2^31 - 1, Mersenne prime for the minhash universe
+MINHASH_A = [131, 137, 139, 149, 151, 157, 163, 167]
+MINHASH_B = [7, 11, 13, 17, 19, 23, 29, 31]
+
+
+def portable_hash60(c: Column) -> Column:
+    """Deterministic 60-bit hash reproducible in any engine with md5:
+    first 15 hex digits of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("tokens"))
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per doc: (id_col, shingle)."""
+    toked = tokenize(df, id_col, text_col)
+    parts = [F.element_at(F.col("tokens"), F.col("i") + j) for j in range(k)]
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0] — docs shorter than k
+    # tokens must map to an empty index array, not a greatest() clamp
+    idx = F.when(
+        F.size("tokens") >= k, F.sequence(F.lit(1), F.size("tokens") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingled = toked.select(
+        id_col,
+        F.explode(idx).alias("i"),
+        "tokens",
+    ).select(id_col, F.concat_ws(" ", *parts).alias("shingle"))
+    return shingled.distinct()
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Exact dedup: (text_hash, n_docs, keep_id) for groups of size > 1.
+    keep_id = min(id) is the canonical survivor."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.trim(t))
+    return (
+        df.select(F.md5(t).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """(id, m0..m{H-1}) minhash signature columns from one hash-agg pass."""
+    sh = shingle_rows(df, id_col, text_col, k)
+    h = (portable_hash60(F.col("shingle")) % P).alias("h")
+    hashed = sh.select(id_col, h)
+    aggs = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % P).alias(f"m{j}")
+        for j in range(n_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs
+    (id_a < id_b, distinct). The band key is an md5 of the band's minhash
+    slice — the classic shuffle-pruning step that keeps dedup o(n²)."""
+    n_bands = n_hashes // rows_per_band
+    band_key = lambda b: F.md5(
+        F.concat_ws("_", *[F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)])
+    )
+    bands = None
+    for b in range(n_bands):
+        part = sigs.select(
+            F.col(id_col), F.lit(b).alias("band"), band_key(b).alias("band_key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b_ = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs: (id_a, id_b, jaccard) ≥ threshold.
+    Integer overlap counts + one double division → engine-deterministic."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ic"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb"))
+    jac = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification. Returns (id_a, id_b, jaccard rounded 6)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes)
+    sh = shingle_rows(df, id_col, text_col, k)
+    out = jaccard_verify(cands, sh, id_col, threshold)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, simhash) 32-bit per-bit-majority signature over shingle hashes.
+
+    Two hash aggregates: (id, bit) weight sums, then bit-weighted
+    reassembly — both shuffle one row per (doc × 32), never raw text.
+    """
+    sh = shingle_rows(df, id_col, text_col, k)
+    hashed = sh.select(id_col, portable_hash60(F.col("shingle")).alias("h"))
+    bits = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        "h",
+    ).select(
+        id_col,
+        "j",
+        # pyspark's shiftright() only takes a literal shift — column shifts
+        # need the SQL expression form
+        (F.expr("shiftright(h, j) & 1") * 2 - 1).alias("sgn"),
+    )
+    bitsum = bits.groupBy(id_col, "j").agg(F.sum("sgn").alias("s"))
+    return bitsum.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash: 8-bit band blocking (a pair within
+    hamming ≤ 3 of 32 bits shares at least one of 4 bands by pigeonhole),
+    then exact hamming verify via bit_count(xor)."""
+    sigs = simhash_signatures(df, id_col, text_col, k)
+    band = lambda b: F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255))
+    bands = None
+    for b in range(4):
+        part = sigs.select(id_col, "simhash", F.lit(b).alias("band"), band(b).alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "band_key")
+    b_ = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "band_key")
+    cands = (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

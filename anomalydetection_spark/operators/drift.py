@@ -111,11 +111,17 @@ def check(
     exploded: DataFrame,
     baseline: DataFrame,
     th: DriftThresholds = DriftThresholds(),
+    persist_scores: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """distribution_drift constraint → (verdicts, violations).
 
     Violations are partition-level (doc_id NULL): one row per
     (partition, feature) whose KL or PSI exceeds threshold.
+
+    ``persist_scores`` caches the per-(partition, feature) score frame —
+    it is tiny (partitions × 2 rows) but everything upstream of it (the
+    histogram agg over all spans) would otherwise run once for the verdict
+    action and again for the violation action.
     """
     cur = histograms(exploded)
     base = baseline.select("feature", "bucket", F.col("p").alias("q"))
@@ -139,6 +145,8 @@ def check(
     scored = scores.withColumn(
         "ok", (F.col("kl") <= F.lit(th.max_kl)) & (F.col("psi") <= F.lit(th.max_psi))
     )
+    if persist_scores:
+        scored = scored.persist()
 
     violations = scored.filter(~F.col("ok")).select(
         "partition_id",

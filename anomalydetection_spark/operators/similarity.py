@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline — broadcast the query
+  set, JVM-side higher-order dot products, rank window per query.
+- norm-bucket / LSH-blocked near-dup pairs: the scale path — candidate
+  pruning before the quadratic join.
+
+Scale design: brute force is O(|queries| × |corpus|) with the query side
+broadcast — right for small query batches over huge corpora (each executor
+streams its corpus partition once; no shuffle of the corpus). For
+corpus×corpus near-dup the blocked variant bounds pairs per bucket.
+Dot products use `F.aggregate` over zipped arrays — whole-stage-codegen
+JVM loops, no Python. A Pandas-UDF matmul variant would win for k-NN with
+thousands of queries (BLAS batching); at that point switch to
+`mapInPandas` over broadcast query matrices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential over the array (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors per query: (query_id, neighbor_id, cos, rk).
+
+    The ranking key is the cosine pre-rounded to 6 decimals (+ neighbor id
+    tiebreak) so a last-ulp float difference can never reorder results.
+    """
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    )
+    joined = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")).crossJoin(q)
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def norm_blocked_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cos ≥ threshold) with block
+    pruning: candidates must share a coarse block (default: floor(norm))
+    before the pairwise join — the LSH-shaped guard that keeps the join
+    out of O(n²) territory. Custom ``block_col`` lets callers use real
+    LSH bucket ids instead."""
+    blocked = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        (block_col if block_col is not None else F.floor(l2_norm(F.col(vec_col)))).alias("_blk"),
+    )
+    a = blocked.select(F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"), "_blk")
+    b = blocked.select(F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"), "_blk")
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= threshold)

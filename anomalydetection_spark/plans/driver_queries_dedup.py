@@ -1,0 +1,382 @@
+r"""Driver-contract queries, batch 2: dedup / similarity / text analysis.
+
+Near-dup queries run over a *derived corpus with injected duplicates*
+(documents ∪ shifted copies of every 7th doc) because the fixture corpus
+has no exact duplicates — the injection is plain relational algebra so the
+DuckDB oracle reproduces it exactly.
+
+Portable primitives shared with the engine operators (operators/dedup.py):
+60-bit md5-derived hashes, minhash with fixed (a,b) families mod 2^31-1,
+banded LSH keys as md5 of signature slices, 32-bit simhash, exact Jaccard
+from integer overlap counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators import dedup, similarity, textops
+
+# SQL prefix shared by text-dedup oracles: the dup-injected corpus + shingles
+_CORPUS_CTE = r"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      THEN list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])
+      ELSE [] END) AS shingle
+    FROM tok)
+)
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    extra = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(extra)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): duplicate groups with canonical keeper."""
+    return dedup.exact_duplicates(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(lower(trim(text))) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified ≥ 0.5."""
+    return dedup.minhash_dedup_pairs(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+
+
+DEDUP_MINHASH_SQL = (
+    "WITH " + _CORPUS_CTE + r""",
+h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::bigint % 2147483647 AS h FROM sh),
+sig AS (SELECT doc_id,
+  min((131*h+7) % 2147483647) AS m0, min((137*h+11) % 2147483647) AS m1,
+  min((139*h+13) % 2147483647) AS m2, min((149*h+17) % 2147483647) AS m3,
+  min((151*h+19) % 2147483647) AS m4, min((157*h+23) % 2147483647) AS m5,
+  min((163*h+29) % 2147483647) AS m6, min((167*h+31) % 2147483647) AS m7
+  FROM h GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(m0::varchar||'_'||m1::varchar) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(m2::varchar||'_'||m3::varchar) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(m4::varchar||'_'||m5::varchar) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(m6::varchar||'_'||m7::varchar) FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS ic
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(cast(ic AS double)/(za.sz + zb.sz - ic), 6) AS jaccard
+FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
+WHERE cast(ic AS double)/(za.sz + zb.sz - ic) >= 0.5
+"""
+)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit majority signature, 8-bit band
+    blocking, hamming ≤ 3 verified via bit_count(xor)."""
+    return dedup.simhash_near_pairs(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+DEDUP_SIMHASH_SQL = (
+    "WITH " + _CORPUS_CTE + r""",
+h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::bigint AS h FROM sh),
+bits AS (
+  SELECT doc_id, j, ((h >> j) & 1) * 2 - 1 AS sgn
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js),
+bitsum AS (SELECT doc_id, j, sum(sgn) AS s FROM bits GROUP BY doc_id, j),
+sig AS (SELECT doc_id,
+  cast(sum(CASE WHEN s > 0 THEN (1::bigint << j) ELSE 0 END) AS bigint) AS simhash
+  FROM bitsum GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (b*8)) & 255 AS band_key
+  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, cast(bit_count(xor(sig_a, sig_b)) AS int) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with shared-shingle blocking (no minhash):
+    candidate pairs share ≥1 shingle, verified against threshold 0.35."""
+    corpus = _dup_corpus(spark, sf_dir)
+    sh = dedup.shingle_rows(corpus, "doc_id", "text", 3)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ic"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    jac = F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(jac >= 0.35)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+DEDUP_NGRAM_SQL = (
+    "WITH " + _CORPUS_CTE + r""",
+inter AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS ic
+  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+SELECT i.id_a, i.id_b,
+       round(cast(ic AS double)/(za.sz + zb.sz - ic), 6) AS jaccard
+FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
+WHERE cast(ic AS double)/(za.sz + zb.sz - ic) >= 0.35
+"""
+)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: query set broadcast over the corpus,
+    JVM higher-order dot products, rank on pre-rounded cosine."""
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = em.filter(F.col("vec_id") < 10)
+    corpus = em.filter(F.col("vec_id") >= 10)
+    return similarity.brute_force_topk(corpus, queries, "vec_id", "embedding", k=5)
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      list_sum(list_transform(generate_series(1, len(qv)),
+                              i -> cast(qv[i] AS double) * cast(cv[i] AS double)))
+      / (sqrt(list_sum(list_transform(qv, x -> cast(x AS double) * cast(x AS double))))
+       * sqrt(list_sum(list_transform(cv, x -> cast(x AS double) * cast(x AS double))))),
+      6) AS cos
+  FROM q CROSS JOIN c)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs over a dup-injected corpus: norm-bucket
+    blocking then cosine ≥ 0.999."""
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    extra = em.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = em.unionByName(extra)
+    return similarity.norm_blocked_near_pairs(
+        corpus, "vec_id", "embedding", threshold=0.999
+    ).select("id_a", "id_b", "cos")
+
+
+DEDUP_EMB_SQL = """
+WITH ecorpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 11 = 0
+),
+blocked AS (
+  SELECT vec_id, embedding,
+    floor(sqrt(list_sum(list_transform(embedding, x -> cast(x AS double) * cast(x AS double))))) AS blk
+  FROM ecorpus),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+    round(
+      list_sum(list_transform(generate_series(1, len(va)),
+                              i -> cast(va[i] AS double) * cast(vb[i] AS double)))
+      / (sqrt(list_sum(list_transform(va, x -> cast(x AS double) * cast(x AS double))))
+       * sqrt(list_sum(list_transform(vb, x -> cast(x AS double) * cast(x AS double))))),
+      6) AS cos
+  FROM pairs)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.999
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vote language ID vs the labeled lang column → confusion counts."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = textops.language_id(d, "doc_id", "text")
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_MARKER_FILTERS = {
+    "de": "('der','die','das','und','ist')",
+    "en": "('the','a','of','and','is')",
+    "es": "('el','la','de','los','es')",
+    "fr": "('le','la','les','et','est')",
+    "zh": "('的','是','了','在','我')",
+}
+_G = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+LANG_ID_SQL = (
+    r"""
+WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+"""
+    + ",\n".join(
+        f"  len(list_filter(toks, x -> x IN {flt})) AS s_{lang}"
+        for lang, flt in sorted(_MARKER_FILTERS.items())
+    )
+    + f"""
+  FROM t),
+p AS (SELECT lang,
+  CASE WHEN {_G} = 0 THEN 'und'
+"""
+    + "\n".join(
+        f"       WHEN s_{lang} = {_G} THEN '{lang}'" for lang in sorted(_MARKER_FILTERS)
+    )
+    + """
+       ELSE 'und' END AS predicted_lang
+  FROM s)
+SELECT lang, predicted_lang, count(*) AS n FROM p GROUP BY 1, 2
+"""
+)
+
+
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality rollup from per-doc composite scores
+    (exact decimal sums of the pre-rounded per-doc values)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = textops.quality_score(d, "doc_id", "text")
+    joined = d.select("doc_id", "source").join(q, "doc_id")
+    n = F.count("*")
+    return joined.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(F.sum(F.col("quality").cast("decimal(12,6)")).cast("double") / n, 6).alias(
+            "avg_quality"
+        ),
+        F.round(F.sum(F.col("diversity").cast("decimal(12,6)")).cast("double") / n, 6).alias(
+            "avg_diversity"
+        ),
+    )
+
+
+QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks, length(text) AS len
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+    len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_types,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS n_stop
+  FROM t),
+scored AS (
+  SELECT source,
+    round(0.4 * least(n_tokens / 64.0, 1.0)
+        + 0.4 * (CASE WHEN n_tokens > 0 THEN cast(n_types AS double)/n_tokens ELSE 0 END)
+        + 0.2 * (1.0 - (CASE WHEN n_tokens > 0 THEN cast(n_stop AS double)/n_tokens ELSE 0 END)),
+      6) AS quality,
+    round(CASE WHEN n_tokens > 0 THEN cast(n_types AS double)/n_tokens ELSE 0 END, 6) AS diversity
+  FROM q)
+SELECT source, count(*) AS n_docs,
+  round(cast(sum(cast(quality AS decimal(12,6))) AS double) / count(*), 6) AS avg_quality,
+  round(cast(sum(cast(diversity AS decimal(12,6))) AS double) / count(*), 6) AS avg_diversity
+FROM scored GROUP BY source
+"""
+
+
+def token_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per lang: total tokens + distinct types."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.token_stats(d, "lang", "text")
+
+
+TOKEN_STATS_SQL = r"""
+SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_types
+FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+GROUP BY lang
+"""
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-shingle-hash content fingerprint per doc."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.fingerprint(d, "doc_id", "text")
+
+
+FINGERPRINT_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+SELECT doc_id,
+  CASE WHEN len(tk) >= 3 THEN
+    list_min(list_transform(generate_series(1, len(tk)-2),
+      i -> ('0x'||substr(md5(tk[i]||' '||tk[i+1]||' '||tk[i+2]),1,15))::bigint))
+  ELSE NULL END AS fingerprint
+FROM t
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_cosine_topk": ann_cosine_topk,
+    "lang_id_confusion": lang_id_confusion,
+    "quality_by_source": quality_by_source,
+    "token_stats_lang": token_stats_lang,
+    "fingerprint_docs": fingerprint_docs,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_embedding_cosine": DEDUP_EMB_SQL,
+    "ann_cosine_topk": ANN_SQL,
+    "lang_id_confusion": LANG_ID_SQL,
+    "quality_by_source": QUALITY_SQL,
+    "token_stats_lang": TOKEN_STATS_SQL,
+    "fingerprint_docs": FINGERPRINT_SQL,
+}

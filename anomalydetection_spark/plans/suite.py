@@ -33,6 +33,11 @@ class SuiteConfig:
     n_salts: int = 16
     broadcast_media: bool = True
     persist_exploded: bool = True
+    # persist each constraint's violation rows (MEMORY_AND_DISK) so the
+    # verdict aggregation and the violation sink share one computation —
+    # verdicts are *derived from* violations for uniqueness/referential, so
+    # without this the anti-join / dup-detection runs twice per action
+    persist_violations: bool = True
 
 
 @dataclass
@@ -58,9 +63,18 @@ def run_suite(
     if cfg.persist_exploded:
         exploded = exploded.persist()
 
+    from pyspark.storagelevel import StorageLevel
+
+    def _maybe_persist(pair):
+        if not cfg.persist_violations:
+            return pair
+        return pair[0], pair[1].persist(StorageLevel.MEMORY_AND_DISK)
+
     v_stats = stats.check(docs, exploded, cfg.stats)
-    v_uniq = uniqueness.check(docs, n_salts=cfg.n_salts, scope_docs=uniqueness_scope)
-    v_ref = referential.check(exploded, media, broadcast=cfg.broadcast_media)
+    v_uniq = _maybe_persist(
+        uniqueness.check(docs, n_salts=cfg.n_salts, scope_docs=uniqueness_scope)
+    )
+    v_ref = _maybe_persist(referential.check(exploded, media, broadcast=cfg.broadcast_media))
     v_drift = drift.check(exploded, baseline_hist, cfg.drift)
     v_order = reassembly.check(docs)
 

@@ -52,7 +52,17 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def run_suite_once(master: str, n_docs: int, shuffle_partitions: int | None = None) -> dict:
-    """Run the full constraint suite on synthetic docs; return timing."""
+    """Run the full constraint suite on synthetic docs; return timing.
+
+    Production-shaped measurement: the input documents/media/baseline are
+    parquet on disk (the Iceberg-scan analog), written untimed; the timed
+    region is scan → suite → verdict/violation materialization. (Caching
+    the nested-struct rows in executor memory instead makes the run
+    GC-bound and *anti*-scales with threads — measured 0.22 efficiency.)
+    """
+    import shutil
+    import tempfile
+
     from anomalydetection_spark.datagen import (
         DataGenConfig,
         clean_config,
@@ -60,7 +70,7 @@ def run_suite_once(master: str, n_docs: int, shuffle_partitions: int | None = No
         generate_media_assets,
     )
     from anomalydetection_spark.operators import drift, reassembly
-    from anomalydetection_spark.plans.suite import run_suite
+    from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
     from anomalydetection_spark.session import get_spark
 
     spark = get_spark(app_name="bench-suite", master=master, shuffle_partitions=shuffle_partitions)
@@ -71,20 +81,30 @@ def run_suite_once(master: str, n_docs: int, shuffle_partitions: int | None = No
         drift_partitions=(31,),
         data_partitions=64,
     )
-    docs = generate_documents(spark, cfg)
-    media = generate_media_assets(spark, cfg)
-    baseline = drift.compute_baseline(
-        reassembly.explode_spans(generate_documents(spark, clean_config(cfg)))
-    )
-    # materialize input first so datagen cost isn't in the validated-docs/sec
-    docs = docs.persist()
-    n = docs.count()
-    t0 = time.time()
-    res = run_suite(docs, media, baseline)
-    n_verdicts = res.verdicts.count()
-    n_viol = res.violations.count()
-    elapsed = time.time() - t0
-    spark.stop()
+    tmp = tempfile.mkdtemp(prefix="bench_suite_")
+    try:
+        generate_documents(spark, cfg).write.mode("overwrite").parquet(f"{tmp}/docs")
+        generate_media_assets(spark, cfg).write.mode("overwrite").parquet(f"{tmp}/media")
+        drift.compute_baseline(
+            reassembly.explode_spans(generate_documents(spark, clean_config(cfg)).persist())
+        ).write.mode("overwrite").parquet(f"{tmp}/baseline")
+        docs = spark.read.parquet(f"{tmp}/docs")
+        media = spark.read.parquet(f"{tmp}/media")
+        baseline = spark.read.parquet(f"{tmp}/baseline")
+        n = docs.count()
+
+        t0 = time.time()
+        # at scale, re-scanning the columnar input beats caching 10^12
+        # exploded span rows in executor memory — persist only the tiny
+        # violation/score frames
+        suite_cfg = SuiteConfig(persist_exploded=False, persist_violations=True)
+        res = run_suite(docs, media, baseline, suite_cfg)
+        n_verdicts = res.verdicts.count()
+        n_viol = res.violations.count()
+        elapsed = time.time() - t0
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
     return {
         "n_docs": n,
         "elapsed_sec": elapsed,
@@ -113,6 +133,11 @@ def main() -> int:
     n_suite_docs = args.suite_docs or max(int(sf * SUITE_DOCS_PER_SF), 10_000)
 
     if args.scaling:
+        # scaling needs compute-dominated runs: below ~4M docs the fixed
+        # per-job scheduling overhead (~10s, parallelism-independent)
+        # swamps the per-core work and the ratio measures Spark's constant
+        # costs, not the engine's scalability
+        n_suite_docs = max(n_suite_docs, 4_000_000)
         results = {}
         for cores in (8, 32):
             cmd = [

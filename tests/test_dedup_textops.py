@@ -1,0 +1,123 @@
+"""Unit tests: dedup families, similarity search, text analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators import dedup, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different words about spark shuffles here"),
+        (5, "el la de los es un texto corto"),
+        (6, "ab"),                                            # < 3 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(corpus):
+    got = dedup.exact_duplicates(corpus, "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2
+    assert got[0]["keep_id"] == 1
+
+
+def test_shingles_short_doc_empty(corpus):
+    sh = dedup.shingle_rows(corpus, "doc_id", "text", 3)
+    assert sh.filter(F.col("doc_id") == 6).count() == 0
+    # doc 1: 9 tokens → 7 shingles, all distinct
+    assert sh.filter(F.col("doc_id") == 1).count() == 7
+
+
+def test_minhash_finds_near_and_exact_dups(corpus):
+    pairs = dedup.minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 3)] == 1.0          # exact dup
+    assert (1, 2) in got and got[(1, 2)] > 0.5  # near dup
+    assert all(a < b for a, b in got)
+    assert not any({a, b} & {4, 5, 6} for a, b in got)
+
+
+def test_simhash_near_pairs(corpus):
+    # the one-word change flips 3 of 7 shingles → hamming 4 on 32 bits, so
+    # test with a budget of 6 (band recall is only *guaranteed* ≤3, but the
+    # pair shares its low byte so blocking still surfaces it)
+    pairs = dedup.simhash_near_pairs(corpus, "doc_id", "text", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 3)] == 0            # identical text → identical signature
+    assert (1, 2) in got and 0 < got[(1, 2)] <= 6
+    assert not any({4, 5} & {a, b} for a, b in got)
+
+
+def test_simhash_deterministic(spark, corpus):
+    a = {r["doc_id"]: r["simhash"] for r in
+         dedup.simhash_signatures(corpus, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in
+         dedup.simhash_signatures(corpus.repartition(7), "doc_id", "text").collect()}
+    assert a == b
+    assert all(0 <= v < 2**32 for v in a.values())
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (10, [1.0, 0.1, 0.0]),   # closest to query 0
+        (11, [0.0, 1.0, 0.0]),
+        (12, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    c = df.filter("vec_id >= 10")
+    got = similarity.brute_force_topk(c, q, "vec_id", "embedding", k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rk"])]
+    assert ranked == [10, 11, 12]
+    assert got[0]["cos"] <= 1.0
+
+
+def test_norm_blocked_near_pairs(spark):
+    rows = [
+        (1, [3.0, 4.0]),      # norm 5
+        (2, [3.0, 4.0]),      # identical → cos 1
+        (3, [30.0, 40.0]),    # norm 50: different block, cos 1 with 1 but blocked away
+        (4, [0.1, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           similarity.norm_blocked_near_pairs(df, "vec_id", "embedding", 0.999).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got  # pruned by norm block (documented trade-off)
+
+
+def test_language_id(corpus):
+    got = {r["doc_id"]: r["predicted_lang"] for r in
+           textops.language_id(corpus, "doc_id", "text").collect()}
+    assert got[1] == "en"
+    assert got[5] == "es"
+    assert got[6] == "und"
+
+
+def test_quality_score_bounds(corpus):
+    rows = textops.quality_score(corpus, "doc_id", "text").collect()
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_types"] <= r["n_tokens"]
+    by_id = {r["doc_id"]: r for r in rows}
+    # doc 4: all distinct words, no stopwords → higher diversity than doc 1
+    assert by_id[4]["diversity"] > by_id[1]["diversity"]
+
+
+def test_fingerprint_stability_and_nulls(spark, corpus):
+    fp = {r["doc_id"]: r["fingerprint"] for r in
+          textops.fingerprint(corpus, "doc_id", "text").collect()}
+    assert fp[1] == fp[3]          # identical text → identical fingerprint
+    assert fp[1] != fp[4]
+    assert fp[6] is None           # < k tokens
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in
+           textops.fingerprint(corpus.repartition(5), "doc_id", "text").collect()}
+    assert fp == fp2
