@@ -1,0 +1,106 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media payloads are opaque ``binary`` columns with typed metadata — the
+engine treats decode/feature-extraction as Arrow-batched pandas functions
+over ``mapInPandas`` so a 1000-executor cluster streams payload batches
+through Python workers without per-row overhead.
+
+The actual codec calls are STUBBED (this container ships no image/audio
+libraries): ``_decode_stub`` derives deterministic pseudo-metadata from the
+bytes themselves, and ``decode_real`` raises NotImplementedError with the
+integration point documented. Everything around the stub — schemas, Arrow
+batch shapes, partitioning, the UDF signatures — is the real production
+plumbing and is tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+DECODED_FIELDS = (
+    "n_bytes bigint, checksum bigint, fake_width int, fake_height int"
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic fake decode: metadata derived from raw bytes only.
+
+    A real deployment replaces this with PIL/libsndfile/ffmpeg calls; the
+    signature (bytes in, scalar metadata out) is the stable contract.
+    """
+    n = len(payload)
+    checksum = int(np.frombuffer(payload, dtype=np.uint8).sum() % 997) if n else 0
+    return n, checksum, 16 + checksum % 64, 16 + (checksum // 7) % 64
+
+
+def decode_real(payload: bytes):  # pragma: no cover - documented stub
+    raise NotImplementedError(
+        "media codecs are not available in this environment; swap _decode_stub "
+        "for a PIL/soundfile/ffmpeg-backed decoder with the same signature"
+    )
+
+
+def decode_media(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """(id, n_bytes, checksum, fake_width, fake_height) via mapInPandas.
+
+    Vectorized over Arrow batches: the only Python-side loop is across the
+    rows of one batch, operating on numpy buffers — no Spark-row crossings.
+    """
+    id_type = dict(zip(df.schema.names, (f.dataType.simpleString() for f in df.schema.fields)))[id_col]
+    out_schema = f"`{id_col}` {id_type}, {DECODED_FIELDS}"
+    narrow = df.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_decode_stub(bytes(b) if b is not None else b"") for b in pdf[content_col]]
+            out = pd.DataFrame(meta, columns=["n_bytes", "checksum", "fake_width", "fake_height"])
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return narrow.mapInPandas(run, out_schema)
+
+
+def extract_features(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """(id, features array<float>) — deterministic pseudo-embedding per
+    payload (seeded from the payload checksum); the Arrow plumbing and
+    batch shapes match a real encoder swap-in."""
+    id_type = dict(zip(df.schema.names, (f.dataType.simpleString() for f in df.schema.fields)))[id_col]
+    out_schema = f"`{id_col}` {id_type}, features array<float>"
+    narrow = df.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                data = np.frombuffer(bytes(b) if b is not None else b"", dtype=np.uint8)
+                seed = int(data.sum() % 997)
+                # deterministic pseudo-feature: byte-histogram moments
+                if data.size:
+                    hist = np.bincount(data % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
+                    feats.append((hist / max(data.size, 1) + seed / 997.0).astype(np.float32))
+                else:
+                    feats.append(np.zeros(FEATURE_DIM, dtype=np.float32))
+            out = pd.DataFrame({id_col: pdf[id_col].to_numpy(), "features": feats})
+            yield out
+
+    return narrow.mapInPandas(run, out_schema)
+
+
+def frame_offsets(df: DataFrame, id_col: str, n_bytes_col: str, frame_size: int = 4096) -> DataFrame:
+    """Video-style frame sampling plan: (id, frame_offsets array<bigint>) —
+    pure column arithmetic (no payload reads), the scan-planning half of a
+    real frame sampler."""
+    n_frames = F.least(F.floor(F.col(n_bytes_col) / frame_size), F.lit(16)).cast("int")
+    offs = F.when(
+        n_frames > 0,
+        F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: (i * frame_size).cast("long")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(id_col, offs.alias("frame_offsets"))

@@ -355,6 +355,41 @@ FROM t
 """
 
 
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing (operators/multimodal.py): text bytes
+    as opaque payloads → Arrow-batched mapInPandas decode stub → per-source
+    byte/checksum accounting. The stub is pure byte arithmetic, so the
+    oracle reproduces it in SQL (ascii sums over the same ASCII corpus)."""
+    from anomalydetection_spark.operators import multimodal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = d.select("doc_id", "source", F.encode("text", "utf-8").alias("content"))
+    decoded = multimodal.decode_media(payloads, "doc_id", "content")
+    return (
+        payloads.select("doc_id", "source")
+        .join(decoded, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("checksum").alias("sum_checksum"),
+        )
+    )
+
+
+MULTIMODAL_SQL = """
+WITH decoded AS (
+  SELECT doc_id, source, length(text) AS n_bytes,
+    cast(list_sum(list_transform(generate_series(1, length(text)),
+         i -> ascii(substr(text, i, 1)))) % 997 AS bigint) AS checksum
+  FROM documents)
+SELECT source, count(*) AS n_media,
+       cast(sum(n_bytes) AS bigint) AS total_bytes,
+       cast(sum(checksum) AS bigint) AS sum_checksum
+FROM decoded GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -366,6 +401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_by_source": quality_by_source,
     "token_stats_lang": token_stats_lang,
     "fingerprint_docs": fingerprint_docs,
+    "multimodal_decode_stats": multimodal_decode_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -379,4 +415,5 @@ ORACLE_SQL: dict[str, str] = {
     "quality_by_source": QUALITY_SQL,
     "token_stats_lang": TOKEN_STATS_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
+    "multimodal_decode_stats": MULTIMODAL_SQL,
 }

@@ -1,0 +1,99 @@
+"""Structured Streaming variant of the validation suite.
+
+The reference's streaming surface is a stateful single-pass fold: log rows
+buffered 100k at a time through a mutating Drain3 miner with a persisted
+state file (models/drain.py:69-90, 48-51). The engine's batch analog is
+the manifest-resume planner (plans/manifest.py); THIS module is the true
+event-stream variant for continuously-arriving documents:
+
+- ``readStream`` over the documents directory (file source; swap for
+  Kafka in production — the plan below is source-agnostic)
+- per-micro-batch full constraint evaluation via ``foreachBatch`` (each
+  batch validated against the same media catalog + baseline histograms,
+  verdicts appended with a batch_id lineage column)
+- a streaming-native running aggregate (per-partition span counts /
+  null rates) maintained with update mode
+
+Checkpointing: the streaming checkpoint dir plays the manifest's role —
+a killed stream resumes from the last committed micro-batch offset,
+giving exactly-once verdict appends (file sink + checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
+from anomalydetection_spark.schema import DOCUMENTS_SCHEMA
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source document stream (one file per arriving batch)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def start_validation_stream(
+    spark: SparkSession,
+    input_dir: str,
+    media: DataFrame,
+    baseline: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch: run the batch suite on each micro-batch, append
+    verdicts/violations parquet stamped with the micro-batch id (lineage).
+
+    foreachBatch (not streaming aggs) because the constraint suite needs
+    joins + multi-output fan-out per batch; the checkpoint still gives
+    resume/exactly-once across restarts.
+    """
+    stream = stream_documents(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cfg = SuiteConfig(persist_exploded=True, persist_violations=False)
+        res = run_suite(batch_df, media, baseline, cfg)
+        res.verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{out_dir}/verdicts"
+        )
+        res.violations.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{out_dir}/violations"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_running_stats_stream(
+    spark: SparkSession, input_dir: str, queryName: str = "running_stats"
+):
+    """Streaming-native running aggregate: per-partition span counts and
+    null-text rates maintained incrementally (complete mode, memory sink —
+    tests; production: kafka/delta sink in update mode)."""
+    stream = stream_documents(spark, input_dir)
+    exploded = stream.select(
+        "partition_id", F.explode_outer("spans").alias("span")
+    )
+    agg = exploded.groupBy("partition_id").agg(
+        F.count("span").alias("n_spans"),
+        F.sum(
+            (F.col("span.kind").isin("text", "code") & F.col("span.text").isNull()).cast("long")
+        ).alias("n_null_text"),
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )

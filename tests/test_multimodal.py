@@ -1,0 +1,63 @@
+"""Multimodal plumbing: Arrow-batched decode/feature stubs + frame planning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, b"\x00\x01\x02\x03" * 100),
+        (2, b"\xff" * 10),
+        (3, b""),
+        (4, None),
+        (5, bytes(range(256))),
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary").cache()
+
+
+def test_decode_media(media_df):
+    got = {r["media_id"]: r for r in
+           multimodal.decode_media(media_df, "media_id", "content").collect()}
+    assert got[1]["n_bytes"] == 400
+    assert got[1]["checksum"] == (0 + 1 + 2 + 3) * 100 % 997
+    assert got[2]["checksum"] == (255 * 10) % 997
+    assert got[3]["n_bytes"] == 0 and got[4]["n_bytes"] == 0
+    assert all(16 <= r["fake_width"] < 80 for r in got.values())
+
+
+def test_decode_deterministic_across_partitionings(media_df):
+    a = sorted(map(tuple, multimodal.decode_media(media_df, "media_id", "content").collect()))
+    b = sorted(map(tuple, multimodal.decode_media(media_df.repartition(4), "media_id", "content").collect()))
+    assert a == b
+
+
+def test_extract_features_shape(media_df):
+    rows = multimodal.extract_features(media_df, "media_id", "content").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+    by_id = {r["media_id"]: list(r["features"]) for r in rows}
+    assert by_id[3] == [0.0] * multimodal.FEATURE_DIM
+    assert by_id[1] != by_id[2]
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"payload")
+
+
+def test_frame_offsets(spark):
+    df = spark.createDataFrame(
+        [(1, 10000), (2, 100), (3, 1_000_000)], "media_id long, n_bytes long"
+    )
+    got = {r["media_id"]: r["frame_offsets"] for r in
+           multimodal.frame_offsets(df, "media_id", "n_bytes").collect()}
+    assert got[1] == [0, 4096]
+    assert got[2] == []
+    assert len(got[3]) == 16  # capped
+    assert got[3][1] - got[3][0] == 4096
