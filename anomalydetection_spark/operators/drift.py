@@ -39,22 +39,32 @@ class DriftThresholds:
 
 
 def _bucketed(exploded: DataFrame) -> DataFrame:
-    """(partition_id, feature, bucket) rows, one per span per feature."""
-    kind_rows = exploded.select(
-        "partition_id",
-        F.lit("span_kind").alias("feature"),
-        F.col("kind").alias("bucket"),
+    """(partition_id, feature, bucket) rows, one per span per feature.
+
+    Single scan: both features explode from one 2-element array per span
+    (a union of two selects would scan the span table twice — at 10^12
+    spans that doubles the dominant cost of the whole drift check).
+    """
+    # NB: Spark's least() SKIPS nulls (least(NULL, 19) = 19) — null text
+    # must be gated explicitly so media spans don't land in the last bucket
+    len_bucket = F.when(
+        F.col("text").isNotNull(),
+        F.least(
+            F.floor(F.length("text") / F.lit(LENGTH_BUCKET_WIDTH)),
+            F.lit(LENGTH_BUCKET_MAX),
+        ).cast("string"),
     )
-    len_bucket = F.least(
-        F.floor(F.length("text") / F.lit(LENGTH_BUCKET_WIDTH)),
-        F.lit(LENGTH_BUCKET_MAX),
+    pairs = F.array(
+        F.struct(F.lit("span_kind").alias("feature"), F.col("kind").alias("bucket")),
+        F.struct(F.lit("span_length").alias("feature"), len_bucket.alias("bucket")),
     )
-    length_rows = exploded.filter(F.col("text").isNotNull()).select(
-        "partition_id",
-        F.lit("span_length").alias("feature"),
-        len_bucket.cast("string").alias("bucket"),
+    return (
+        exploded.select("partition_id", F.explode(pairs).alias("fb"))
+        .select("partition_id", F.col("fb.feature").alias("feature"), F.col("fb.bucket").alias("bucket"))
+        # span_length is undefined for NULL text (media spans) — matches the
+        # two-pass formulation's filter; NULL span_kind rows are kept
+        .filter(~((F.col("feature") == "span_length") & F.col("bucket").isNull()))
     )
-    return kind_rows.unionByName(length_rows)
 
 
 def histograms(exploded: DataFrame) -> DataFrame:

@@ -1,0 +1,228 @@
+"""The reference pipeline, re-expressed as one lazy Spark DAG.
+
+Reference flow (end_to_end_prediction.py:618-667, eager, file-materialized
+between every stage):
+
+    raw logs → Drain parse (drain.py:11-43) → template mine (drain.py:53-67)
+    → frequency filter (preprocessing.py:4-13) → CodeBERT embed
+    (feature_extraction.py:26-73) → SimCLR/VAE transform → L2 score
+    (end_to_end_prediction.py:444) → 95th-pct threshold (:447) → verdict
+    (:451) → report join (:502-516) + metrics (:464-479)
+
+This module states the same semantics declaratively — Catalyst fuses all
+narrow stages into whole-stage-codegen spans, shuffles only at the
+group-count and the quantile, and the Python "model" runs as a
+scalar-iterator pandas UDF (loaded once per executor, Arrow batches — the
+U1 contract; the heavy transformer is replaced by a deterministic
+hash-projection stand-in since no torch ships here, with the production
+swap point documented).
+
+Template mining: Drain3's online prefix-tree clustering is inherently
+sequential-stateful; the declarative analog is token masking (digits /
+hex / uuids → <*>), which at web scale is both deterministic and
+embarrassingly parallel — the classic trade the reference's own pipeline
+approximates, since Drain templates converge to masked shapes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+
+
+# --- stage 1: parse (drain.py:11-43) ---------------------------------------
+
+def parse_logs(raw: DataFrame, line_col: str = "value") -> DataFrame:
+    """Label + 9-field positional parse with empty-string fallback.
+
+    First token '-' → label 0 else 1 (drain.py:19); rows with <9 tokens get
+    all-empty structured fields (drain.py:36-38) — made explicit with a
+    single when() guard instead of a Python row loop.
+    """
+    head = F.split(F.trim(F.col(line_col)), " ", 2)
+    parsed = raw.select(
+        F.when(F.element_at(head, 1) == "-", 0).otherwise(1).alias("label"),
+        F.coalesce(F.element_at(head, 2), F.lit("")).alias("log"),
+    )
+    toks = F.split(F.col("log"), r"\s+")
+    n = F.size(toks)
+    fields = ["Timestamp", "Date", "Node", "Time", "NodeRepeat", "Type", "Component", "Level"]
+    cols = [
+        F.when(n >= 9, F.element_at(toks, i + 1)).otherwise(F.lit("")).alias(name)
+        for i, name in enumerate(fields)
+    ]
+    content = F.when(n >= 9, F.array_join(F.slice(toks, 9, n - 8), " ")).otherwise(F.lit(""))
+    return parsed.select("label", "log", *cols, content.alias("Content"))
+
+
+# --- stage 2: template mining (declarative analog of drain.py:53-67) -------
+
+_MASK_NUM = r"\b\d+\b"
+_MASK_HEX = r"\b0[xX][0-9a-fA-F]+\b"
+_MASK_IP = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def mine_templates(parsed: DataFrame, content_col: str = "Content") -> DataFrame:
+    """Mask volatile tokens → template; extract params as the masked-out
+    token map (the reference's template+params pair, drain.py:57-66,
+    rebuilt with arrays_zip/filter instead of a Python zip loop)."""
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(content_col), _MASK_IP, "<*>"), _MASK_HEX, "<*>"
+        ),
+        _MASK_NUM,
+        "<*>",
+    )
+    out = parsed.withColumn("template", masked)
+    zipped = F.arrays_zip(
+        F.split(F.col("template"), r"\s+").alias("t"),
+        F.split(F.col(content_col), r"\s+").alias("w"),
+    )
+    params = F.filter(zipped, lambda z: z["t"] == "<*>")
+    return out.withColumn(
+        "params",
+        F.map_from_entries(
+            F.transform(
+                params,
+                lambda z, i: F.struct(
+                    F.concat(F.lit("param_"), i.cast("string")).alias("k"), z["w"].alias("v")
+                ),
+            )
+        ),
+    )
+
+
+# --- stage 3: frequency filter (preprocessing.py:4-13) ----------------------
+
+def frequency_filter(
+    templated: DataFrame, threshold: int = 5
+) -> tuple[DataFrame, DataFrame]:
+    """Keep rows whose template occurs > threshold times; the dropped rows
+    are RETURNED as the violation side (T2 materialized), not discarded.
+    Window form (single shuffle on template) per SURVEY A4."""
+    from pyspark.sql.window import Window
+
+    counted = templated.withColumn(
+        "template_count", F.count("*").over(Window.partitionBy("template"))
+    )
+    kept = counted.filter(F.col("template_count") > threshold)
+    dropped = counted.filter(F.col("template_count") <= threshold)
+    return kept, dropped
+
+
+# --- stage 4: embed (U1 — feature_extraction.py:26-73) ----------------------
+
+def _load_projection(dim: int, vocab_hash_dim: int = 1024) -> np.ndarray:
+    """The 'model': a fixed seeded random projection matrix. Stands in for
+    CodeBERT (feature_extraction.py:38-43); production swaps this loader
+    for the transformer checkpoint — the load-once-per-executor pattern
+    below is unchanged."""
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((vocab_hash_dim, dim)).astype(np.float32)
+
+
+def embed(df: DataFrame, text_col: str = "template", dim: int = EMBED_DIM) -> DataFrame:
+    """Scalar-iterator pandas UDF: the projection loads ONCE per executor
+    (outside the batch loop), then every Arrow batch is a vectorized
+    bag-of-hashed-tokens matmul — the reference's batched GPU loop
+    (feature_extraction.py:53-71) without per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    import zlib
+
+    @pandas_udf("array<float>")
+    def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        proj = _load_projection(dim)  # once per executor-process lifetime
+        vdim = proj.shape[0]
+        for s in batches:
+            mats = np.zeros((len(s), vdim), dtype=np.float32)
+            for i, text in enumerate(s.fillna("")):
+                if text:
+                    # crc32, NOT hash(): python str hashing is salted per
+                    # process and would differ across executors
+                    idx = np.array(
+                        [zlib.crc32(t.encode()) % vdim for t in text.split()], dtype=np.int64
+                    )
+                    np.add.at(mats[i], idx, 1.0)
+            yield pd.Series(list((mats @ proj).astype(np.float32)))
+
+    return df.withColumn("embedding", _embed(F.col(text_col)))
+
+
+# --- stages 5-7: score, threshold, verdict ---------------------------------
+
+def score_and_verdict(
+    embedded: DataFrame, threshold_percentile: float = 0.95
+) -> DataFrame:
+    """L2 score (A6, JVM higher-order aggregate), exact global quantile
+    (A5 — matching np.percentile's interpolation at
+    end_to_end_prediction.py:447), broadcast threshold join, verdict (P7)."""
+    scored = embedded.withColumn(
+        "anomaly_score",
+        F.sqrt(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        ),
+    )
+    th = scored.agg(
+        F.expr(f"percentile(anomaly_score, {threshold_percentile})").alias("_th")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn(
+            "anomaly_prediction", (F.col("anomaly_score") > F.col("_th")).cast("int")
+        )
+        .drop("_th")
+    )
+
+
+def evaluate(verdicts: DataFrame) -> DataFrame:
+    """Accuracy / precision / recall / F1 + anomaly rate from conditional
+    aggregates (end_to_end_prediction.py:464-479) — one scalar agg row."""
+    y, p = F.col("label"), F.col("anomaly_prediction")
+    agg = verdicts.agg(
+        F.count("*").alias("n"),
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    return agg.select(
+        "n", "tp", "fp", "fn", "tn",
+        ((F.col("tp") + F.col("tn")) / F.col("n")).alias("accuracy"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0).alias("f1"),
+        (F.col("tp") + F.col("fp")).alias("n_anomalies"),
+    )
+
+
+def run_pipeline(
+    raw: DataFrame,
+    freq_threshold: int = 5,
+    pct: float = 0.95,
+    embed_col: str = "log",
+) -> dict:
+    """End-to-end: one DAG, two shuffles (template window + quantile), no
+    intermediate files. Returns {verdicts, dropped, metrics} DataFrames.
+
+    ``embed_col``: 'log' embeds the raw message (score varies per row, like
+    the reference's fine-grained Drain templates); 'template' embeds the
+    masked shape (scores collapse per template group).
+    """
+    parsed = parse_logs(raw)
+    templated = mine_templates(parsed)
+    kept, dropped = frequency_filter(templated, freq_threshold)
+    embedded = embed(kept, text_col=embed_col)
+    verdicts = score_and_verdict(embedded, pct)
+    return {"verdicts": verdicts, "dropped": dropped, "metrics": evaluate(verdicts)}

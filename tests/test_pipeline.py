@@ -1,0 +1,74 @@
+"""Reference-pipeline analog: parse → template → filter → embed → verdict."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark import pipeline
+
+
+@pytest.fixture(scope="module")
+def raw_logs(spark):
+    lines = []
+    # 9+ token structured lines; label token first (drain.py format)
+    # non-numeric word variation so masking yields MULTIPLE templates
+    # (identical templates → identical embeddings → degenerate threshold)
+    kinds = ["parity", "ecc", "torus", "fanin", "cache"]
+    for i in range(200):
+        label = "-" if i % 10 else "ALERT"
+        node = f"node{i % 4}"
+        kind = kinds[i % 5] if i % 10 else "alertpath failure severe"
+        lines.append(
+            f"{label} 117838570{i % 10} 2005.06.03 {node} Jun 3 15:42:5{i % 10} "
+            f"RAS KERNEL INFO instruction {kind} error corrected count {i}"
+        )
+    lines.append("- short line")          # <9 tokens after label strip
+    lines.append("ALERT 0x1f node bad")   # malformed short
+    return spark.createDataFrame([(l,) for l in lines], "value string").cache()
+
+
+def test_parse_labels_and_fields(raw_logs):
+    parsed = pipeline.parse_logs(raw_logs)
+    assert parsed.filter("label = 1").count() == 21  # 20 ALERT + malformed ALERT
+    short = parsed.filter(F.col("log") == "short line").collect()[0]
+    assert short["Timestamp"] == "" and short["Content"] == ""
+    full = parsed.filter(F.col("Content") != "").limit(1).collect()[0]
+    # positional layout: "Jun 3 15:42:5x" spans Time..Type, then RAS KERNEL
+    assert full["Component"] == "RAS" and full["Level"] == "KERNEL"
+    assert full["Content"].startswith("INFO ")
+
+
+def test_mine_templates_masks_and_params(raw_logs):
+    t = pipeline.mine_templates(pipeline.parse_logs(raw_logs))
+    row = t.filter(F.col("Content").contains("count 7")).limit(1).collect()[0]
+    assert row["template"].endswith("count <*>")
+    assert "7" in row["params"].values()
+    # 5 normal word-variants + 1 alert variant
+    assert t.filter(F.col("template") != "").select("template").distinct().count() == 6
+
+
+def test_frequency_filter_materializes_dropped(raw_logs):
+    t = pipeline.mine_templates(pipeline.parse_logs(raw_logs))
+    kept, dropped = pipeline.frequency_filter(t, threshold=5)
+    assert kept.count() == 200
+    assert dropped.count() == 2   # the two odd lines (template counts 1)
+
+
+def test_embed_deterministic_and_shaped(raw_logs):
+    t = pipeline.mine_templates(pipeline.parse_logs(raw_logs)).limit(20)
+    a = {r["log"]: list(r["embedding"]) for r in pipeline.embed(t).collect()}
+    b = {r["log"]: list(r["embedding"]) for r in pipeline.embed(t.repartition(5)).collect()}
+    assert a == b
+    assert all(len(v) == pipeline.EMBED_DIM for v in a.values())
+
+
+def test_end_to_end_metrics(raw_logs):
+    res = pipeline.run_pipeline(raw_logs, freq_threshold=5, pct=0.95)
+    m = res["metrics"].collect()[0]
+    assert m["n"] == 200
+    assert m["tp"] + m["fp"] + m["fn"] + m["tn"] == 200
+    # 95th-pct threshold → ~5% flagged
+    assert 0 < m["n_anomalies"] <= 20
+    v = res["verdicts"]
+    assert v.filter("anomaly_prediction = 1").count() == m["n_anomalies"]
