@@ -615,6 +615,124 @@ FROM events GROUP BY 1
 """
 
 
+def roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: ROC AUC via the rank-based Mann-Whitney U statistic — one sort
+    window + one aggregate instead of sklearn's curve sweep
+    (prediction_pipeline.py:369-373). Tied scores get averaged ranks
+    (min-rank + (ties-1)/2), all integer arithmetic until one division."""
+    em = _t(spark, sf_dir, "embeddings")
+    score = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    scored = em.select("label", score.alias("score"))
+    w_rank = Window.orderBy("score")
+    w_tie = Window.partitionBy("score")
+    ranked = scored.select(
+        "label",
+        (F.rank().over(w_rank) + (F.count("*").over(w_tie) - 1) / 2.0).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("avg_rank"))).alias("r1"),
+        F.sum((F.col("label") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("label") == 0).cast("long")).alias("n0"),
+    )
+    auc = (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0) / (F.col("n1") * F.col("n0"))
+    return agg.select("n1", "n0", F.round(auc, 6).alias("auc"))
+
+
+ROC_AUC_SQL = """
+WITH scored AS (
+  SELECT label,
+    sqrt(list_sum(list_transform(embedding, x -> cast(x AS double) * cast(x AS double)))) AS score
+  FROM embeddings),
+ranked AS (
+  SELECT label,
+         rank() OVER (ORDER BY score) + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS avg_rank
+  FROM scored),
+agg AS (
+  SELECT cast(sum(CASE WHEN label = 1 THEN avg_rank END) AS double) AS r1,
+         cast(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS bigint) AS n1,
+         cast(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS bigint) AS n0
+  FROM ranked)
+SELECT n1, n0, round((r1 - n1*(n1+1)/2.0) / (n1*n0), 6) AS auc FROM agg
+"""
+
+
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 generalized: CUBE over (status, priority) — counts with all
+    grouping-set margins (the confusion matrix plus its marginals)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), _dec_sum(F.col("o_totalprice")).alias("sum_price"))
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 engine-portable: per-stratum deterministic sampling — each lang
+    gets its own keep-rate, membership decided by an md5-derived uniform
+    (the reference's seeded train_test_split stratification,
+    feature_extraction.py:84-97, without library-specific RNG)."""
+    d = _t(spark, sf_dir, "documents")
+    u = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "zh", 30)
+        .otherwise(50)
+    )
+    return d.filter(u < rate).groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+STRATIFIED_SQL = """
+WITH s AS (
+  SELECT lang, doc_id,
+    ('0x' || substr(md5('strat' || cast(doc_id AS varchar)), 1, 15))::bigint % 100 AS u,
+    CASE WHEN lang = 'en' THEN 10 WHEN lang = 'zh' THEN 30 ELSE 50 END AS rate
+  FROM documents)
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+FROM s WHERE u < rate GROUP BY lang
+"""
+
+
+def except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 as a set op: users who clicked but never purchased (EXCEPT) —
+    the same complement the referential constraint materializes."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    big_buyers = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 195))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.subtract(big_buyers)
+
+
+EXCEPT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 195
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -638,6 +756,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_hourly": tumbling_hourly,
     "sample_deterministic": sample_deterministic,
     "template_mining_events": template_mining_events,
+    "roc_auc_embeddings": roc_auc_embeddings,
+    "cube_order_counts": cube_order_counts,
+    "stratified_sample_langs": stratified_sample_langs,
+    "except_users": except_users,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -659,4 +781,8 @@ ORACLE_SQL: dict[str, str] = {
     "tumbling_hourly": TUMBLING_SQL,
     "sample_deterministic": SAMPLE_SQL,
     "template_mining_events": TEMPLATE_MINING_SQL,
+    "roc_auc_embeddings": ROC_AUC_SQL,
+    "cube_order_counts": CUBE_SQL,
+    "stratified_sample_langs": STRATIFIED_SQL,
+    "except_users": EXCEPT_SQL,
 }
