@@ -139,15 +139,20 @@ def main() -> int:
         # costs, not the engine's scalability
         n_suite_docs = max(n_suite_docs, 4_000_000)
         results = {}
+        env = dict(os.environ)
+        # big-input runs need heap: local mode puts driver+executor in one
+        # JVM; 30M docs of shuffle state does not fit the 8g default
+        env.setdefault("SPARK_DRIVER_MEMORY", "48g")
         for cores in (8, 32):
             cmd = [
                 sys.executable, __file__, "--_suite-worker",
                 "--master", f"local[{cores}]", "--suite-docs", str(n_suite_docs),
             ]
-            out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+            out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
             line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
             if not line:
-                print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+                print(out.stdout[-2000:], file=sys.stderr)
+                print(out.stderr[-4000:], file=sys.stderr)
                 return 1
             results[cores] = json.loads(line[0][len("WORKER_RESULT "):])
         eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])

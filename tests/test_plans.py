@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: the optimizations the engine relies on
+at 100 TB must be visible in the plan, not assumed.
+
+Each assertion pins a property that silently regressing would make the
+plan correct-but-unscalable: filter pushdown to the parquet scan, column
+pruning, broadcast (not shuffle) joins for dimensions, partial+final hash
+aggregation, and no Python row-loop operators in JVM-only pipelines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from anomalydetection_spark.datagen import DataGenConfig, generate_documents, generate_media_assets
+from anomalydetection_spark.operators import reassembly, referential, stats, uniqueness
+from anomalydetection_spark.plans import driver_queries as dq
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _formatted(spark, dq.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: the 16-column table reads only the 7 referenced columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "partial_sum" in plan  # map-side partial aggregation before the exchange
+
+
+def test_q6_scan_only_needed_columns(spark):
+    plan = _formatted(spark, dq.q6_revenue_filter(spark, SF))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_discount,0.05)" in plan
+
+
+def test_referential_uses_broadcast_join(spark):
+    cfg = DataGenConfig(n_docs=200, n_partitions=2)
+    docs = generate_documents(spark, cfg)
+    media = generate_media_assets(spark, cfg)
+    exploded = reassembly.explode_spans(docs)
+    _, violations = referential.check(exploded, media)
+    plan = _formatted(spark, violations)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_join_build_sides_broadcast(spark):
+    plan = _formatted(spark, dq.q3_shipping_priority(spark, SF))
+    # dimension sides broadcast at this scale (AQE may re-plan larger scales)
+    assert "BroadcastHashJoin" in plan
+    # top-k plans as TakeOrderedAndProject, not global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_uniqueness_two_phase(spark):
+    cfg = DataGenConfig(n_docs=200, n_partitions=2)
+    docs = generate_documents(spark, cfg)
+    dups = uniqueness.duplicate_keys(docs)
+    plan = _formatted(spark, dups)
+    # two aggregation levels: (doc_id, salt) partials then doc_id merge
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_stats_single_aggregate_no_python(spark):
+    cfg = DataGenConfig(n_docs=200, n_partitions=2)
+    docs = generate_documents(spark, cfg)
+    exploded = reassembly.explode_spans(docs)
+    verdicts, _ = stats.check(docs, exploded)
+    plan = _formatted(spark, verdicts)
+    # pure JVM: no Arrow/Python eval nodes in the stats path
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_whole_stage_codegen_in_parse(spark):
+    from anomalydetection_spark import pipeline
+
+    raw = spark.createDataFrame([("- a b c d e f g h i j",)], "value string")
+    plan = _formatted(spark, pipeline.mine_templates(pipeline.parse_logs(raw)))
+    # formatted mode marks fused operators with codegen ids (* prefix)
+    assert "[codegen id : " in plan
+    assert "BatchEvalPython" not in plan
