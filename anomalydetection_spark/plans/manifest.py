@@ -120,9 +120,16 @@ class ResumableValidator:
         media: DataFrame,
         baseline: DataFrame,
         cfg: SuiteConfig = SuiteConfig(),
+        with_sketches: bool = True,
     ) -> dict:
         """One (possibly resumed) validation pass. Returns run summary with
-        the set of partitions validated this pass."""
+        the set of partitions validated this pass.
+
+        ``with_sketches``: additionally computes a mergeable t-digest of
+        span text lengths per partition and stores the serialized blob in
+        the manifest (X2/U5) — incremental consumers merge new partials
+        into global quantiles without rescanning finished partitions.
+        """
         done = self.manifest.done_partitions()
         pending_docs = docs.filter(~F.col("partition_id").isin(list(done))) if done else docs
         todo = [r["partition_id"] for r in pending_docs.select("partition_id").distinct().collect()]
@@ -141,7 +148,22 @@ class ResumableValidator:
         res.violations.write.mode("overwrite").partitionBy("partition_id").parquet(
             f"{self.out_dir}/violations"
         )
-        rollup_rows = [r.asDict() for r in res.partition_rollup.collect()]
+        sketches: dict[int, bytes] = {}
+        if with_sketches:
+            from anomalydetection_spark.operators.reassembly import explode_spans
+            from anomalydetection_spark.operators.tdigest import group_digests
+
+            lens = explode_spans(pending_docs).select(
+                "partition_id", F.length("text").cast("double").alias("text_len")
+            )
+            sketches = {
+                r["partition_id"]: bytes(r["digest"])
+                for r in group_digests(lens, "text_len", ["partition_id"]).collect()
+            }
+        rollup_rows = [
+            {**r.asDict(), "sketch_blob": sketches.get(r["partition_id"])}
+            for r in res.partition_rollup.collect()
+        ]
         self.manifest.mark_done(rollup_rows, run_id)
         return {
             "run_id": run_id,

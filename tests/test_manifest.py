@@ -68,6 +68,26 @@ def test_full_then_resume_identical(spark, tmp_path, inputs):
     assert s3["validated_partitions"] == []
     assert sorted(s3["skipped_partitions"]) == list(range(6))
 
+    # ---- manifest carries mergeable sketch state ------------------------
+    import numpy as np
+
+    from anomalydetection_spark.operators.tdigest import TDigest
+
+    m = {r["partition_id"]: r for r in v.manifest.read().collect()}
+    merged = TDigest()
+    for r in m.values():
+        assert r["sketch_blob"] is not None
+        merged.merge(TDigest.from_bytes(bytes(r["sketch_blob"])))
+    lens = (
+        docs.selectExpr("explode(spans) s")
+        .selectExpr("length(s.text) l")
+        .filter("l is not null")
+        .toPandas()["l"]
+        .to_numpy(dtype=float)
+    )
+    assert merged.quantile(0.5) == pytest.approx(np.percentile(lens, 50), rel=0.03)
+    assert merged.quantile(0.95) == pytest.approx(np.percentile(lens, 95), rel=0.03)
+
 
 def test_resume_keeps_global_uniqueness(spark, tmp_path, inputs):
     """A duplicate pair spanning a done and a pending partition must still
