@@ -48,9 +48,9 @@ def _bucketed(exploded: DataFrame) -> DataFrame:
     # NB: Spark's least() SKIPS nulls (least(NULL, 19) = 19) — null text
     # must be gated explicitly so media spans don't land in the last bucket
     len_bucket = F.when(
-        F.col("text").isNotNull(),
+        F.col("text_len").isNotNull(),
         F.least(
-            F.floor(F.length("text") / F.lit(LENGTH_BUCKET_WIDTH)),
+            F.floor(F.col("text_len") / F.lit(LENGTH_BUCKET_WIDTH)),
             F.lit(LENGTH_BUCKET_MAX),
         ).cast("string"),
     )

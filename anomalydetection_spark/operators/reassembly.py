@@ -43,6 +43,27 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def explode_spans_meta(docs: DataFrame) -> DataFrame:
+    """Narrow per-span view for the constraint suite: raw ``text`` replaced
+    by ``text_len`` (NULL iff text NULL). The suite's aggregations never
+    need the string bytes — carrying lengths instead cuts the exploded row
+    width ~3×, which is what flows through the shared exchange / agg hash
+    tables at 10^12 spans."""
+    return docs.select(
+        "doc_id",
+        "partition_id",
+        F.posexplode("spans").alias("pos", "span"),
+    ).select(
+        "doc_id",
+        "partition_id",
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.length("span.text").alias("text_len"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def reassemble(exploded: DataFrame) -> DataFrame:
     """Rebuild (doc_id, partition_id, spans) ordered by span offset.
 

@@ -38,7 +38,7 @@ class StatsThresholds:
 
 def check(
     docs: DataFrame,
-    exploded: DataFrame,
+    exploded: DataFrame,  # the narrow meta view (reassembly.explode_spans_meta)
     th: StatsThresholds = StatsThresholds(),
 ) -> tuple[DataFrame, DataFrame]:
     """column_stats constraint → (verdicts, violations)."""
@@ -50,20 +50,22 @@ def check(
         F.max(F.size("spans")).cast("double").alias("spans_per_doc_max"),
     )
 
-    # --- span-level single-pass agg --------------------------------------
+    # --- span-level single-pass agg (over the narrow meta view: text_len
+    # is NULL iff text is NULL, so null-rate and length stats need no raw
+    # string bytes) ------------------------------------------------------
     texty = F.col("kind").isin("text", "code")
-    tlen = F.length("text").cast("double")
+    tlen = F.col("text_len").cast("double")
     if th.exact_quantiles:
-        p50 = F.expr("percentile(length(text), 0.5)")
-        p95 = F.expr("percentile(length(text), 0.95)")
+        p50 = F.expr("percentile(text_len, 0.5)")
+        p95 = F.expr("percentile(text_len, 0.95)")
     else:
-        p50 = F.expr("percentile_approx(length(text), 0.5, 10000)").cast("double")
-        p95 = F.expr("percentile_approx(length(text), 0.95, 10000)").cast("double")
+        p50 = F.expr("percentile_approx(text_len, 0.5, 10000)").cast("double")
+        p95 = F.expr("percentile_approx(text_len, 0.95, 10000)").cast("double")
 
     span_stats = exploded.groupBy("partition_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.when(texty, 1).otherwise(0)).cast("long").alias("n_texty"),
-        F.sum(F.when(texty & F.col("text").isNull(), 1).otherwise(0))
+        F.sum(F.when(texty & F.col("text_len").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_null_text"),
         F.avg(tlen).alias("text_len_mean"),
@@ -113,7 +115,7 @@ def check(
         ).alias("metrics"),
     )
 
-    violations = exploded.filter(texty & F.col("text").isNull()).select(
+    violations = exploded.filter(texty & F.col("text_len").isNull()).select(
         "partition_id",
         F.lit(CONSTRAINT).alias("constraint"),
         "doc_id",

@@ -71,7 +71,7 @@ def flagship_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics map rendered to JSON (stable schema for the driver's check)."""
     docs = derive_spans_documents(spark, sf_dir)
     media = derived_media_assets(spark)
-    baseline = drift.compute_baseline(reassembly.explode_spans(docs))
+    baseline = drift.compute_baseline(reassembly.explode_spans_meta(docs))
     res = run_suite(docs, media, baseline, SuiteConfig(persist_exploded=True))
     return res.verdicts.select(
         "partition_id",

@@ -150,11 +150,11 @@ class ResumableValidator:
         )
         sketches: dict[int, bytes] = {}
         if with_sketches:
-            from anomalydetection_spark.operators.reassembly import explode_spans
+            from anomalydetection_spark.operators.reassembly import explode_spans_meta
             from anomalydetection_spark.operators.tdigest import group_digests
 
-            lens = explode_spans(pending_docs).select(
-                "partition_id", F.length("text").cast("double").alias("text_len")
+            lens = explode_spans_meta(pending_docs).select(
+                "partition_id", F.col("text_len").cast("double").alias("text_len")
             )
             sketches = {
                 r["partition_id"]: bytes(r["digest"])

@@ -38,6 +38,13 @@ class SuiteConfig:
     # verdicts are *derived from* violations for uniqueness/referential, so
     # without this the anti-join / dup-detection runs twice per action
     persist_violations: bool = True
+    # repartition the exploded meta view by partition_id before fan-out:
+    # one exchange whose shuffle files every constraint branch (and the
+    # violations job after the verdicts job) re-reads via stage reuse,
+    # instead of each branch re-scanning + re-exploding the source; it also
+    # co-locates all per-partition aggregations (no further exchanges).
+    # None = off (small inputs, where the extra shuffle costs more).
+    repartition_exploded: int | None = None
 
 
 @dataclass
@@ -59,7 +66,9 @@ def run_suite(
     ``uniqueness_scope``: full table for global duplicate detection when
     ``docs`` is a resumed subset (see operators/uniqueness.py).
     """
-    exploded = reassembly.explode_spans(docs)
+    exploded = reassembly.explode_spans_meta(docs)
+    if cfg.repartition_exploded:
+        exploded = exploded.repartition(cfg.repartition_exploded, "partition_id")
     if cfg.persist_exploded:
         exploded = exploded.persist()
 

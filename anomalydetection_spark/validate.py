@@ -67,7 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         baseline = spark.read.parquet(args.baseline_path)
     else:
         baseline = drift.compute_baseline(
-            reassembly.explode_spans(generate_documents(spark, clean_config(cfg)))
+            reassembly.explode_spans_meta(generate_documents(spark, clean_config(cfg)))
         )
 
     t0 = time.time()

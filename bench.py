@@ -86,7 +86,7 @@ def run_suite_once(master: str, n_docs: int, shuffle_partitions: int | None = No
         generate_documents(spark, cfg).write.mode("overwrite").parquet(f"{tmp}/docs")
         generate_media_assets(spark, cfg).write.mode("overwrite").parquet(f"{tmp}/media")
         drift.compute_baseline(
-            reassembly.explode_spans(generate_documents(spark, clean_config(cfg)).persist())
+            reassembly.explode_spans_meta(generate_documents(spark, clean_config(cfg)).persist())
         ).write.mode("overwrite").parquet(f"{tmp}/baseline")
         docs = spark.read.parquet(f"{tmp}/docs")
         media = spark.read.parquet(f"{tmp}/media")

@@ -24,7 +24,7 @@ def inputs(spark):
     docs = generate_documents(spark, CFG).cache()
     media = generate_media_assets(spark, CFG).cache()
     baseline = drift.compute_baseline(
-        reassembly.explode_spans(generate_documents(spark, clean_config(CFG)))
+        reassembly.explode_spans_meta(generate_documents(spark, clean_config(CFG)))
     ).cache()
     return docs, media, baseline
 

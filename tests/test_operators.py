@@ -18,7 +18,7 @@ CFG = DataGenConfig(n_docs=1500, n_partitions=4, n_media=300, drift_partitions=(
 def data(spark):
     docs = generate_documents(spark, CFG).cache()
     media = generate_media_assets(spark, CFG).cache()
-    exploded = reassembly.explode_spans(docs).cache()
+    exploded = reassembly.explode_spans_meta(docs).cache()
     pdocs = docs.toPandas()
     pdocs["spans"] = pdocs["spans"].apply(
         lambda arr: [

@@ -44,7 +44,7 @@ def test_referential_uses_broadcast_join(spark):
     cfg = DataGenConfig(n_docs=200, n_partitions=2)
     docs = generate_documents(spark, cfg)
     media = generate_media_assets(spark, cfg)
-    exploded = reassembly.explode_spans(docs)
+    exploded = reassembly.explode_spans_meta(docs)
     _, violations = referential.check(exploded, media)
     plan = _formatted(spark, violations)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
@@ -71,7 +71,7 @@ def test_uniqueness_two_phase(spark):
 def test_stats_single_aggregate_no_python(spark):
     cfg = DataGenConfig(n_docs=200, n_partitions=2)
     docs = generate_documents(spark, cfg)
-    exploded = reassembly.explode_spans(docs)
+    exploded = reassembly.explode_spans_meta(docs)
     verdicts, _ = stats.check(docs, exploded)
     plan = _formatted(spark, verdicts)
     # pure JVM: no Arrow/Python eval nodes in the stats path

@@ -27,7 +27,7 @@ def stream_env(spark, tmp_path_factory):
     docs = generate_documents(spark, CFG)
     media = generate_media_assets(spark, CFG).cache()
     baseline = drift.compute_baseline(
-        reassembly.explode_spans(generate_documents(spark, clean_config(CFG)))
+        reassembly.explode_spans_meta(generate_documents(spark, clean_config(CFG)))
     ).cache()
     indir = str(root / "in")
     # two arrival chunks = two micro-batches (maxFilesPerTrigger=1)

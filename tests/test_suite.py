@@ -23,7 +23,7 @@ CONSTRAINTS = {"column_stats", "uniqueness", "referential", "distribution_drift"
 @pytest.fixture(scope="module")
 def baseline(spark):
     clean = generate_documents(spark, clean_config(CFG))
-    return drift.compute_baseline(reassembly.explode_spans(clean)).cache()
+    return drift.compute_baseline(reassembly.explode_spans_meta(clean)).cache()
 
 
 def test_suite_shapes_and_coverage(spark, baseline):
