@@ -68,7 +68,12 @@ def run_suite(
     """
     exploded = reassembly.explode_spans_meta(docs)
     if cfg.repartition_exploded:
-        exploded = exploded.repartition(cfg.repartition_exploded, "partition_id")
+        # round-robin, NOT by partition_id: the Iceberg partition count can
+        # be far below the cluster's task slots, and hash collisions over a
+        # small key domain would idle executors; every downstream groupBy
+        # does map-side partial aggregation anyway, so co-location buys
+        # nothing while balance buys full parallelism
+        exploded = exploded.repartition(cfg.repartition_exploded)
     if cfg.persist_exploded:
         exploded = exploded.persist()
 
