@@ -38,11 +38,10 @@ class SuiteConfig:
     # verdicts are *derived from* violations for uniqueness/referential, so
     # without this the anti-join / dup-detection runs twice per action
     persist_violations: bool = True
-    # repartition the exploded meta view by partition_id before fan-out:
+    # round-robin repartition of the exploded meta view before fan-out:
     # one exchange whose shuffle files every constraint branch (and the
     # violations job after the verdicts job) re-reads via stage reuse,
-    # instead of each branch re-scanning + re-exploding the source; it also
-    # co-locates all per-partition aggregations (no further exchanges).
+    # instead of each branch re-scanning + re-exploding the source.
     # None = off (small inputs, where the extra shuffle costs more).
     repartition_exploded: int | None = None
 

@@ -43,12 +43,22 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str = "auto") -> Da
 
 
 def write_table(
-    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
+    """S5/S6: columnar sink by default; ``fmt='csv'`` for the reference's
+    report-file shape (header on, escaped) — only for small result tables,
+    never for span-bearing data."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    if fmt == "csv":
+        w.option("header", True).csv(path)
+    else:
+        w.parquet(path)
 
 
 def read_labeled_logs(spark: SparkSession, path: str, limit: int | None = None) -> DataFrame:
