@@ -32,6 +32,8 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def l2_norm(a: Column) -> Column:
+    """Row-wise ||a||₂ — the reference's np.linalg.norm over the feature
+    matrix (end_to_end_prediction.py:444), as a JVM higher-order reduce."""
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
