@@ -207,6 +207,33 @@ def evaluate(verdicts: DataFrame) -> DataFrame:
     )
 
 
+def final_report(verdicts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Stage 8 (end_to_end_prediction.py:481-535): the combined report.
+
+    The reference glues originals ⊕ templates ⊕ predictions by ROW POSITION
+    guarded only by a row-count equality check (:507, :514) — fragile under
+    any reordering. Here every stage carried its keys, so the report is
+    just a projection, and the reference's guard becomes an explicit
+    *cardinality + agreement* check DataFrame (J3/J4):
+
+        (n_rows, n_flagged, label_agreement_rate)
+
+    where label_agreement_rate generalizes the reference's
+    ``(true_label == label).mean()`` (:519-521).
+    """
+    report = verdicts.select(
+        "label", "log", "template", "params", "anomaly_score", "anomaly_prediction"
+    )
+    checks = verdicts.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("anomaly_prediction").cast("long").alias("n_flagged"),
+        F.round(
+            F.avg((F.col("label") == F.col("anomaly_prediction")).cast("double")), 6
+        ).alias("label_agreement_rate"),
+    )
+    return report, checks
+
+
 def run_pipeline(
     raw: DataFrame,
     freq_threshold: int = 5,
@@ -225,4 +252,11 @@ def run_pipeline(
     kept, dropped = frequency_filter(templated, freq_threshold)
     embedded = embed(kept, text_col=embed_col)
     verdicts = score_and_verdict(embedded, pct)
-    return {"verdicts": verdicts, "dropped": dropped, "metrics": evaluate(verdicts)}
+    report, checks = final_report(verdicts)
+    return {
+        "verdicts": verdicts,
+        "dropped": dropped,
+        "metrics": evaluate(verdicts),
+        "report": report,
+        "report_checks": checks,
+    }

@@ -72,3 +72,12 @@ def test_end_to_end_metrics(raw_logs):
     assert 0 < m["n_anomalies"] <= 20
     v = res["verdicts"]
     assert v.filter("anomaly_prediction = 1").count() == m["n_anomalies"]
+    # final report: keyed projection + cardinality/agreement checks (J3/J4)
+    report = res["report"]
+    checks = res["report_checks"].collect()[0]
+    assert report.count() == checks["n_rows"] == 200
+    assert checks["n_flagged"] == m["n_anomalies"]
+    assert 0.0 <= checks["label_agreement_rate"] <= 1.0
+    assert set(report.columns) == {
+        "label", "log", "template", "params", "anomaly_score", "anomaly_prediction"
+    }
