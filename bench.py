@@ -51,46 +51,67 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def run_suite_once(master: str, n_docs: int, shuffle_partitions: int | None = None) -> dict:
-    """Run the full constraint suite on synthetic docs; return timing.
+def _bench_cfg(n_docs: int):
+    from anomalydetection_spark.datagen import DataGenConfig
 
-    Production-shaped measurement: the input documents/media/baseline are
-    parquet on disk (the Iceberg-scan analog), written untimed; the timed
-    region is scan → suite → verdict/violation materialization. (Caching
-    the nested-struct rows in executor memory instead makes the run
-    GC-bound and *anti*-scales with threads — measured 0.22 efficiency.)
-    """
-    import shutil
-    import tempfile
-
-    from anomalydetection_spark.datagen import (
-        DataGenConfig,
-        clean_config,
-        generate_documents,
-        generate_media_assets,
-    )
-    from anomalydetection_spark.operators import drift, reassembly
-    from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
-    from anomalydetection_spark.session import get_spark
-
-    spark = get_spark(app_name="bench-suite", master=master, shuffle_partitions=shuffle_partitions)
-    cfg = DataGenConfig(
+    return DataGenConfig(
         n_docs=n_docs,
         n_partitions=32,
         n_media=10_000,
         drift_partitions=(31,),
         data_partitions=64,
     )
-    tmp = tempfile.mkdtemp(prefix="bench_suite_")
+
+
+def prepare_inputs(input_dir: str, n_docs: int, master: str = "local[32]") -> None:
+    """Write the benchmark's documents/media/baseline parquet once (at full
+    parallelism) — input prep is not part of the measured suite."""
+    from anomalydetection_spark.datagen import clean_config, generate_documents, generate_media_assets
+    from anomalydetection_spark.operators import drift, reassembly
+    from anomalydetection_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-prep", master=master)
+    cfg = _bench_cfg(n_docs)
+    generate_documents(spark, cfg).write.mode("overwrite").parquet(f"{input_dir}/docs")
+    generate_media_assets(spark, cfg).write.mode("overwrite").parquet(f"{input_dir}/media")
+    drift.compute_baseline(
+        reassembly.explode_spans_meta(generate_documents(spark, clean_config(cfg)).persist())
+    ).write.mode("overwrite").parquet(f"{input_dir}/baseline")
+    spark.stop()
+
+
+def run_suite_once(
+    master: str,
+    n_docs: int,
+    shuffle_partitions: int | None = None,
+    input_dir: str | None = None,
+) -> dict:
+    """Run the full constraint suite on synthetic docs; return timing.
+
+    Production-shaped measurement: the input documents/media/baseline are
+    parquet on disk (the Iceberg-scan analog); the timed region is scan →
+    suite → verdict/violation materialization. (Caching the nested-struct
+    rows in executor memory instead makes the run GC-bound and
+    *anti*-scales with threads — measured.) If ``input_dir`` is given the
+    parquet must already exist (shared across parallelism levels);
+    otherwise it is generated here and cleaned up after.
+    """
+    import shutil
+    import tempfile
+
+    from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
+    from anomalydetection_spark.session import get_spark
+
+    owns_tmp = input_dir is None
+    if owns_tmp:
+        input_dir = tempfile.mkdtemp(prefix="bench_suite_")
+        prepare_inputs(input_dir, n_docs, master=master)
+
+    spark = get_spark(app_name="bench-suite", master=master, shuffle_partitions=shuffle_partitions)
     try:
-        generate_documents(spark, cfg).write.mode("overwrite").parquet(f"{tmp}/docs")
-        generate_media_assets(spark, cfg).write.mode("overwrite").parquet(f"{tmp}/media")
-        drift.compute_baseline(
-            reassembly.explode_spans_meta(generate_documents(spark, clean_config(cfg)).persist())
-        ).write.mode("overwrite").parquet(f"{tmp}/baseline")
-        docs = spark.read.parquet(f"{tmp}/docs")
-        media = spark.read.parquet(f"{tmp}/media")
-        baseline = spark.read.parquet(f"{tmp}/baseline")
+        docs = spark.read.parquet(f"{input_dir}/docs")
+        media = spark.read.parquet(f"{input_dir}/media")
+        baseline = spark.read.parquet(f"{input_dir}/baseline")
         n = docs.count()
 
         t0 = time.time()
@@ -104,7 +125,8 @@ def run_suite_once(master: str, n_docs: int, shuffle_partitions: int | None = No
         elapsed = time.time() - t0
     finally:
         spark.stop()
-        shutil.rmtree(tmp, ignore_errors=True)
+        if owns_tmp:
+            shutil.rmtree(input_dir, ignore_errors=True)
     return {
         "n_docs": n,
         "elapsed_sec": elapsed,
@@ -116,14 +138,21 @@ def run_suite_once(master: str, n_docs: int, shuffle_partitions: int | None = No
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scaling", action="store_true", help="measure local[8] vs local[32] into BENCH.md")
+    ap.add_argument("--scaling", action="store_true", help="measure N vs 4N cores into BENCH.md")
     ap.add_argument("--suite-docs", type=int, default=None)
     ap.add_argument("--_suite-worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--_prep-worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--input-dir", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--master", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args._prep_worker:
+        prepare_inputs(args.input_dir, args.suite_docs or 100_000, master=args.master or "local[32]")
+        print("PREP_DONE")
+        return 0
+
     if args._suite_worker:
-        r = run_suite_once(args.master, args.suite_docs or 100_000)
+        r = run_suite_once(args.master, args.suite_docs or 100_000, input_dir=args.input_dir)
         print("WORKER_RESULT " + json.dumps(r))
         return 0
 
@@ -152,18 +181,41 @@ def main() -> int:
         # big-input runs need heap: local mode puts driver+executor in one
         # JVM; tens of millions of docs of shuffle state don't fit 8g
         env.setdefault("SPARK_DRIVER_MEMORY", "32g")
-        for cores in (lo, hi):
-            cmd = [
-                sys.executable, __file__, "--_suite-worker",
-                "--master", f"local[{cores}]", "--suite-docs", str(n_suite_docs),
-            ]
-            out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
-            line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
-            if not line:
-                print(out.stdout[-2000:], file=sys.stderr)
-                print(out.stderr[-4000:], file=sys.stderr)
+
+        import tempfile
+
+        input_dir = tempfile.mkdtemp(prefix="bench_scaling_")
+        try:
+            # inputs generated ONCE at full parallelism — identical bytes
+            # for both timed runs, prep excluded from the measurement
+            prep = subprocess.run(
+                [
+                    sys.executable, __file__, "--_prep-worker",
+                    "--input-dir", input_dir, "--suite-docs", str(n_suite_docs),
+                    "--master", "local[32]",
+                ],
+                capture_output=True, text=True, timeout=3600, env=env,
+            )
+            if "PREP_DONE" not in prep.stdout:
+                print(prep.stdout[-2000:], prep.stderr[-4000:], file=sys.stderr)
                 return 1
-            results[cores] = json.loads(line[0][len("WORKER_RESULT "):])
+            for cores in (lo, hi):
+                cmd = [
+                    sys.executable, __file__, "--_suite-worker",
+                    "--master", f"local[{cores}]", "--suite-docs", str(n_suite_docs),
+                    "--input-dir", input_dir,
+                ]
+                out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
+                line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+                if not line:
+                    print(out.stdout[-2000:], file=sys.stderr)
+                    print(out.stderr[-4000:], file=sys.stderr)
+                    return 1
+                results[cores] = json.loads(line[0][len("WORKER_RESULT "):])
+        finally:
+            import shutil
+
+            shutil.rmtree(input_dir, ignore_errors=True)
         eff = results[hi]["docs_per_sec"] / (4 * results[lo]["docs_per_sec"])
         report = {
             "n_docs": n_suite_docs,
