@@ -90,6 +90,26 @@ def token_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text_col: str):
+    """Greedy fixed-width subword chunking: letters in ≤4-char pieces,
+    digits in ≤3-char pieces, punctuation single — a deterministic,
+    regex-only stand-in for BPE token *counting* (corpus accounting needs
+    stable counts, not a learned vocab)."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def subword_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group subword accounting: total + distinct BPE-ish tokens."""
+    exploded = df.select(F.col(group_col), F.explode(bpe_ish_tokens(text_col)).alias("tok"))
+    return exploded.groupBy(group_col).agg(
+        F.count("*").alias("n_subwords"),
+        F.countDistinct("tok").alias("n_distinct_subwords"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, fingerprint): min k-shingle hash — a stable content fingerprint
     invariant to shingle order (winnowing-lite; SURVEY's rolling-hash

@@ -390,6 +390,41 @@ FROM decoded GROUP BY source
 """
 
 
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting per lang (textops.subword_stats): greedy
+    fixed-width regex chunks — whitespace tokenization's scale-stable
+    sibling for corpus token accounting."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.subword_stats(d, "lang", "text")
+
+
+TOKEN_BPE_SQL = r"""
+SELECT lang,
+       count(*) AS n_subwords,
+       count(DISTINCT tok) AS n_distinct_subwords
+FROM (
+  SELECT lang,
+         unnest(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS tok
+  FROM documents)
+GROUP BY lang
+"""
+
+
+def tdigest_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest sketch quantiles per event_type (operators/
+    tdigest.py, U5 partial/final via mapInPandas + applyInPandas).
+    Approximate by design → no SQL oracle (driver records rows-only)."""
+    from anomalydetection_spark.operators.tdigest import group_quantiles
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = group_quantiles(e, "value", ["event_type"], [0.5, 0.95])
+    return q.select(
+        "event_type",
+        F.round("q_50", 3).alias("q_50"),
+        F.round("q_95", 3).alias("q_95"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -402,6 +437,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats_lang": token_stats_lang,
     "fingerprint_docs": fingerprint_docs,
     "multimodal_decode_stats": multimodal_decode_stats,
+    "token_count_bpe": token_count_bpe,
+    "tdigest_quantiles_events": tdigest_quantiles_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -416,4 +453,6 @@ ORACLE_SQL: dict[str, str] = {
     "token_stats_lang": TOKEN_STATS_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "multimodal_decode_stats": MULTIMODAL_SQL,
+    "token_count_bpe": TOKEN_BPE_SQL,
+    # tdigest_quantiles_events intentionally has no oracle (approximate)
 }
