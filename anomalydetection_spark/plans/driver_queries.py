@@ -733,6 +733,82 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 19
 """
 
 
+def running_total_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME spec (rows unbounded preceding): per-user running event
+    value total in exact decimal, sampled to the first 20 users' first 5
+    events for a bounded result set."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = (
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    seq = F.row_number().over(w)
+    return (
+        e.select("user_id", "event_id", running.alias("running_value"), seq.alias("seq"))
+        .filter(F.col("seq") <= 5)
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id, running_value, seq FROM (
+  SELECT user_id, event_id,
+    cast(sum(cast(value AS decimal(18,6)))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double)
+      AS running_value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events WHERE user_id < 20
+) WHERE seq <= 5
+"""
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation): events per type per user bucket —
+    one row per bucket, one column per event_type."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.pmod(F.col("user_id"), F.lit(10)).alias("user_bucket")
+    return (
+        e.select(bucket, "event_type")
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id % 10 AS user_bucket,
+  cast(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS bigint) AS click,
+  cast(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS bigint) AS view,
+  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS purchase,
+  cast(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS bigint) AS signup,
+  cast(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS bigint) AS error
+FROM events GROUP BY 1
+"""
+
+
+def intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: users with both an error event and a high-value
+    purchase."""
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    big = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 190))
+        .select("user_id")
+        .distinct()
+    )
+    return err.intersect(big)
+
+
+INTERSECT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 190
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -760,6 +836,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_counts": cube_order_counts,
     "stratified_sample_langs": stratified_sample_langs,
     "except_users": except_users,
+    "running_total_user": running_total_user,
+    "pivot_event_counts": pivot_event_counts,
+    "intersect_users": intersect_users,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -785,4 +864,7 @@ ORACLE_SQL: dict[str, str] = {
     "cube_order_counts": CUBE_SQL,
     "stratified_sample_langs": STRATIFIED_SQL,
     "except_users": EXCEPT_SQL,
+    "running_total_user": RUNNING_TOTAL_SQL,
+    "pivot_event_counts": PIVOT_SQL,
+    "intersect_users": INTERSECT_SQL,
 }
