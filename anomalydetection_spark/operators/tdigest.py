@@ -166,7 +166,7 @@ def group_digests(df, value_col: str, group_cols: list[str], compression: float 
 
     partials = narrow.mapInPandas(partial, schema_partial)
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         td = TDigest(compression)
         for blob in pdf["digest"]:
             td.merge(TDigest.from_bytes(bytes(blob)))

@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--drift-partitions", type=int, nargs="*", default=[])
     ap.add_argument("--out", help="output dir for verdicts/violations parquet")
     ap.add_argument("--master", default=None, help="override spark master (tests)")
+    ap.add_argument("--state-dir", help="manifest dir → resumable run (only unfinished partitions re-validate)")
+    ap.add_argument("--n-salts", type=int, default=16, help="salt count for the uniqueness aggregate")
+    ap.add_argument("--max-null-text-rate", type=float, default=0.05)
+    ap.add_argument("--max-kl", type=float, default=0.05)
+    ap.add_argument("--max-psi", type=float, default=0.1)
+    ap.add_argument("--no-persist-exploded", action="store_true",
+                    help="recompute the span view from the columnar scan (large inputs)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -43,7 +50,9 @@ def main(argv: list[str] | None = None) -> int:
         generate_media_assets,
     )
     from anomalydetection_spark.operators import drift, reassembly
-    from anomalydetection_spark.plans.suite import run_suite
+    from anomalydetection_spark.operators.drift import DriftThresholds
+    from anomalydetection_spark.operators.stats import StatsThresholds
+    from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
     from anomalydetection_spark.session import get_spark
 
     spark = get_spark(app_name="validate-suite", master=args.master)
@@ -70,8 +79,41 @@ def main(argv: list[str] | None = None) -> int:
             reassembly.explode_spans_meta(generate_documents(spark, clean_config(cfg)))
         )
 
+    suite_cfg = SuiteConfig(
+        stats=StatsThresholds(max_null_text_rate=args.max_null_text_rate),
+        drift=DriftThresholds(max_kl=args.max_kl, max_psi=args.max_psi),
+        n_salts=args.n_salts,
+        persist_exploded=not args.no_persist_exploded,
+    )
+
     t0 = time.time()
-    res = run_suite(docs, media, baseline)
+    if args.state_dir:
+        # manifest-resumable path: only partitions not marked done run
+        from anomalydetection_spark.plans.manifest import ResumableValidator
+
+        out_dir = args.out or f"{args.state_dir}/out"
+        v = ResumableValidator(spark, args.state_dir, out_dir)
+        run_info = v.run(docs, media, baseline, suite_cfg)
+        rows = v.verdicts().orderBy("partition_id", "constraint").collect()
+        n_viol = v.violations().count()
+        elapsed = time.time() - t0
+        n_docs = docs.count()
+        print(json.dumps({
+            "resumable": True,
+            "validated_partitions": run_info["validated_partitions"],
+            "skipped_partitions": run_info["skipped_partitions"],
+            "elapsed_sec": round(elapsed, 3),
+            "n_violations": n_viol,
+        }))
+        for r in rows:
+            status = "PASS" if r["passed"] else "FAIL"
+            print(
+                f"  partition={r['partition_id']:>4} {r['constraint']:<20} {status}"
+                f" violations={r['violation_count']}"
+            )
+        return 0
+
+    res = run_suite(docs, media, baseline, suite_cfg)
     verdicts = res.verdicts.orderBy("partition_id", "constraint")
     if args.out:
         verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")

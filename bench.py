@@ -259,6 +259,10 @@ def main() -> int:
     from anomalydetection_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    # warm the session (JVM classloading, codegen compiler) so the first
+    # headline query's timing measures the query, not Spark startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = driver_queries.QUERIES[name]
