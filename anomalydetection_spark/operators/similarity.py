@@ -70,6 +70,77 @@ def brute_force_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are broadcast (there are k of them, k ≪ corpus); assignment
+    is a crossJoin + per-row argmin via min(struct(dist, centroid_id)) —
+    deterministic tie-break on centroid_id, all JVM-side. At 10^12 vectors
+    this is one broadcast-join pass; a production system would train the
+    centroids with k-means — here any deterministic centroid set works
+    (the partitioning property is what matters, not centroid quality).
+    Returns (id_col, cell, dist).
+    """
+    cents = F.broadcast(
+        centroids.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    )
+    # squared L2 distance, sequential over the zipped arrays
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_cvec"), lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = corpus.crossJoin(cents).select(
+        id_col,
+        F.struct(F.round(d2, 6).alias("dist"), F.col("_cid").alias("cell")).alias("_dc"),
+    )
+    best = scored.groupBy(id_col).agg(F.min("_dc").alias("_best"))
+    return best.select(id_col, F.col("_best.cell").alias("cell"), F.col("_best.dist").alias("dist"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-pruned cosine top-k: both sides are cell-assigned, then each
+    query searches ONLY its own cell (nprobe=1) — the scale path where
+    brute force's |q|×|corpus| join becomes |q|×|cell|.
+
+    Recall is traded for the prune (a neighbor in another cell is missed);
+    the brute-force operator is the correctness baseline to measure that
+    trade against.
+    """
+    c_cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "cell"
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")).join(
+        c_cells, "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")).join(
+        q_cells, "query_id"
+    )
+    joined = c.join(F.broadcast(q), "cell")
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def norm_blocked_near_pairs(
     df: DataFrame,
     id_col: str,

@@ -237,6 +237,53 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.999
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN (similarity.ivf_topk): coarse-quantize corpus and
+    queries to 8 fixed centroid cells, search only the query's own cell —
+    the scale path next to the brute-force baseline (`ann_cosine_topk`)."""
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = em.filter(F.col("vec_id") < 8)
+    corpus = em.filter(F.col("vec_id") >= 10)
+    queries = em.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    return similarity.ivf_topk(corpus, queries, centroids, "vec_id", "embedding", k=5)
+
+
+ANN_IVF_SQL = """
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.cid AS cell,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+            i -> (cast(c.embedding[i] AS double) - cast(ct.cv[i] AS double))
+               * (cast(c.embedding[i] AS double) - cast(ct.cv[i] AS double)))), 6),
+          ct.cid) AS rn
+    FROM corp c CROSS JOIN cents ct)
+  WHERE rn = 1),
+q AS (SELECT c.vec_id AS query_id, c.embedding AS qv, a.cell
+      FROM corp c JOIN assigned a ON a.vec_id = c.vec_id
+      WHERE c.vec_id BETWEEN 100 AND 109),
+c2 AS (SELECT c.vec_id AS neighbor_id, c.embedding AS cv, a.cell
+       FROM corp c JOIN assigned a ON a.vec_id = c.vec_id),
+scored AS (
+  SELECT q.query_id, c2.neighbor_id,
+    round(
+      list_sum(list_transform(generate_series(1, len(q.qv)),
+                              i -> cast(q.qv[i] AS double) * cast(c2.cv[i] AS double)))
+      / (sqrt(list_sum(list_transform(q.qv, x -> cast(x AS double) * cast(x AS double))))
+       * sqrt(list_sum(list_transform(c2.cv, x -> cast(x AS double) * cast(x AS double))))),
+      6) AS cos
+  FROM q JOIN c2 ON q.cell = c2.cell)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vote language ID vs the labeled lang column → confusion counts."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -432,6 +479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "lang_id_confusion": lang_id_confusion,
     "quality_by_source": quality_by_source,
     "token_stats_lang": token_stats_lang,
@@ -448,6 +496,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "quality_by_source": QUALITY_SQL,
     "token_stats_lang": TOKEN_STATS_SQL,
