@@ -74,6 +74,73 @@ def start_validation_stream(
     )
 
 
+def start_stateful_counter_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-partition running (n_docs, n_spans, n_null_text) counters whose
+    state survives across micro-batches — the exact semantics of the
+    reference's mutating Drain miner fold (drain.py:69-90: a shared
+    object updated per 100k-row buffer, persisted for resume), expressed
+    as Spark-managed keyed state instead of a hand-rolled pickle file.
+
+    Emits one row per (partition_id, batch) with the running totals so
+    far; the state store lives in the checkpoint dir (resume-safe).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = stream_documents(spark, input_dir).select(
+        "partition_id",
+        F.size("spans").alias("n_spans"),
+        F.size(
+            F.filter(
+                "spans",
+                lambda s: s["kind"].isin("text", "code") & s["text"].isNull(),
+            )
+        ).alias("n_null_text"),
+    )
+
+    out_schema = (
+        "partition_id int, n_docs_total bigint, n_spans_total bigint, "
+        "n_null_text_total bigint"
+    )
+    state_schema = "n_docs bigint, n_spans bigint, n_null bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n_docs = n_spans = n_null = 0
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_spans += int(pdf["n_spans"].sum())
+            n_null += int(pdf["n_null_text"].sum())
+        if state.exists:
+            (pd_docs, pd_spans, pd_null) = state.get
+            n_docs += pd_docs
+            n_spans += pd_spans
+            n_null += pd_null
+        state.update((n_docs, n_spans, n_null))
+        yield pd.DataFrame(
+            [(key[0], n_docs, n_spans, n_null)],
+            columns=["partition_id", "n_docs_total", "n_spans_total", "n_null_text_total"],
+        )
+
+    counted = stream.groupBy("partition_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_counters")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_running_stats_stream(
     spark: SparkSession, input_dir: str, queryName: str = "running_stats"
 ):

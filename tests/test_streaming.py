@@ -58,6 +58,46 @@ def test_foreach_batch_validation(spark, stream_env):
     assert spark.read.parquet(str(root / "out" / "verdicts")).count() == 15
 
 
+def test_stateful_counter_stream(spark, stream_env):
+    """applyInPandasWithState: running totals accumulate across micro-batches
+    and the final state matches a batch recount."""
+    from anomalydetection_spark.streaming.validate_stream import start_stateful_counter_stream
+
+    root, indir, docs, media, baseline = stream_env
+    # input split so EVERY partition spans both micro-batches → the final
+    # totals are only correct if state genuinely accumulates across batches
+    indir2 = str(root / "in_interleaved")
+    docs.filter(F.crc32(F.col("doc_id")) % 2 == 0).coalesce(1).write.mode("append").parquet(indir2)
+    docs.filter(F.crc32(F.col("doc_id")) % 2 == 1).coalesce(1).write.mode("append").parquet(indir2)
+    q = start_stateful_counter_stream(
+        spark, indir2, str(root / "state_out"), str(root / "state_ckpt")
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_counters").collect()
+    # memory sink in update mode keeps every emitted update; take the MAX
+    # totals per partition (counters are monotonic)
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["partition_id"])
+        if cur is None or r["n_docs_total"] > cur["n_docs_total"]:
+            latest[r["partition_id"]] = r
+    # every partition must have been updated in BOTH batches
+    from collections import Counter
+
+    upd = Counter(r["partition_id"] for r in rows)
+    assert all(v >= 2 for v in upd.values())
+    want = {
+        r["partition_id"]: (r["nd"], r["ns"])
+        for r in docs.groupBy("partition_id")
+        .agg(F.count("*").alias("nd"), F.sum(F.size("spans")).alias("ns"))
+        .collect()
+    }
+    assert set(latest) == set(want)
+    for pid, (nd, ns) in want.items():
+        assert latest[pid]["n_docs_total"] == nd
+        assert latest[pid]["n_spans_total"] == ns
+
+
 def test_running_stats_stream(spark, stream_env):
     root, indir, docs, media, baseline = stream_env
     q = start_running_stats_stream(spark, indir, queryName="rs_test")
