@@ -74,6 +74,73 @@ def start_validation_stream(
     )
 
 
+def start_windowed_violation_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    queryName: str = "windowed_violations",
+):
+    """Event-time tumbling-window violation counts with a watermark.
+
+    Input schema extends documents with an ``event_ts`` timestamp column
+    (ingest time). Per window: docs seen + span_order/null-text violation
+    counts. The watermark bounds state: rows later than ``watermark``
+    behind the max event time are dropped from state maintenance — the
+    engine's explicit late-data policy (the reference silently accepts any
+    ordering, X3; here lateness is a *declared* contract).
+
+    Append mode + memory sink for tests; production would write to the
+    violations table with the same plan.
+    """
+    from anomalydetection_spark.schema import DOCUMENTS_SCHEMA
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [*DOCUMENTS_SCHEMA.fields, T.StructField("event_ts", T.TimestampType(), True)]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    offsets = F.transform("spans", lambda s: s["offset"])
+    bad_order = F.when(
+        (F.size("spans") > 0)
+        & (F.array_sort(offsets) != F.sequence(F.lit(0), F.size("spans") - 1)),
+        1,
+    ).otherwise(0)
+    null_text = F.size(
+        F.filter("spans", lambda s: s["kind"].isin("text", "code") & s["text"].isNull())
+    )
+    agg = (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "partition_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(bad_order).alias("n_bad_order"),
+            F.sum(null_text).alias("n_null_text"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "partition_id",
+            "n_docs",
+            "n_bad_order",
+            "n_null_text",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_stateful_counter_stream(
     spark: SparkSession,
     input_dir: str,

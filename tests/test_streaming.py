@@ -98,6 +98,57 @@ def test_stateful_counter_stream(spark, stream_env):
         assert latest[pid]["n_spans_total"] == ns
 
 
+def test_windowed_violations_with_watermark(spark, stream_env):
+    """Event-time tumbling windows + watermark: per-window violation
+    counts match a batch recount over the same (timestamped) input."""
+    from anomalydetection_spark.streaming.validate_stream import (
+        start_windowed_violation_stream,
+    )
+
+    root, indir, docs, media, baseline = stream_env
+    # stamp docs into two 10-minute windows
+    stamped = docs.withColumn(
+        "event_ts",
+        F.when(
+            F.crc32("doc_id") % 2 == 0, F.to_timestamp(F.lit("2024-01-01 00:05:00"))
+        ).otherwise(F.to_timestamp(F.lit("2024-01-01 00:15:00"))),
+    )
+    indir3 = str(root / "in_ts")
+    stamped.filter(F.crc32("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(indir3)
+    stamped.filter(F.crc32("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(indir3)
+    # flush batch: one doc far ahead in event time so the watermark passes
+    # both real windows and append mode finalizes them (its own window
+    # stays open and must NOT appear in the results)
+    stamped.limit(1).withColumn(
+        "event_ts", F.to_timestamp(F.lit("2024-01-01 01:00:00"))
+    ).coalesce(1).write.mode("append").parquet(indir3)
+
+    q = start_windowed_violation_stream(
+        spark, indir3, str(root / "wm_ckpt"), watermark="1 minute", queryName="wv_test"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["partition_id"]): (r["n_docs"], r["n_null_text"])
+        for r in spark.sql("SELECT * FROM wv_test").collect()
+    }
+    # batch recount
+    null_text = F.size(
+        F.filter("spans", lambda s: s["kind"].isin("text", "code") & s["text"].isNull())
+    )
+    want = {
+        (str(r["ws"]), r["partition_id"]): (r["n"], r["nn"])
+        for r in stamped.groupBy(
+            F.window("event_ts", "10 minutes").alias("w"), "partition_id"
+        )
+        .agg(F.count("*").alias("n"), F.sum(null_text).alias("nn"))
+        .select(F.col("w.start").alias("ws"), "partition_id", "n", "nn")
+        .collect()
+    }
+    assert got == want
+    # both windows present
+    assert len({k[0] for k in got}) == 2
+
+
 def test_running_stats_stream(spark, stream_env):
     root, indir, docs, media, baseline = stream_env
     q = start_running_stats_stream(spark, indir, queryName="rs_test")
