@@ -38,6 +38,8 @@ HEADLINE = [
     "threshold_verdict_events",
     "sessionize_events",
     "confusion_matrix_embeddings",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
 ]
 
 SUITE_DOCS_PER_SF = 1_000_000  # n_docs = sf * this (sf0.1 → 100k docs)
@@ -254,8 +256,11 @@ def main() -> int:
         return 0
 
     # ---- default driver mode: headline queries + suite throughput --------
-    from anomalydetection_spark.plans import driver_queries
+    from anomalydetection_spark.plans import driver_queries, driver_queries_dedup
     from anomalydetection_spark.plans.flagship import flagship_suite
+
+    all_queries = dict(driver_queries.QUERIES)
+    all_queries.update(driver_queries_dedup.QUERIES)
     from anomalydetection_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
@@ -265,7 +270,7 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = driver_queries.QUERIES[name]
+        fn = all_queries[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.collect()
