@@ -42,7 +42,10 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
-SUITE_DOCS_PER_SF = 1_000_000  # n_docs = sf * this (sf0.1 → 100k docs)
+# n_docs = sf * this (sf0.1 → 1M docs): sized so the per-round throughput
+# measurement is compute-dominated, not ~10s-fixed-overhead-dominated
+# (100k docs reads 6x slower purely from job scheduling constants)
+SUITE_DOCS_PER_SF = 10_000_000
 
 
 def _sf_from_dir(sf_dir: str) -> float:
