@@ -809,6 +809,90 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 19
 """
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (region→nation→{customer,supplier}→
+    orders→lineitem) with the local-supplier condition — the join-reorder /
+    broadcast-planning stress case. Catalyst broadcasts the four dimension
+    sides; lineitem never shuffles for them."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .filter(c["c_nationkey"] == s["s_nationkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+  cast(sum(cast(l_extendedprice*(1-l_discount) AS decimal(18,6))) AS double) AS revenue,
+  count(*) AS n_rows
+FROM lineitem, orders, customer, supplier, nation, region
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py — Spark has no native one): each click
+    event picks up the user's latest purchase at-or-before the click, via
+    the union+carry-forward window composition (one shuffle, no range
+    explosion). Ties on (user, ts) resolve to the largest purchase
+    event_id."""
+    from anomalydetection_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, "user_id", "ts",
+        right_cols=["purchase_id", "purchase_value"], tiebreak="purchase_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_id_asof").alias("purchase_id"),
+        F.round("purchase_value_asof", 6).alias("purchase_value"),
+    )
+
+
+ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, ts, 1 AS origin, event_id,
+         NULL::bigint AS r_pid, NULL::double AS r_val
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 0 AS origin, NULL AS event_id, event_id AS r_pid, value AS r_val
+  FROM events WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT user_id, origin, event_id,
+    last_value(r_pid IGNORE NULLS) OVER w AS purchase_id,
+    last_value(r_val IGNORE NULLS) OVER w AS purchase_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, origin, r_pid ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, purchase_id, round(purchase_value, 6) AS purchase_value
+FROM carried WHERE origin = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -839,6 +923,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total_user": running_total_user,
     "pivot_event_counts": pivot_event_counts,
     "intersect_users": intersect_users,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "asof_last_purchase": asof_last_purchase,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -867,4 +953,6 @@ ORACLE_SQL: dict[str, str] = {
     "running_total_user": RUNNING_TOTAL_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "intersect_users": INTERSECT_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "asof_last_purchase": ASOF_SQL,
 }
