@@ -472,6 +472,77 @@ def tdigest_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pandas_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas doing the tokenize-count work in pandas
+    (U1's batch shape with integer-exact outputs, so the SQL oracle matches
+    bit-for-bit — the cross-engine-checkable face of the Python UDF layer)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].fillna("").str.strip().str.split()
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "n_tokens": toks.str.len().astype("int64"),
+                    "n_chars": pdf["text"].fillna("").str.len().astype("int64"),
+                }
+            )
+
+    per_doc = d.mapInPandas(run, "source string, n_tokens long, n_chars long")
+    return per_doc.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+PANDAS_TOKEN_SQL = r"""
+SELECT source,
+  cast(sum(len(string_split_regex(trim(text), '\s+'))) AS bigint) AS total_tokens,
+  cast(sum(length(text)) AS bigint) AS total_chars,
+  cast(max(len(string_split_regex(trim(text), '\s+'))) AS bigint) AS max_tokens
+FROM documents GROUP BY source
+"""
+
+
+def above_brand_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape, decorrelated: count lineitems priced
+    above their part brand's average price. The brand average uses exact
+    decimal sums so the comparison boundary is engine-identical."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lp = l.join(F.broadcast(p.select("p_partkey", "p_brand")), l["l_partkey"] == p["p_partkey"])
+    brand_avg = lp.groupBy("p_brand").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        lp.join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("l_extendedprice") > F.col("avg_price"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_above_avg"))
+    )
+
+
+ABOVE_AVG_SQL = """
+WITH lp AS (
+  SELECT p.p_brand, l.l_extendedprice
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+ba AS (
+  SELECT p_brand,
+         cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS avg_price
+  FROM lp GROUP BY p_brand)
+SELECT lp.p_brand, count(*) AS n_above_avg
+FROM lp JOIN ba ON ba.p_brand = lp.p_brand
+WHERE lp.l_extendedprice > ba.avg_price
+GROUP BY lp.p_brand
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -487,6 +558,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "token_count_bpe": token_count_bpe,
     "tdigest_quantiles_events": tdigest_quantiles_events,
+    "pandas_udf_token_stats": pandas_udf_token_stats,
+    "above_brand_avg_lineitems": above_brand_avg_lineitems,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -504,4 +577,6 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_decode_stats": MULTIMODAL_SQL,
     "token_count_bpe": TOKEN_BPE_SQL,
     # tdigest_quantiles_events intentionally has no oracle (approximate)
+    "pandas_udf_token_stats": PANDAS_TOKEN_SQL,
+    "above_brand_avg_lineitems": ABOVE_AVG_SQL,
 }
