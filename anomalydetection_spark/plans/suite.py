@@ -53,18 +53,35 @@ class ValidationResult:
     partition_rollup: DataFrame  # (partition_id, passed, violation_count, row_count)
 
 
+ALL_CONSTRAINTS = (
+    "column_stats",
+    "uniqueness",
+    "referential",
+    "distribution_drift",
+    "span_order",
+)
+
+
 def run_suite(
     docs: DataFrame,
     media: DataFrame,
     baseline_hist: DataFrame,
     cfg: SuiteConfig = SuiteConfig(),
     uniqueness_scope: DataFrame | None = None,
+    constraints: tuple[str, ...] | list[str] | None = None,
 ) -> ValidationResult:
     """Build the full-suite validation plan (lazy — caller triggers actions).
 
     ``uniqueness_scope``: full table for global duplicate detection when
     ``docs`` is a resumed subset (see operators/uniqueness.py).
+    ``constraints``: subset of ALL_CONSTRAINTS to evaluate (None = all) —
+    the hook the declarative spec layer (plans/declarative.py) drives.
     """
+    selected = tuple(constraints) if constraints is not None else ALL_CONSTRAINTS
+    unknown = set(selected) - set(ALL_CONSTRAINTS)
+    if unknown:
+        raise ValueError(f"unknown constraints: {sorted(unknown)}")
+
     exploded = reassembly.explode_spans_meta(docs)
     if cfg.repartition_exploded:
         # round-robin, NOT by partition_id: the Iceberg partition count can
@@ -83,15 +100,18 @@ def run_suite(
             return pair
         return pair[0], pair[1].persist(StorageLevel.MEMORY_AND_DISK)
 
-    v_stats = stats.check(docs, exploded, cfg.stats)
-    v_uniq = _maybe_persist(
-        uniqueness.check(docs, n_salts=cfg.n_salts, scope_docs=uniqueness_scope)
-    )
-    v_ref = _maybe_persist(referential.check(exploded, media, broadcast=cfg.broadcast_media))
-    v_drift = drift.check(exploded, baseline_hist, cfg.drift)
-    v_order = reassembly.check(docs)
-
-    all_pairs = [v_stats, v_uniq, v_ref, v_drift, v_order]
+    builders = {
+        "column_stats": lambda: stats.check(docs, exploded, cfg.stats),
+        "uniqueness": lambda: _maybe_persist(
+            uniqueness.check(docs, n_salts=cfg.n_salts, scope_docs=uniqueness_scope)
+        ),
+        "referential": lambda: _maybe_persist(
+            referential.check(exploded, media, broadcast=cfg.broadcast_media)
+        ),
+        "distribution_drift": lambda: drift.check(exploded, baseline_hist, cfg.drift),
+        "span_order": lambda: reassembly.check(docs),
+    }
+    all_pairs = [builders[name]() for name in ALL_CONSTRAINTS if name in selected]
     verdicts = reduce(DataFrame.unionByName, [p[0] for p in all_pairs])
     violations = reduce(DataFrame.unionByName, [p[1] for p in all_pairs])
 

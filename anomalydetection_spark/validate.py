@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-psi", type=float, default=0.1)
     ap.add_argument("--no-persist-exploded", action="store_true",
                     help="recompute the span view from the columnar scan (large inputs)")
+    ap.add_argument("--spec", help="JSON constraint spec (plans/declarative.py) — "
+                                   "overrides the individual threshold flags")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -79,12 +81,18 @@ def main(argv: list[str] | None = None) -> int:
             reassembly.explode_spans_meta(generate_documents(spark, clean_config(cfg)))
         )
 
-    suite_cfg = SuiteConfig(
-        stats=StatsThresholds(max_null_text_rate=args.max_null_text_rate),
-        drift=DriftThresholds(max_kl=args.max_kl, max_psi=args.max_psi),
-        n_salts=args.n_salts,
-        persist_exploded=not args.no_persist_exploded,
-    )
+    selected_constraints = None
+    if args.spec:
+        from anomalydetection_spark.plans.declarative import compile_spec, load_spec
+
+        suite_cfg, selected_constraints = compile_spec(load_spec(args.spec))
+    else:
+        suite_cfg = SuiteConfig(
+            stats=StatsThresholds(max_null_text_rate=args.max_null_text_rate),
+            drift=DriftThresholds(max_kl=args.max_kl, max_psi=args.max_psi),
+            n_salts=args.n_salts,
+            persist_exploded=not args.no_persist_exploded,
+        )
 
     t0 = time.time()
     if args.state_dir:
@@ -113,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         return 0
 
-    res = run_suite(docs, media, baseline, suite_cfg)
+    res = run_suite(docs, media, baseline, suite_cfg, constraints=selected_constraints)
     verdicts = res.verdicts.orderBy("partition_id", "constraint")
     if args.out:
         verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")

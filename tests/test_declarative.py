@@ -1,0 +1,99 @@
+"""Declarative spec layer: compile, subset selection, threshold wiring,
+fail-fast validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from anomalydetection_spark.datagen import (
+    DataGenConfig,
+    clean_config,
+    generate_documents,
+    generate_media_assets,
+)
+from anomalydetection_spark.operators import drift, reassembly
+from anomalydetection_spark.plans.declarative import compile_spec, run_declarative
+from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
+
+CFG = DataGenConfig(n_docs=1000, n_partitions=3, n_media=150, drift_partitions=(2,))
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    docs = generate_documents(spark, CFG).cache()
+    media = generate_media_assets(spark, CFG).cache()
+    baseline = drift.compute_baseline(
+        reassembly.explode_spans_meta(generate_documents(spark, clean_config(CFG)))
+    ).cache()
+    return docs, media, baseline
+
+
+def test_empty_spec_runs_everything(spark, inputs):
+    docs, media, baseline = inputs
+    res = run_declarative({}, docs, media, baseline)
+    got = {r["constraint"] for r in res.verdicts.collect()}
+    assert got == {
+        "column_stats", "uniqueness", "referential", "distribution_drift", "span_order"
+    }
+
+
+def test_subset_spec_runs_only_selected(spark, inputs):
+    docs, media, baseline = inputs
+    spec = {"constraints": [{"type": "uniqueness"}, {"type": "span_order"}]}
+    res = run_declarative(spec, docs, media, baseline)
+    got = {r["constraint"] for r in res.verdicts.collect()}
+    assert got == {"uniqueness", "span_order"}
+
+
+def test_thresholds_wired_through(spark, inputs):
+    docs, media, baseline = inputs
+    # absurdly loose drift thresholds → the drifted partition passes
+    spec = {
+        "constraints": [{"type": "distribution_drift", "max_kl": 100.0, "max_psi": 100.0}]
+    }
+    res = run_declarative(spec, docs, media, baseline)
+    assert all(r["passed"] for r in res.verdicts.collect())
+    # and default thresholds flag it
+    strict = run_declarative(
+        {"constraints": [{"type": "distribution_drift"}]}, docs, media, baseline
+    )
+    assert not all(r["passed"] for r in strict.verdicts.collect())
+
+
+def test_spec_matches_programmatic_config(spark, inputs):
+    docs, media, baseline = inputs
+    spec = {
+        "constraints": [
+            {"type": "column_stats", "max_null_text_rate": 0.01},
+            {"type": "uniqueness", "n_salts": 4},
+            {"type": "referential"},
+            {"type": "distribution_drift"},
+            {"type": "span_order"},
+        ],
+        "execution": {"persist_exploded": False},
+    }
+    a = sorted(
+        (r["partition_id"], r["constraint"], r["passed"], r["violation_count"])
+        for r in run_declarative(spec, docs, media, baseline).verdicts.collect()
+    )
+    from anomalydetection_spark.operators.stats import StatsThresholds
+
+    cfg = SuiteConfig(
+        stats=StatsThresholds(max_null_text_rate=0.01), n_salts=4, persist_exploded=False
+    )
+    b = sorted(
+        (r["partition_id"], r["constraint"], r["passed"], r["violation_count"])
+        for r in run_suite(docs, media, baseline, cfg).verdicts.collect()
+    )
+    assert a == b
+
+
+def test_fail_fast_on_bad_spec():
+    with pytest.raises(ValueError, match="unknown constraint type"):
+        compile_spec({"constraints": [{"type": "uniquness"}]})
+    with pytest.raises(ValueError, match="unknown fields"):
+        compile_spec({"constraints": [{"type": "uniqueness", "salt": 4}]})
+    with pytest.raises(ValueError, match="duplicate"):
+        compile_spec({"constraints": [{"type": "span_order"}, {"type": "span_order"}]})
+    with pytest.raises(ValueError, match="unknown execution"):
+        compile_spec({"execution": {"cache": True}})
