@@ -165,11 +165,40 @@ class ResumableValidator:
             for r in res.partition_rollup.collect()
         ]
         self.manifest.mark_done(rollup_rows, run_id)
+        self._append_run_report(run_id, todo, done, rollup_rows)
         return {
             "run_id": run_id,
             "validated_partitions": sorted(todo),
             "skipped_partitions": sorted(done),
         }
+
+    def _append_run_report(
+        self, run_id: str, validated: list[int], skipped: set[int], rollup_rows: list[dict]
+    ) -> None:
+        """One bookkeeping row per validation pass — the engine's analog of
+        the reference's MLflow run log (mlflow_tracking.py / mlflow_utils.py
+        param+metric records, S9), kept as an append-only table next to the
+        manifest instead of an external service."""
+        import datetime as _dt
+
+        row = {
+            "run_id": run_id,
+            "finished_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "n_partitions_validated": len(validated),
+            "n_partitions_skipped": len(skipped),
+            "row_count": sum(r["row_count"] or 0 for r in rollup_rows),
+            "violation_count": sum(r["violation_count"] or 0 for r in rollup_rows),
+            "all_passed": all(r["passed"] for r in rollup_rows) if rollup_rows else True,
+        }
+        self.spark.createDataFrame(
+            [row],
+            "run_id string, finished_at string, n_partitions_validated int, "
+            "n_partitions_skipped int, row_count long, violation_count long, "
+            "all_passed boolean",
+        ).coalesce(1).write.mode("append").parquet(f"{self.out_dir}/run_reports")
+
+    def run_reports(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/run_reports")
 
     def verdicts(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out_dir}/verdicts")

@@ -89,6 +89,22 @@ def test_full_then_resume_identical(spark, tmp_path, inputs):
     assert merged.quantile(0.95) == pytest.approx(np.percentile(lens, 95), rel=0.03)
 
 
+def test_run_reports_appended(spark, tmp_path, inputs):
+    """Each validation pass appends one bookkeeping row (the MLflow-log
+    analog): full run, then a resumed 1-partition run."""
+    docs, media, baseline = inputs
+    v = ResumableValidator(spark, str(tmp_path / "stateR"), str(tmp_path / "outR"))
+    s1 = v.run(docs, media, baseline)
+    v.manifest.invalidate([3])
+    s2 = v.run(docs, media, baseline)
+    reports = {r["run_id"]: r for r in v.run_reports().collect()}
+    assert set(reports) == {s1["run_id"], s2["run_id"]}
+    assert reports[s1["run_id"]]["n_partitions_validated"] == 6
+    assert reports[s2["run_id"]]["n_partitions_validated"] == 1
+    assert reports[s2["run_id"]]["n_partitions_skipped"] == 5
+    assert reports[s1["run_id"]]["all_passed"] is False  # injected violations
+
+
 def test_resume_keeps_global_uniqueness(spark, tmp_path, inputs):
     """A duplicate pair spanning a done and a pending partition must still
     be flagged when only the pending partition is re-validated."""
