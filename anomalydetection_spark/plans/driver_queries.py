@@ -893,6 +893,59 @@ FROM carried WHERE origin = 1
 """
 
 
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
+    count-of-counts distribution including the zero-order customers the
+    outer join preserves."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def sql_api_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's spark.sql() surface: tables registered as temp views,
+    the query written as SQL text (dialect-shared with the oracle modulo
+    the timestamp literal) — demonstrating that every DataFrame query here
+    has an equivalent SQL-API form."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT o.o_orderstatus,
+               cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,6))) AS double) AS revenue,
+               count(*) AS n_rows
+        FROM orders_v o JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 100000
+        GROUP BY o.o_orderstatus
+    """)
+
+
+SQL_API_SQL = """
+SELECT o.o_orderstatus,
+       cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,6))) AS double) AS revenue,
+       count(*) AS n_rows
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 100000
+GROUP BY o.o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -925,6 +978,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intersect_users": intersect_users,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "asof_last_purchase": asof_last_purchase,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "sql_api_revenue_by_status": sql_api_revenue_by_status,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -955,4 +1010,6 @@ ORACLE_SQL: dict[str, str] = {
     "intersect_users": INTERSECT_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "asof_last_purchase": ASOF_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "sql_api_revenue_by_status": SQL_API_SQL,
 }
