@@ -946,6 +946,61 @@ GROUP BY o.o_orderstatus
 """
 
 
+def distinct_agg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (A12 in agg form — plans through Expand):
+    distinct ordering customers per priority, non-final orders only,
+    alongside a plain count from the same pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+"""
+
+
+def left_join_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join NULL semantics: orders joined to a restricted customer
+    dim (keys < 50) — unmatched orders keep NULL customer fields, grouped
+    under an explicit coalesce bucket (X3's no-silent-drops principle at
+    the relational level)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("(no-match)")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("c_custkey").isNull().cast("long")).alias("n_unmatched"),
+            _dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+LEFT_JOIN_NULL_SQL = """
+SELECT coalesce(c_mktsegment, '(no-match)') AS segment,
+       count(*) AS n_orders,
+       cast(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_unmatched,
+       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price
+FROM orders LEFT OUTER JOIN (SELECT * FROM customer WHERE c_custkey < 50) c
+  ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -980,6 +1035,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_purchase": asof_last_purchase,
     "q13_order_count_distribution": q13_order_count_distribution,
     "sql_api_revenue_by_status": sql_api_revenue_by_status,
+    "distinct_agg_customers": distinct_agg_customers,
+    "left_join_null_handling": left_join_null_handling,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1012,4 +1069,6 @@ ORACLE_SQL: dict[str, str] = {
     "asof_last_purchase": ASOF_SQL,
     "q13_order_count_distribution": Q13_SQL,
     "sql_api_revenue_by_status": SQL_API_SQL,
+    "distinct_agg_customers": DISTINCT_AGG_SQL,
+    "left_join_null_handling": LEFT_JOIN_NULL_SQL,
 }
