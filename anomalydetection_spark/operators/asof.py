@@ -42,17 +42,17 @@ def asof_join(
     results when several right rows share a (key, ts) — the largest
     tiebreak value wins.
     """
-    l_tagged = left.withColumn("_origin", F.lit(1))
-    for c in right_cols:
-        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.select(
-        key,
-        ts,
-        F.lit(0).alias("_origin"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    # Carry all right columns as ONE struct so last(ignorenulls) picks every
+    # carried value from the SAME right row — per-column last() would mix
+    # rows whenever a right row legitimately holds NULL in one column.
+    r_struct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+    l_tagged = left.withColumn("_origin", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(struct_type)
     )
+    r_tagged = right.select(key, ts, F.lit(0).alias("_origin"), r_struct.alias("_r"))
     left_cols = [c for c in left.columns]
-    union_cols = [key, ts, "_origin", *[f"_r_{c}" for c in right_cols]]
+    union_cols = [key, ts, "_origin", "_r"]
     extra_left = [c for c in left_cols if c not in (key, ts)]
     for c in extra_left:
         r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -61,7 +61,7 @@ def asof_join(
     )
     order = [F.col(ts), F.col("_origin")]
     if tiebreak is not None:
-        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+        order.append(F.col("_r")[tiebreak].asc_nulls_first())
     w = Window.partitionBy(key).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -70,9 +70,14 @@ def asof_join(
         ts,
         "_origin",
         *extra_left,
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r_carried"),
     )
-    return carried.filter(F.col("_origin") == 1).drop("_origin")
+    return (
+        carried.filter(F.col("_origin") == 1)
+        .select(
+            key,
+            ts,
+            *extra_left,
+            *[F.col("_r_carried")[c].alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )

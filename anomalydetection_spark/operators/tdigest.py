@@ -42,10 +42,15 @@ class TDigest:
     # -- construction ------------------------------------------------------
     def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        mask = ~np.isnan(v)
+        v = v[mask]
         if v.size == 0:
             return
-        w = np.ones_like(v) if weights is None else np.asarray(weights, dtype=np.float64)
+        if weights is None:
+            w = np.ones_like(v)
+        else:
+            # apply the same NaN mask so means and weights stay aligned
+            w = np.asarray(weights, dtype=np.float64)[mask]
         self._buf_means.append(v)
         self._buf_weights.append(w)
         # amortized compaction keeps the buffer bounded

@@ -49,9 +49,16 @@ def salted_duplicates(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
 
 
 def duplicate_keys(docs: DataFrame, n_salts: int = 16) -> DataFrame:
-    """(doc_id, n, partition_ids) for every doc_id appearing more than once."""
+    """(doc_id, n, partition_ids) for every doc_id appearing more than once.
+
+    The salt derives from ``spark_partition_id()`` (the physical task id),
+    NOT the data's ``partition_id`` column: a hot doc_id concentrated in one
+    Iceberg partition would map to a single salt value and defeat the split,
+    whereas a hot key's rows always span many physical input tasks.
+    """
     salted = docs.withColumn(
-        "_salt", F.pmod(F.xxhash64("partition_id", F.lit("uniq-salt")), F.lit(n_salts))
+        "_salt",
+        F.pmod(F.xxhash64(F.spark_partition_id(), F.lit("uniq-salt")), F.lit(n_salts)),
     )
     partial = salted.groupBy("doc_id", "_salt").agg(
         F.count("*").alias("n_partial"),

@@ -30,16 +30,54 @@ STATUS_PENDING = "pending"
 
 
 class ManifestStore:
-    """Parquet-backed manifest table under ``state_dir``."""
+    """Parquet-backed manifest table under ``state_dir``.
+
+    Crash-safe swap: each rewrite lands in a fresh versioned dir
+    (``manifest_v_<hex>``) and a tiny pointer file (``MANIFEST_CURRENT``)
+    is updated LAST via ``os.replace`` (atomic on POSIX). A crash at any
+    point leaves the pointer naming a complete older version — there is
+    never a window where a concurrent reader sees no manifest and a resumed
+    run would re-validate everything.
+    """
+
+    POINTER = "MANIFEST_CURRENT"
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
-        self.path = f"{state_dir}/manifest"
+        self.state_dir = state_dir
+        self.path = f"{state_dir}/manifest"  # legacy layout, still readable
+
+    def _current_dir(self) -> Path | None:
+        ptr = Path(self.state_dir) / self.POINTER
+        if ptr.exists():
+            name = ptr.read_text().strip()
+            cand = Path(self.state_dir) / name
+            if cand.exists():
+                return cand
+        legacy = Path(self.path)
+        return legacy if legacy.exists() else None
+
+    def _publish(self, df: DataFrame) -> None:
+        """Write a new manifest version dir, then atomically flip the pointer."""
+        import os
+
+        version = f"manifest_v_{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"{self.state_dir}/{version}")
+        old = self._current_dir()
+        ptr = Path(self.state_dir) / self.POINTER
+        tmp_ptr = Path(self.state_dir) / f".{self.POINTER}.tmp"
+        tmp_ptr.write_text(version)
+        os.replace(tmp_ptr, ptr)  # atomic: readers see old or new, never neither
+        if old is not None and old.name != version:
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
 
     def read(self) -> DataFrame | None:
-        if not Path(self.path).exists():
+        cur = self._current_dir()
+        if cur is None:
             return None
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(str(cur))
 
     def done_partitions(self) -> set[int]:
         m = self.read()
@@ -73,14 +111,7 @@ class ManifestStore:
             "partition_id int, status string, row_count long, violation_count long, "
             "run_id string, sketch_blob binary, updated_at string",
         )
-        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = Path(self.path)
-        if final.exists():
-            import shutil
-
-            shutil.rmtree(final)
-        Path(tmp).rename(final)
+        self._publish(df)
 
     def invalidate(self, partition_ids: list[int]) -> None:
         """Flip partitions back to pending (test hook: simulates a kill that
@@ -97,12 +128,7 @@ class ManifestStore:
             "partition_id int, status string, row_count long, violation_count long, "
             "run_id string, sketch_blob binary, updated_at string",
         )
-        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(self.path)
-        Path(tmp).rename(Path(self.path))
+        self._publish(df)
 
 
 class ResumableValidator:

@@ -15,8 +15,12 @@ event-stream variant for continuously-arriving documents:
   null rates) maintained with update mode
 
 Checkpointing: the streaming checkpoint dir plays the manifest's role —
-a killed stream resumes from the last committed micro-batch offset,
-giving exactly-once verdict appends (file sink + checkpoint).
+a killed stream resumes from the last committed micro-batch offset. Note
+foreachBatch is at-least-once: a crash between a batch's writes and the
+checkpoint commit replays the batch. The verdict/violation writes are
+therefore made *idempotent per batch_id* (partitionBy(batch_id) + dynamic
+partition overwrite), so a replayed batch replaces its own partition
+instead of appending duplicates — effectively-once end-to-end.
 """
 
 from __future__ import annotations
@@ -45,25 +49,34 @@ def start_validation_stream(
     out_dir: str,
     checkpoint_dir: str,
 ):
-    """foreachBatch: run the batch suite on each micro-batch, append
+    """foreachBatch: run the batch suite on each micro-batch, write
     verdicts/violations parquet stamped with the micro-batch id (lineage).
 
     foreachBatch (not streaming aggs) because the constraint suite needs
-    joins + multi-output fan-out per batch; the checkpoint still gives
-    resume/exactly-once across restarts.
+    joins + multi-output fan-out per batch. foreachBatch replays a batch
+    after a crash (at-least-once), so each write is partitioned by
+    batch_id and uses dynamic partition overwrite: a replay replaces
+    exactly its own batch_id partition — idempotent, no duplicate rows.
     """
     stream = stream_documents(spark, input_dir)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         cfg = SuiteConfig(persist_exploded=True, persist_violations=False)
         res = run_suite(batch_df, media, baseline, cfg)
-        res.verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            f"{out_dir}/verdicts"
+        (
+            res.verdicts.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/verdicts")
         )
-        res.violations.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            f"{out_dir}/violations"
+        (
+            res.violations.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/violations")
         )
 
     return (

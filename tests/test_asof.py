@@ -60,3 +60,19 @@ def test_asof_partitioning_invariant(spark, frames):
         )
     )
     assert a == b
+
+
+def test_asof_null_right_col_carries_same_row(spark):
+    """A right row with NULL in one carried column must NOT borrow that
+    column's value from an older right row (struct-carry regression)."""
+    left = spark.createDataFrame(
+        [("u1", ts(30), 1)], "key string, ts timestamp, left_id int"
+    )
+    right = spark.createDataFrame(
+        [("u1", ts(10), 7, 7.5), ("u1", ts(20), 8, None)],
+        "key string, ts timestamp, rid int, rv double",
+    )
+    row = asof_join(left, right, "key", "ts", ["rid", "rv"], tiebreak="rid").collect()[0]
+    # latest right row is (rid=8, rv=NULL): rv must stay NULL, not 7.5
+    assert row["rid_asof"] == 8
+    assert row["rv_asof"] is None

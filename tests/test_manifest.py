@@ -128,3 +128,36 @@ def test_resume_keeps_global_uniqueness(spark, tmp_path, inputs):
     )
     parts = sorted(r["partition_id"] for r in viol.collect())
     assert parts == [0, 1]
+
+
+def test_manifest_pointer_swap_never_leaves_gap(spark, tmp_path):
+    """mark_done publishes a new version dir then flips a pointer file —
+    the previously-published manifest stays readable under its own dir
+    until the pointer moves, so no reader ever sees an empty state_dir."""
+    from pathlib import Path
+
+    from anomalydetection_spark.plans.manifest import ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path / "state"))
+    (tmp_path / "state").mkdir()
+    store.mark_done(
+        [{"partition_id": 0, "row_count": 10, "violation_count": 0, "sketch_blob": None}],
+        run_id="r1",
+    )
+    ptr = Path(tmp_path / "state" / ManifestStore.POINTER)
+    assert ptr.exists()
+    v1 = ptr.read_text().strip()
+    assert (tmp_path / "state" / v1).exists()
+    assert store.read().count() == 1
+
+    # second publish: pointer flips to a new version, old version GC'd
+    store.mark_done(
+        [{"partition_id": 1, "row_count": 20, "violation_count": 2, "sketch_blob": None}],
+        run_id="r2",
+    )
+    v2 = ptr.read_text().strip()
+    assert v2 != v1
+    assert not (tmp_path / "state" / v1).exists()
+    m = store.read()
+    assert m.count() == 2
+    assert {r["partition_id"] for r in m.collect()} == {0, 1}

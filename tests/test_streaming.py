@@ -57,6 +57,17 @@ def test_foreach_batch_validation(spark, stream_env):
     q2.awaitTermination(60)
     assert spark.read.parquet(str(root / "out" / "verdicts")).count() == 15
 
+    # replay with a FRESH checkpoint (simulates a crash-before-commit replay
+    # of every batch): dynamic partition overwrite on batch_id keeps the
+    # output idempotent — still exactly one row per (partition, constraint)
+    q3 = start_validation_stream(
+        spark, indir, media, baseline,
+        str(root / "out"), str(root / "ckpt_replay"),
+    )
+    q3.awaitTermination(120)
+    replayed = spark.read.parquet(str(root / "out" / "verdicts"))
+    assert replayed.count() == 15
+
 
 def test_stateful_counter_stream(spark, stream_env):
     """applyInPandasWithState: running totals accumulate across micro-batches

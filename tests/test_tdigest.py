@@ -70,3 +70,14 @@ def test_spark_group_quantiles(spark):
         vals = pdf[pdf["g"] == g]["v"].to_numpy()
         assert got[g][0] == pytest.approx(np.percentile(vals, 50), rel=0.02)
         assert got[g][1] == pytest.approx(np.percentile(vals, 95), rel=0.02)
+
+
+def test_nan_values_mask_applies_to_weights():
+    """NaN filter must drop the matching weights too, or means/weights
+    misalign and quantiles silently shift."""
+    vals = np.array([1.0, np.nan, 3.0, np.nan, 5.0])
+    wts = np.array([1.0, 100.0, 1.0, 100.0, 1.0])
+    td = TDigest(100)
+    td.add(vals, wts)
+    assert td.total_weight() == pytest.approx(3.0)
+    assert td.quantile(0.5) == pytest.approx(3.0)
