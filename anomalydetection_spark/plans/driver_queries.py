@@ -275,8 +275,12 @@ def drift_kl_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / F.sum("n").over(Window.partitionBy("source"))).alias("p"),
     )
     base_counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
-    base = base_counts.select(
-        "bucket", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("q")
+    # total via scalar agg + broadcast crossJoin — not a partition-less
+    # window (which plans a single-partition WindowExec even on tiny input);
+    # the identical groupBy exchange is reused (ReusedExchange), no rescan
+    total = base_counts.agg(F.sum("n").alias("total_n"))
+    base = base_counts.crossJoin(F.broadcast(total)).select(
+        "bucket", (F.col("n") / F.col("total_n")).alias("q")
     )
     scores = kl_psi(cur, base, "source", epsilon=1e-6)
     return scores.select(
@@ -615,30 +619,73 @@ FROM events GROUP BY 1
 """
 
 
-def roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: ROC AUC via the rank-based Mann-Whitney U statistic — one sort
-    window + one aggregate instead of sklearn's curve sweep
-    (prediction_pipeline.py:369-373). Tied scores get averaged ranks
-    (min-rank + (ties-1)/2), all integer arithmetic until one division."""
+def roc_auc_embeddings(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 1024
+) -> DataFrame:
+    """A10: exact ROC AUC via a bucketed two-phase Mann-Whitney rank — NO
+    global single-partition sort (the round-1 plan's scale killer).
+
+    Phase 1: aggregate to distinct scores (map-side combine shrinks the
+    shuffle to |distinct|), range-bucket them, and compute per-bucket row
+    totals — a bounded ≤``n_buckets``-row collect gives each bucket its
+    global rank offset.
+    Phase 2: cumulative counts *within* each bucket via a window
+    PARTITIONED by bucket (parallel, bounded) + the bucket's offset ⇒ the
+    exact average rank of every distinct score. Ties share a score, hence
+    a bucket, so tie-averaging is exact.
+
+    All arithmetic stays integral (2·avg_rank = 2·rows_before + n + 1)
+    until the single final division — deterministic across engines.
+    Matches reference semantics at prediction_pipeline.py:369-373.
+    """
     em = _t(spark, sf_dir, "embeddings")
     score = F.sqrt(
         F.aggregate(
             "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    scored = em.select("label", score.alias("score"))
-    w_rank = Window.orderBy("score")
-    w_tie = Window.partitionBy("score")
-    ranked = scored.select(
-        "label",
-        (F.rank().over(w_rank) + (F.count("*").over(w_tie) - 1) / 2.0).alias("avg_rank"),
+    # binary task: class 1 (positive) vs class 0 (negative) — the fixture's
+    # label column is multiclass, so restrict to the two classes up front
+    # (round 1 ranked ALL rows against n0 = |class 0|, yielding an
+    # out-of-range "AUC"; both engines agreed on the same wrong number)
+    scored = em.filter(F.col("label").isin(0, 1)).select("label", score.alias("score"))
+    g = scored.groupBy("score").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("label") == 1).cast("long")).alias("n1s"),
+    )
+    lo, hi = g.agg(F.min("score"), F.max("score")).first()
+    span = (hi - lo) or 1.0
+    bkt = F.least(
+        F.floor((F.col("score") - F.lit(lo)) / F.lit(span) * n_buckets),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    gb = g.withColumn("bkt", bkt)
+    bucket_counts = sorted(
+        (r["bkt"], r["bn"])
+        for r in gb.groupBy("bkt").agg(F.sum("n").alias("bn")).collect()
+    )
+    offsets, acc = [], 0
+    for b, bn in bucket_counts:
+        offsets.append((b, acc))
+        acc += bn
+    offsets_df = spark.createDataFrame(offsets, "bkt int, boffset long")
+    w = Window.partitionBy("bkt").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = gb.join(F.broadcast(offsets_df), "bkt").select(
+        "n",
+        "n1s",
+        (F.col("boffset") + F.coalesce(F.sum("n").over(w), F.lit(0))).alias("before"),
     )
     agg = ranked.agg(
-        F.sum(F.when(F.col("label") == 1, F.col("avg_rank"))).alias("r1"),
-        F.sum((F.col("label") == 1).cast("long")).alias("n1"),
-        F.sum((F.col("label") == 0).cast("long")).alias("n0"),
+        # Σ n1s·(2·before + n + 1) = 2·Σ(rank sum of positives) — integer
+        F.sum(F.col("n1s") * (2 * F.col("before") + F.col("n") + 1)).alias("two_r1"),
+        F.sum("n1s").alias("n1"),
+        F.sum(F.col("n") - F.col("n1s")).alias("n0"),
     )
-    auc = (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0) / (F.col("n1") * F.col("n0"))
+    auc = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)) / (
+        2.0 * F.col("n1") * F.col("n0")
+    )
     return agg.select("n1", "n0", F.round(auc, 6).alias("auc"))
 
 
@@ -646,7 +693,7 @@ ROC_AUC_SQL = """
 WITH scored AS (
   SELECT label,
     sqrt(list_sum(list_transform(embedding, x -> cast(x AS double) * cast(x AS double)))) AS score
-  FROM embeddings),
+  FROM embeddings WHERE label IN (0, 1)),
 ranked AS (
   SELECT label,
          rank() OVER (ORDER BY score) + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS avg_rank

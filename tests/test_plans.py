@@ -86,3 +86,21 @@ def test_whole_stage_codegen_in_parse(spark):
     # formatted mode marks fused operators with codegen ids (* prefix)
     assert "[codegen id : " in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_roc_auc_no_global_sort_window(spark):
+    """Exact AUC must rank within score-range buckets — a partition-less
+    Window (single-task global sort) is the 100-TB scale killer."""
+    plan = _formatted(spark, dq.roc_auc_embeddings(spark, SF))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            # empty partition spec renders as "], [], [" before the ordering
+            assert "], [], [" not in line, line
+    assert "Window" in plan  # the bucketed within-partition rank remains
+
+
+def test_drift_no_partitionless_window(spark):
+    plan = _formatted(spark, dq.drift_kl_psi_by_source(spark, SF))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "], [], [" not in line, line
