@@ -17,6 +17,9 @@ thousands of queries (BLAS batching); at that point switch to
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -141,6 +144,129 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def srp_sign_matrix(dim: int, n_bits: int, seed: str = "srp-v1") -> np.ndarray:
+    """Deterministic ±1 random-hyperplane matrix (n_bits × dim).
+
+    Signs derive from md5 over (seed, bit, component) — a public, stable
+    hash — so the engine's Arrow UDF and the DuckDB oracle-SQL builder
+    materialize the *identical* matrix with no RNG state to share.
+    Rademacher (±1) projections are a valid signed-random-projection
+    family for angular LSH (Charikar, STOC'02).
+    """
+    rows = []
+    for j in range(n_bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[:15], 16) % 2 == 0 else -1)
+        rows.append(row)
+    return np.array(rows, dtype=np.int64)
+
+
+def srp_band_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int = 8,
+    bits_per_band: int = 12,
+    quant: int = 1_000_000,
+    seed: str = "srp-v1",
+) -> DataFrame:
+    """LSH band signatures via signed random projections: one row per
+    (vector, band) with the band's packed bit value — join on
+    (band, band_val) is the bucket probe.
+
+    Vectorized Arrow UDF (mapInPandas): each batch does ONE int64 matmul
+    against the deterministic hyperplane matrix. Components are quantized
+    with floor(x·quant) first so every downstream sum is exact integer
+    arithmetic — signatures are bit-identical across engines, batch
+    orders, and partitionings (a float dot near 0 could otherwise flip a
+    sign between Spark and the DuckDB oracle).
+
+    Scale: n_bands rows of 3 small columns per vector, no shuffle here;
+    the bucket join downstream shuffles only (id, band, band_val).
+    """
+    import pandas as pd
+
+    n_bits = n_bands * bits_per_band
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, band int, band_val long"
+    narrow = df.select(id_col, vec_col)
+
+    def gen(batches):
+        S = None
+        powers = 1 << np.arange(bits_per_band, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if S is None:
+                S = srp_sign_matrix(V.shape[1], n_bits, seed)
+            Q = np.floor(V * quant).astype(np.int64)
+            bits = ((Q @ S.T) >= 0).astype(np.int64)
+            vals = bits.reshape(len(V), n_bands, bits_per_band) @ powers
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(V)),
+                    "band_val": vals.reshape(-1),
+                }
+            )
+
+    return narrow.mapInPandas(gen, out_schema)
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int = 8,
+    bits_per_band: int = 12,
+    seed: str = "srp-v1",
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs sharing ≥1 SRP band bucket.
+
+    The shuffle carries only signatures; bucket sizes concentrate near 1
+    for spread-out corpora (random vectors collide per band w.p. ≈2^-bits),
+    so pair generation is bounded by true-near-duplicate clusters — never
+    the O(n²) blowup of coarse scalar blocking keys."""
+    sigs = srp_band_signatures(
+        df, id_col, vec_col, n_bands=n_bands, bits_per_band=bits_per_band, seed=seed
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "band_val")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "band_val")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def srp_blocked_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    n_bands: int = 8,
+    bits_per_band: int = 12,
+    seed: str = "srp-v1",
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cos ≥ threshold): SRP band
+    buckets generate candidates, exact cosine verifies them. Recall per
+    true pair at cos=c is 1-(1-p^r)^b with p = 1-arccos(c)/π — ≈0.999 at
+    the defaults for c ≥ 0.99."""
+    cand = srp_candidate_pairs(
+        df, id_col, vec_col, n_bands=n_bands, bits_per_band=bits_per_band, seed=seed
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    scored = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
 def norm_blocked_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -149,14 +275,19 @@ def norm_blocked_near_pairs(
     block_col: Column | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cos ≥ threshold) with block
-    pruning: candidates must share a coarse block (default: floor(norm))
-    before the pairwise join — the LSH-shaped guard that keeps the join
-    out of O(n²) territory. Custom ``block_col`` lets callers use real
-    LSH bucket ids instead."""
+    pruning before the pairwise join.
+
+    Default blocking is SRP vector-LSH (``srp_blocked_near_pairs``): real
+    embedding corpora are unit-normalized or norm-concentrated, so any
+    scalar norm-derived key collapses to one block and the join degrades
+    to O(n²). A caller-supplied ``block_col`` (e.g. a language or tenant
+    partition) still short-circuits to single-key blocking."""
+    if block_col is None:
+        return srp_blocked_near_pairs(df, id_col, vec_col, threshold=threshold)
     blocked = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        (block_col if block_col is not None else F.floor(l2_norm(F.col(vec_col)))).alias("_blk"),
+        block_col.alias("_blk"),
     )
     a = blocked.select(F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"), "_blk")
     b = blocked.select(F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"), "_blk")

@@ -199,8 +199,10 @@ WHERE rk <= 5
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs over a dup-injected corpus: norm-bucket
-    blocking then cosine ≥ 0.999."""
+    """Embedding near-dup pairs over a dup-injected corpus: SRP vector-LSH
+    band blocking (the default — the fixture is unit-normalized, so any
+    norm-derived scalar key degenerates to one O(n²) block) then exact
+    cosine ≥ 0.999 verification."""
     em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     extra = em.filter(F.col("vec_id") % 11 == 0).select(
         (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
@@ -211,28 +213,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cos")
 
 
-DEDUP_EMB_SQL = """
+def _srp_matrix_literal(dim: int, n_bits: int) -> str:
+    """The engine's deterministic ±1 hyperplane matrix as a DuckDB nested
+    list literal — oracle and engine share one md5-derived matrix."""
+    m = similarity.srp_sign_matrix(dim, n_bits)
+    return "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in m) + "]"
+
+
+_SRP_BANDS, _SRP_BITS, _SRP_DIM = 8, 12, 64
+
+DEDUP_EMB_SQL = f"""
 WITH ecorpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 11 = 0
 ),
-blocked AS (
-  SELECT vec_id, embedding,
-    floor(sqrt(list_sum(list_transform(embedding, x -> cast(x AS double) * cast(x AS double))))) AS blk
-  FROM ecorpus),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
-  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.vec_id < b.vec_id),
+pm AS (SELECT {_srp_matrix_literal(_SRP_DIM, _SRP_BANDS * _SRP_BITS)} AS m),
+sig AS (
+  SELECT vec_id,
+    list_transform(generate_series(0, {_SRP_BANDS * _SRP_BITS - 1}), j ->
+      CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i ->
+        cast(floor(cast(embedding[i] AS double) * 1000000) AS bigint) * m[j+1][i])) >= 0
+      THEN 1 ELSE 0 END) AS bits
+  FROM ecorpus, pm),
+bands AS (
+  SELECT vec_id, band,
+    list_sum(list_transform(generate_series(1, {_SRP_BITS}), t ->
+      cast(bits[band*{_SRP_BITS} + t] AS bigint) * (cast(1 AS bigint) << (t-1)))) AS band_val
+  FROM (SELECT vec_id, bits, unnest(generate_series(0, {_SRP_BANDS - 1})) AS band FROM sig)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
 scored AS (
   SELECT id_a, id_b,
     round(
-      list_sum(list_transform(generate_series(1, len(va)),
-                              i -> cast(va[i] AS double) * cast(vb[i] AS double)))
-      / (sqrt(list_sum(list_transform(va, x -> cast(x AS double) * cast(x AS double))))
-       * sqrt(list_sum(list_transform(vb, x -> cast(x AS double) * cast(x AS double))))),
+      list_sum(list_transform(generate_series(1, len(ea.embedding)),
+                              i -> cast(ea.embedding[i] AS double) * cast(eb.embedding[i] AS double)))
+      / (sqrt(list_sum(list_transform(ea.embedding, x -> cast(x AS double) * cast(x AS double))))
+       * sqrt(list_sum(list_transform(eb.embedding, x -> cast(x AS double) * cast(x AS double))))),
       6) AS cos
-  FROM pairs)
+  FROM cand JOIN ecorpus ea ON ea.vec_id = cand.id_a
+            JOIN ecorpus eb ON eb.vec_id = cand.id_b)
 SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.999
 """
 

@@ -57,3 +57,34 @@ def test_ivf_recall_at_5(spark, em):
     # a query's own vector is in the corpus and always lands in its own cell
     self_hits = sum(1 for q, g in got.items() if q in g)
     assert self_hits == len(got)
+
+
+def test_srp_blocking_bounded_on_unit_normalized(spark):
+    """The degenerate case for scalar-norm blocking: every vector is unit
+    norm, so floor(norm) puts ALL of them in one block (O(n²) pairs). SRP
+    band buckets must keep candidates bounded by true near-dup structure
+    AND still find every injected near-duplicate."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 64
+    V = rng.normal(size=(n, d))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(n)]
+    # 20 injected near-dups of vectors 0..19 (tiny perturbation, renormalized)
+    for i in range(20):
+        w = V[i] + rng.normal(scale=1e-4, size=d)
+        w /= np.linalg.norm(w)
+        rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cand = similarity.srp_candidate_pairs(df, "vec_id", "embedding")
+    n_cand = cand.count()
+    n_total = 420 * 419 // 2
+    assert n_cand < 0.02 * n_total, f"{n_cand} candidates ≈ all-pairs {n_total}"
+
+    pairs = similarity.norm_blocked_near_pairs(
+        df, "vec_id", "embedding", threshold=0.999
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, 1000 + i) for i in range(20)} <= found
