@@ -129,37 +129,33 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 )
 
 
+NGRAM_DF_CAP = 50
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard with shared-shingle blocking (no minhash):
-    candidate pairs share ≥1 shingle, verified against threshold 0.35."""
-    corpus = _dup_corpus(spark, sf_dir)
-    sh = dedup.shingle_rows(corpus, "doc_id", "text", 3)
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        sa.join(sb, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("ic"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
-    jac = F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))
-    return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .filter(jac >= 0.35)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    """Exact n-gram Jaccard with frequency-capped shingle blocking:
+    candidates share ≥1 rare shingle (doc frequency ≤ 50 — a hot
+    stop-shingle is quadratic in its popularity), Jaccard verified over
+    ALL shingles against threshold 0.35."""
+    return dedup.ngram_jaccard_pairs(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", threshold=0.35, k=3,
+        df_cap=NGRAM_DF_CAP,
     )
 
 
 DEDUP_NGRAM_SQL = (
-    "WITH " + _CORPUS_CTE + r""",
+    "WITH " + _CORPUS_CTE + rf""",
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}),
+cand AS (
+  SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+  FROM sh sa JOIN rare r ON r.shingle = sa.shingle
+  JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id),
 inter AS (
-  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS ic
-  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-  GROUP BY 1, 2),
+  SELECT c.id_a, c.id_b, count(*) AS ic
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b),
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
 SELECT i.id_a, i.id_b,
        round(cast(ic AS double)/(za.sz + zb.sz - ic), 6) AS jaccard

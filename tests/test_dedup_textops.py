@@ -88,10 +88,20 @@ def test_norm_blocked_near_pairs(spark):
         (4, [0.1, 0.2]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # default SRP blocking is angle-based: parallel vectors of different
+    # magnitude share every band, so the (1,3) cos=1 pair IS found
     got = {(r["id_a"], r["id_b"]) for r in
            similarity.norm_blocked_near_pairs(df, "vec_id", "embedding", 0.999).collect()}
     assert (1, 2) in got
-    assert (1, 3) not in got  # pruned by norm block (documented trade-off)
+    assert (1, 3) in got
+    # explicit scalar block_col restores single-key blocking (and its trade)
+    norm_got = {(r["id_a"], r["id_b"]) for r in
+                similarity.norm_blocked_near_pairs(
+                    df, "vec_id", "embedding", 0.999,
+                    block_col=F.floor(similarity.l2_norm(F.col("embedding"))),
+                ).collect()}
+    assert (1, 2) in norm_got
+    assert (1, 3) not in norm_got  # pruned by the norm block
 
 
 def test_language_id(corpus):
@@ -121,3 +131,24 @@ def test_fingerprint_stability_and_nulls(spark, corpus):
     fp2 = {r["doc_id"]: r["fingerprint"] for r in
            textops.fingerprint(corpus.repartition(5), "doc_id", "text").collect()}
     assert fp == fp2
+
+
+def test_ngram_jaccard_freq_cap_bounds_hot_shingle(spark):
+    """A boilerplate shingle shared by every doc must not generate O(n²)
+    candidate pairs; true near-dups must still be found via their rare
+    shingles, with Jaccard computed over ALL shingles."""
+    boiler = "terms of service apply to all"
+    rows = [(i, f"{boiler} item{i} alpha{i} beta{i} gamma{i}") for i in range(100)]
+    rows += [(1000, rows[0][1] + " tail"), (1001, rows[1][1] + " tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    metrics = {}
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, df_cap=10, metrics=metrics
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1000) in got and (1, 1001) in got
+    assert metrics["n_shingles_hot"] >= 4  # the boilerplate run of shingles
+    # candidate generation excluded the hot shingles: without the cap the
+    # boilerplate alone yields 102*101/2 ≈ 5k pairs; verified pairs stay 2
+    assert len(got) == 2
