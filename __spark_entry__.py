@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from anomalydetection_spark.plans import driver_queries, driver_queries_dedup
-from anomalydetection_spark.plans.flagship import flagship_suite
+from anomalydetection_spark.plans.flagship import (
+    SUITE_VERDICTS_SQL,
+    flagship_suite,
+    suite_verdicts,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,11 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(driver_queries.QUERIES)
     q.update(driver_queries_dedup.QUERIES)
-    q["suite_verdicts"] = flagship_suite  # non-SQL-expressible: rows-only check
+    # deterministic columns of the flagship suite — full DuckDB oracle twin
+    q["suite_verdicts"] = suite_verdicts
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     sql = dict(driver_queries.ORACLE_SQL)
     sql.update(driver_queries_dedup.ORACLE_SQL)
+    sql["suite_verdicts"] = SUITE_VERDICTS_SQL
     return sql

@@ -65,6 +65,136 @@ def derived_media_assets(spark: SparkSession) -> DataFrame:
     )
 
 
+def suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable flagship suite: the five constraint verdicts over
+    the derived spans table, restricted to the engine-deterministic columns
+    (partition_id, constraint, passed, violation_count, row_count).
+
+    The metrics map (means/stddevs/HLL distinct counts) stays on
+    ``flagship_suite`` — float-sum ordering and approx sketches aren't
+    bit-reproducible across engines; everything here is integer counts and
+    threshold booleans, so the DuckDB twin (SUITE_VERDICTS_SQL) hash-matches.
+    """
+    docs = derive_spans_documents(spark, sf_dir)
+    media = derived_media_assets(spark)
+    baseline = drift.compute_baseline(reassembly.explode_spans_meta(docs))
+    res = run_suite(docs, media, baseline, SuiteConfig(persist_exploded=True))
+    return res.verdicts.select(
+        "partition_id", "constraint", "passed", "violation_count", "row_count"
+    )
+
+
+SUITE_VERDICTS_SQL = """
+WITH docs0 AS (
+  SELECT doc_id::varchar AS doc_id, (doc_id % 4)::int AS partition_id,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+docs1 AS (
+  SELECT doc_id, partition_id, toks,
+         cast(ceil(len(toks) / 5.0) AS int) AS n_chunks
+  FROM docs0),
+sp AS (
+  SELECT doc_id, partition_id, i AS pos, i AS offset,
+    CASE WHEN i % 4 = 3 THEN 'image' ELSE 'text' END AS kind,
+    CASE WHEN i % 4 = 3 THEN NULL
+         ELSE length(array_to_string(list_slice(toks, i*5+1, i*5+5), ' ')) END AS text_len,
+    CASE WHEN i % 4 = 3 THEN
+      printf('m-%05d', ('0x'||substr(md5(doc_id || '#' || i::varchar),1,15))::bigint % 120)
+    END AS media_ref
+  FROM (SELECT doc_id, partition_id, toks,
+               unnest(generate_series(0, n_chunks - 1)) AS i
+        FROM docs1 WHERE n_chunks > 0)),
+doc_stats AS (
+  SELECT partition_id, count(*) AS n_docs,
+         avg(CASE WHEN n_chunks = 0 THEN 1.0 ELSE 0.0 END) AS empty_rate
+  FROM docs1 GROUP BY 1),
+span_stats AS (
+  SELECT partition_id, count(*) AS n_spans,
+    sum(CASE WHEN kind IN ('text','code') THEN 1 ELSE 0 END) AS n_texty,
+    sum(CASE WHEN kind IN ('text','code') AND text_len IS NULL THEN 1 ELSE 0 END) AS n_null_text
+  FROM sp GROUP BY 1),
+stats_v AS (
+  SELECT d.partition_id, 'column_stats' AS "constraint",
+     (d.n_docs >= 1 AND d.empty_rate <= 0.05 AND
+      (CASE WHEN s.n_texty > 0 THEN cast(s.n_null_text AS double)/s.n_texty
+            ELSE 0.0 END) <= 0.05) AS passed,
+     cast(coalesce(s.n_null_text, 0) AS bigint) AS violation_count,
+     cast(d.n_docs AS bigint) AS row_count
+  FROM doc_stats d LEFT JOIN span_stats s USING (partition_id)),
+uniq_dups AS (SELECT doc_id FROM docs1 GROUP BY doc_id HAVING count(*) > 1),
+uniq_v AS (
+  SELECT partition_id, 'uniqueness' AS "constraint",
+     sum(CASE WHEN doc_id IN (SELECT doc_id FROM uniq_dups) THEN 1 ELSE 0 END) = 0 AS passed,
+     cast(sum(CASE WHEN doc_id IN (SELECT doc_id FROM uniq_dups) THEN 1 ELSE 0 END) AS bigint)
+       AS violation_count,
+     cast(count(*) AS bigint) AS row_count
+  FROM docs1 GROUP BY 1),
+media AS (SELECT printf('m-%05d', unnest(generate_series(0, 99))) AS media_ref),
+ref_viol AS (
+  SELECT partition_id, count(*) AS viol FROM sp
+  WHERE media_ref IS NOT NULL AND media_ref NOT IN (SELECT media_ref FROM media)
+  GROUP BY 1),
+ref_v AS (
+  SELECT s.partition_id, 'referential' AS "constraint",
+     coalesce(v.viol, 0) = 0 AS passed,
+     cast(coalesce(v.viol, 0) AS bigint) AS violation_count,
+     cast(s.n_spans AS bigint) AS row_count
+  FROM span_stats s LEFT JOIN ref_viol v USING (partition_id)),
+so_doc AS (
+  SELECT d.doc_id, d.partition_id,
+    CASE WHEN d.n_chunks = 0 THEN TRUE
+         ELSE coalesce(
+           list_sort(list(s.offset::bigint)) = generate_series(0, d.n_chunks - 1), FALSE)
+    END AS ok
+  FROM docs1 d LEFT JOIN sp s USING (doc_id, partition_id)
+  GROUP BY d.doc_id, d.partition_id, d.n_chunks),
+so_v AS (
+  SELECT partition_id, 'span_order' AS "constraint",
+     bool_and(ok) AS passed,
+     cast(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS bigint) AS violation_count,
+     cast(count(*) AS bigint) AS row_count
+  FROM so_doc GROUP BY 1),
+fb AS (
+  SELECT partition_id, 'span_kind' AS feature, kind AS bucket FROM sp
+  UNION ALL
+  SELECT partition_id, 'span_length',
+         cast(cast(least(floor(text_len / 20), 19) AS bigint) AS varchar)
+  FROM sp WHERE text_len IS NOT NULL),
+cur AS (
+  SELECT partition_id, feature, bucket,
+         cast(count(*) AS double) / sum(count(*)) OVER (PARTITION BY partition_id, feature) AS p
+  FROM fb GROUP BY 1, 2, 3),
+base AS (
+  SELECT feature, bucket,
+         cast(count(*) AS double) / sum(count(*)) OVER (PARTITION BY feature) AS q
+  FROM fb GROUP BY 1, 2),
+grid AS (
+  SELECT pp.partition_id, b.feature, b.bucket, b.q
+  FROM (SELECT DISTINCT partition_id FROM fb) pp CROSS JOIN base b),
+dj AS (
+  SELECT g.partition_id, g.feature,
+         coalesce(c.p, 0) + 1e-6 AS p, g.q + 1e-6 AS q
+  FROM grid g LEFT JOIN cur c
+    ON c.partition_id = g.partition_id AND c.feature = g.feature AND c.bucket = g.bucket),
+dscores AS (
+  SELECT partition_id, feature,
+         sum(p * ln(p / q)) AS kl, sum((p - q) * ln(p / q)) AS psi
+  FROM dj GROUP BY 1, 2),
+drift_v AS (
+  SELECT d.partition_id, 'distribution_drift' AS "constraint",
+     bool_and(d.kl <= 0.05 AND d.psi <= 0.1) AS passed,
+     cast(sum(CASE WHEN NOT (d.kl <= 0.05 AND d.psi <= 0.1) THEN 1 ELSE 0 END) AS bigint)
+       AS violation_count,
+     cast(max(s.n_spans) AS bigint) AS row_count
+  FROM dscores d JOIN span_stats s USING (partition_id) GROUP BY 1)
+SELECT * FROM stats_v
+UNION ALL SELECT * FROM uniq_v
+UNION ALL SELECT * FROM ref_v
+UNION ALL SELECT * FROM so_v
+UNION ALL SELECT * FROM drift_v
+"""
+
+
 def flagship_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run stats+uniqueness+referential+drift+span_order on the derived
     spans table; returns the per-(partition, constraint) verdicts with the

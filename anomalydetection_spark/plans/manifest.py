@@ -226,6 +226,36 @@ class ResumableValidator:
     def run_reports(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out_dir}/run_reports")
 
+    def latest_run(self) -> DataFrame:
+        """The most recent run report (one row) — the engine's analog of the
+        reference's ``search_runs(order_by=['start_time DESC'], max_results=1)``
+        best-run lookup (end_to_end_prediction.py:133-138). ``max_by`` over
+        the run history: one aggregate, no sort, tie-broken by run_id."""
+        r = self.run_reports()
+        cols = r.columns
+        return r.agg(
+            F.max_by(F.struct(*cols), F.struct("finished_at", "run_id")).alias("_r")
+        ).select(*[F.col(f"_r.{c}").alias(c) for c in cols])
+
+    def best_run(self, metric: str = "violation_count", ascending: bool = True) -> DataFrame:
+        """The run report optimal under ``metric`` (default: fewest
+        violations; ``ascending=False`` for largest-is-best metrics) — the
+        search_runs ``order_by=['metrics.x']`` analog. Ties break to the
+        most recent run."""
+        r = self.run_reports()
+        cols = r.columns
+        # one max_by key: negate the metric when smaller-is-better so "max"
+        # optimizes it, then recency (ISO-UTC strings sort chronologically)
+        # then run_id break ties
+        key = F.struct(
+            (F.col(metric) * (-1 if ascending else 1)).alias("m"),
+            F.col("finished_at").alias("ts"),
+            F.col("run_id").alias("rid"),
+        )
+        return r.agg(F.max_by(F.struct(*cols), key).alias("_r")).select(
+            *[F.col(f"_r.{c}").alias(c) for c in cols]
+        )
+
     def verdicts(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out_dir}/verdicts")
 

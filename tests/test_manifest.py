@@ -161,3 +161,27 @@ def test_manifest_pointer_swap_never_leaves_gap(spark, tmp_path):
     m = store.read()
     assert m.count() == 2
     assert {r["partition_id"] for r in m.collect()} == {0, 1}
+
+
+def test_latest_and_best_run_selection(spark, tmp_path):
+    """search_runs analog: latest-by-time and best-by-metric over the
+    run_reports history (max_by aggregate, no sort)."""
+    from anomalydetection_spark.plans.manifest import ResumableValidator
+
+    v = ResumableValidator(spark, str(tmp_path / "st"), str(tmp_path / "out"))
+    rows = [
+        ("r1", "2026-08-01T10:00:00+00:00", 4, 0, 100, 7, False),
+        ("r2", "2026-08-02T10:00:00+00:00", 4, 0, 100, 3, False),
+        ("r3", "2026-08-03T10:00:00+00:00", 2, 2, 100, 3, False),  # ties r2 on metric, newer
+        ("r4", "2026-08-02T12:00:00+00:00", 4, 0, 100, 9, False),
+    ]
+    spark.createDataFrame(
+        rows,
+        "run_id string, finished_at string, n_partitions_validated int, "
+        "n_partitions_skipped int, row_count long, violation_count long, all_passed boolean",
+    ).write.mode("overwrite").parquet(str(tmp_path / "out" / "run_reports"))
+
+    assert v.latest_run().first()["run_id"] == "r3"
+    assert v.best_run("violation_count").first()["run_id"] == "r3"   # tie → newest
+    assert v.best_run("violation_count", ascending=False).first()["run_id"] == "r4"
+    assert v.best_run("row_count", ascending=False).first()["run_id"] == "r3"  # tie → newest
