@@ -106,6 +106,90 @@ def ivf_assign(
     return best.select(id_col, F.col("_best.cell").alias("cell"), F.col("_best.dist").alias("dist"))
 
 
+def ivf_assign_topn(
+    items: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """The ``nprobe`` nearest centroid cells per vector: (id, cell, probe_rk).
+
+    Same broadcast-crossJoin distance pass as ``ivf_assign``; ranking is a
+    window partitioned BY VECTOR (bounded: |centroids| rows per partition),
+    deterministic on (rounded dist, cell)."""
+    cents = F.broadcast(
+        centroids.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = items.crossJoin(cents).select(
+        id_col, F.col("_cid").alias("cell"), F.round(d2, 6).alias("dist")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    return (
+        scored.withColumn("probe_rk", F.row_number().over(w))
+        .filter(F.col("probe_rk") <= nprobe)
+        .select(id_col, "cell", "probe_rk")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    n_iters: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column → a centroids
+    DataFrame shaped for ``ivf_topk`` (same id/vec column names).
+
+    Per iteration: one broadcast-crossJoin assignment pass (argmin over k
+    centroids, all JVM) + one element-wise mean (posexplode → (cell, dim)
+    hash agg with map-side partials). Centroids collect k×d values to the
+    driver each round — bounded by the model size, not the data. Init is
+    the k vectors with the smallest md5(id) (a deterministic spread-out
+    sample; no RNG state). At 10^12 rows fit on a sampled subset — the
+    assignment pass is the only full-table scan the final index needs.
+    Empty cells keep their previous centroid."""
+    spark = df.sparkSession
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
+
+    def cents_df(c):
+        return spark.createDataFrame(c, f"{id_col} long, {vec_col} array<double>")
+
+    for _ in range(n_iters):
+        assigned = ivf_assign(df, cents_df(cents), id_col, vec_col).select(id_col, "cell")
+        comp = (
+            df.join(assigned, id_col)
+            .select("cell", F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+        )
+        rows = (
+            comp.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s"))
+            .select("cell", F.transform("s", lambda x: x["m"]).alias("vec"))
+            .collect()
+        )
+        new = {r["cell"]: [float(x) for x in r["vec"]] for r in rows}
+        cents = [(c, new.get(c, v)) for c, v in cents]
+    return cents_df(cents)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,19 +197,21 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-pruned cosine top-k: both sides are cell-assigned, then each
-    query searches ONLY its own cell (nprobe=1) — the scale path where
-    brute force's |q|×|corpus| join becomes |q|×|cell|.
+    """IVF-pruned cosine top-k: the corpus is cell-assigned once, each
+    query searches its ``nprobe`` nearest cells — the scale path where
+    brute force's |q|×|corpus| join becomes |q|×(nprobe·|cell|).
 
-    Recall is traded for the prune (a neighbor in another cell is missed);
-    the brute-force operator is the correctness baseline to measure that
-    trade against.
+    Recall is traded for the prune (a neighbor outside the probed cells is
+    missed); the brute-force operator is the correctness baseline to
+    measure that trade against, ``kmeans_fit`` trains centroids that match
+    the data's structure, and ``nprobe`` dials the trade at query time.
     """
     c_cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "cell"
     )
-    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q_cells = ivf_assign_topn(queries, centroids, id_col, vec_col, nprobe).select(
         F.col(id_col).alias("query_id"), "cell"
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")).join(

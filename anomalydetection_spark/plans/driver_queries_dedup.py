@@ -256,14 +256,19 @@ SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.999
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned ANN (similarity.ivf_topk): coarse-quantize corpus and
-    queries to 8 fixed centroid cells, search only the query's own cell —
-    the scale path next to the brute-force baseline (`ann_cosine_topk`)."""
+    """IVF-pruned ANN (similarity.ivf_topk): coarse-quantize the corpus to
+    8 fixed centroid cells, each query probes its 2 nearest cells
+    (nprobe=2) — the scale path next to the brute-force baseline
+    (`ann_cosine_topk`). Fixed deterministic centroids keep the DuckDB
+    twin exact; `similarity.kmeans_fit` trains real centroids (recall
+    measured in tests/test_similarity_recall.py)."""
     em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = em.filter(F.col("vec_id") < 8)
     corpus = em.filter(F.col("vec_id") >= 10)
     queries = em.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
-    return similarity.ivf_topk(corpus, queries, centroids, "vec_id", "embedding", k=5)
+    return similarity.ivf_topk(
+        corpus, queries, centroids, "vec_id", "embedding", k=5, nprobe=2
+    )
 
 
 ANN_IVF_SQL = """
@@ -280,8 +285,20 @@ assigned AS (
           ct.cid) AS rn
     FROM corp c CROSS JOIN cents ct)
   WHERE rn = 1),
+q_assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.cid AS cell,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+            i -> (cast(c.embedding[i] AS double) - cast(ct.cv[i] AS double))
+               * (cast(c.embedding[i] AS double) - cast(ct.cv[i] AS double)))), 6),
+          ct.cid) AS rn
+    FROM corp c CROSS JOIN cents ct
+    WHERE c.vec_id BETWEEN 100 AND 109)
+  WHERE rn <= 2),
 q AS (SELECT c.vec_id AS query_id, c.embedding AS qv, a.cell
-      FROM corp c JOIN assigned a ON a.vec_id = c.vec_id
+      FROM corp c JOIN q_assigned a ON a.vec_id = c.vec_id
       WHERE c.vec_id BETWEEN 100 AND 109),
 c2 AS (SELECT c.vec_id AS neighbor_id, c.embedding AS cv, a.cell
        FROM corp c JOIN assigned a ON a.vec_id = c.vec_id),
