@@ -99,6 +99,89 @@ def mine_templates(parsed: DataFrame, content_col: str = "Content") -> DataFrame
     )
 
 
+def generalize_templates(
+    templated: DataFrame,
+    template_col: str = "template",
+    max_wildcards: int = 2,
+) -> DataFrame:
+    """Drain-style cluster refinement after regex masking (drain.py:53-67):
+    templates sharing the Drain tree key — (token count, first two tokens,
+    last token) — are merged token-wise, each position where members
+    disagree generalized to ``<*>``, PROVIDED the merged template would
+    gain at most ``max_wildcards`` new wildcard positions (the relational
+    analog of Drain's similarity threshold: too-dissimilar templates stay
+    separate clusters). Heterogeneous corpora thus converge to Drain-like
+    cluster counts instead of fragmenting per literal value.
+
+    Input: one row per raw template (with its ``n`` count, e.g. from a
+    groupBy). Output: (template, n_templates_merged, n_events) — merged
+    groups plus untouched singletons/overflow groups.
+
+    Scale: two hash aggregates over (group key, position) rows — the
+    explode is bounded by Σ tokens over *distinct templates*, not events;
+    min/max per position get map-side partials; no window, no Python.
+    """
+    toks = F.split(F.col(template_col), r"\s+")
+    keyed = templated.select(
+        F.col(template_col).alias("_tpl"),
+        F.col("n"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n_tok"),
+        F.element_at(toks, 1).alias("_t1"),
+        F.element_at(toks, 2).alias("_t2"),
+        F.element_at(toks, -1).alias("_tl"),
+    )
+    gkey = ["_n_tok", "_t1", "_t2", "_tl"]
+    pos = keyed.select(
+        *gkey, "_tpl", "n", F.posexplode("_toks").alias("_p", "_tok")
+    )
+    per_pos = pos.groupBy(*gkey, "_p").agg(
+        F.min("_tok").alias("_lo"), F.max("_tok").alias("_hi")
+    )
+    merged = (
+        per_pos.select(
+            *gkey,
+            "_p",
+            F.when(F.col("_lo") == F.col("_hi"), F.col("_lo")).otherwise(F.lit("<*>")).alias("_mt"),
+            (F.col("_lo") != F.col("_hi")).cast("int").alias("_wild"),
+        )
+        .groupBy(*gkey)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_p", "_mt"))), lambda x: x["_mt"]
+                ),
+            ).alias("_merged_tpl"),
+            F.sum("_wild").alias("_n_new_wild"),
+        )
+    )
+    grp = keyed.groupBy(*gkey).agg(
+        F.sum("n").alias("_n_events"), F.count("*").alias("_n_tpls")
+    )
+    decided = merged.join(grp, gkey).select(
+        *gkey,
+        (F.col("_n_new_wild") <= F.lit(max_wildcards)).alias("_do_merge"),
+        "_merged_tpl",
+        "_n_events",
+        "_n_tpls",
+    )
+    merged_out = decided.filter(F.col("_do_merge")).select(
+        F.col("_merged_tpl").alias("template"),
+        F.col("_n_tpls").cast("long").alias("n_templates_merged"),
+        F.col("_n_events").cast("long").alias("n_events"),
+    )
+    kept_out = (
+        keyed.join(decided.filter(~F.col("_do_merge")).select(*gkey), gkey)
+        .select(
+            F.col("_tpl").alias("template"),
+            F.lit(1).cast("long").alias("n_templates_merged"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )
+    return merged_out.unionByName(kept_out)
+
+
 # --- stage 3: frequency filter (preprocessing.py:4-13) ----------------------
 
 def frequency_filter(

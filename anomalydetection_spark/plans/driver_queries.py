@@ -619,6 +619,69 @@ FROM events GROUP BY 1
 """
 
 
+def template_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-style template generalization (pipeline.generalize_templates,
+    the cluster-refinement step the regex mask alone lacks — drain.py:53-67):
+    render a log line per event, digit-mask it, then merge templates that
+    share the Drain tree key and differ in ≤2 token positions. The 15 raw
+    templates (5 event types × 3 regions) converge to 5 — one per event
+    type, region generalized to <*>."""
+    from anomalydetection_spark import pipeline
+
+    e = _t(spark, sf_dir, "events")
+    region = F.element_at(
+        F.array(F.lit("us"), F.lit("eu"), F.lit("ap")),
+        (F.pmod("user_id", F.lit(3)) + 1).cast("int"),
+    )
+    msg = F.concat_ws(
+        " ",
+        F.lit("evt"),
+        "event_type",
+        F.lit("region"),
+        region,
+        F.lit("took"),
+        F.floor("value").cast("long").cast("string"),
+        F.lit("ms"),
+    )
+    template = F.regexp_replace(msg, r"\d+", "<*>")
+    tpl = e.select(template.alias("template")).groupBy("template").agg(
+        F.count("*").alias("n")
+    )
+    return pipeline.generalize_templates(tpl, max_wildcards=2)
+
+
+TEMPLATE_MERGE_SQL = r"""
+WITH msg AS (
+  SELECT 'evt ' || event_type || ' region ' ||
+         (['us','eu','ap'])[cast(user_id % 3 + 1 AS int)] ||
+         ' took ' || cast(cast(floor(value) AS bigint) AS varchar) || ' ms' AS m
+  FROM events),
+tpl AS (SELECT regexp_replace(m, '\d+', '<*>', 'g') AS template, count(*) AS n
+        FROM msg GROUP BY 1),
+k2 AS (SELECT template, n, toks, len(toks) AS n_tok, toks[1] AS t1, toks[2] AS t2,
+              toks[len(toks)] AS tl
+       FROM (SELECT template, n, string_split_regex(template, '\s+') AS toks FROM tpl)),
+ptok AS (SELECT n_tok, t1, t2, tl, p, toks[p] AS tok
+         FROM (SELECT n_tok, t1, t2, tl, toks,
+                      unnest(generate_series(1, n_tok)) AS p FROM k2)),
+per_pos AS (SELECT n_tok, t1, t2, tl, p, min(tok) AS lo, max(tok) AS hi
+            FROM ptok GROUP BY 1, 2, 3, 4, 5),
+merged AS (SELECT n_tok, t1, t2, tl,
+       string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END, ' ' ORDER BY p) AS merged_tpl,
+       sum(CASE WHEN lo <> hi THEN 1 ELSE 0 END) AS n_new_wild
+    FROM per_pos GROUP BY 1, 2, 3, 4),
+grp AS (SELECT n_tok, t1, t2, tl, sum(n) AS n_events, count(*) AS n_tpls
+        FROM k2 GROUP BY 1, 2, 3, 4),
+dec AS (SELECT * FROM merged JOIN grp USING (n_tok, t1, t2, tl))
+SELECT merged_tpl AS template, cast(n_tpls AS bigint) AS n_templates_merged,
+       cast(n_events AS bigint) AS n_events
+FROM dec WHERE n_new_wild <= 2
+UNION ALL
+SELECT k.template, cast(1 AS bigint) AS n_templates_merged, cast(k.n AS bigint) AS n_events
+FROM k2 k JOIN dec d USING (n_tok, t1, t2, tl) WHERE d.n_new_wild > 2
+"""
+
+
 def roc_auc_embeddings(
     spark: SparkSession, sf_dir: str, n_buckets: int = 1024
 ) -> DataFrame:
@@ -1071,6 +1134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_hourly": tumbling_hourly,
     "sample_deterministic": sample_deterministic,
     "template_mining_events": template_mining_events,
+    "template_merge_events": template_merge_events,
     "roc_auc_embeddings": roc_auc_embeddings,
     "cube_order_counts": cube_order_counts,
     "stratified_sample_langs": stratified_sample_langs,
@@ -1105,6 +1169,7 @@ ORACLE_SQL: dict[str, str] = {
     "tumbling_hourly": TUMBLING_SQL,
     "sample_deterministic": SAMPLE_SQL,
     "template_mining_events": TEMPLATE_MINING_SQL,
+    "template_merge_events": TEMPLATE_MERGE_SQL,
     "roc_auc_embeddings": ROC_AUC_SQL,
     "cube_order_counts": CUBE_SQL,
     "stratified_sample_langs": STRATIFIED_SQL,

@@ -81,3 +81,29 @@ def test_end_to_end_metrics(raw_logs):
     assert set(report.columns) == {
         "label", "log", "template", "params", "anomaly_score", "anomaly_prediction"
     }
+
+
+def test_generalize_templates_merge_and_overflow(spark):
+    """Drain-refinement analog: same-key templates differing in ≤K token
+    positions merge (disagreeing positions → <*>); a group needing more
+    than K new wildcards stays unmerged."""
+    from anomalydetection_spark import pipeline
+
+    rows = [
+        # group A (5 tokens, 'get file', end 'ok'): differs only at pos 3 → merge
+        ("get file alpha from ok", 10),
+        ("get file beta from ok", 5),
+        # group B: differs at 3 positions → exceeds max_wildcards=2, kept apart
+        ("put obj a b c d end", 3),
+        ("put obj x y z d end", 4),
+        # singleton
+        ("delete tmp now", 7),
+    ]
+    df = spark.createDataFrame(rows, "template string, n long")
+    out = {r["template"]: (r["n_templates_merged"], r["n_events"])
+           for r in pipeline.generalize_templates(df, max_wildcards=2).collect()}
+    assert out["get file <*> from ok"] == (2, 15)
+    assert out["put obj a b c d end"] == (1, 3)
+    assert out["put obj x y z d end"] == (1, 4)
+    assert out["delete tmp now"] == (1, 7)
+    assert len(out) == 4
