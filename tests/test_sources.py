@@ -47,3 +47,52 @@ def test_iceberg_gated(spark):
 def test_read_table_parquet_fallback(spark, tmp_path):
     spark.range(5).write.parquet(str(tmp_path / "t"))
     assert io.read_table(spark, str(tmp_path / "t")).count() == 5
+
+
+def test_full_suite_through_table_io_contract(spark, tmp_path):
+    """Iceberg-swap contract: the entire validation suite run through
+    write_table → read_table (the format-gated path) must produce verdicts
+    identical to running on the in-memory frames. The iceberg branch
+    itself can't execute here (no runtime jars — documented in README);
+    this pins that the swap surface is the only difference."""
+    from anomalydetection_spark.datagen import (
+        DataGenConfig, clean_config, generate_documents, generate_media_assets,
+    )
+    from anomalydetection_spark.operators import drift, reassembly
+    from anomalydetection_spark.plans.suite import run_suite
+    from anomalydetection_spark.sources.io import read_table, write_table
+
+    cfg = DataGenConfig(n_docs=600, n_partitions=3, n_media=150)
+    docs = generate_documents(spark, cfg)
+    media = generate_media_assets(spark, cfg)
+    baseline = drift.compute_baseline(
+        reassembly.explode_spans_meta(generate_documents(spark, clean_config(cfg)))
+    )
+
+    write_table(docs, str(tmp_path / "docs"), partition_by=["partition_id"])
+    write_table(media, str(tmp_path / "media"))
+    write_table(baseline, str(tmp_path / "baseline"))
+    docs2 = read_table(spark, str(tmp_path / "docs"), fmt="auto")
+    media2 = read_table(spark, str(tmp_path / "media"))
+    baseline2 = read_table(spark, str(tmp_path / "baseline"))
+
+    def key(df):
+        return sorted(
+            (r["partition_id"], r["constraint"], r["passed"], r["violation_count"],
+             r["row_count"])
+            for r in df.collect()
+        )
+
+    direct = run_suite(docs, media, baseline)
+    roundtrip = run_suite(docs2, media2, baseline2)
+    assert key(direct.verdicts) == key(roundtrip.verdicts)
+    assert direct.violations.count() == roundtrip.violations.count()
+
+    # both sides of the format gate: explicit iceberg fmt must fail loudly
+    # here (no silent parquet fallback masking a misconfigured cluster)
+    import pytest as _pytest
+    from anomalydetection_spark.sources.io import iceberg_available
+
+    assert not iceberg_available(spark)
+    with _pytest.raises(RuntimeError, match="iceberg runtime jars"):
+        read_table(spark, "catalog.db.docs", fmt="iceberg")

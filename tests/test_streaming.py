@@ -173,3 +173,63 @@ def test_running_stats_stream(spark, stream_env):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_accepts_in_horizon(spark, tmp_path):
+    """Multi-batch out-of-order arrival: a row whose WINDOW END is behind
+    the watermark is DROPPED (the closed window's emitted count is final);
+    late rows whose window is still open are ACCEPTED — the declared
+    late-data contract, asserted per window.
+
+    Note Spark's late-event filter uses the watermark finalized at the end
+    of the *previous* micro-batch, so an extra settling batch sits between
+    the on-time data and the late arrivals to make the drop deterministic.
+    """
+    from anomalydetection_spark.streaming.validate_stream import (
+        start_windowed_violation_stream,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [
+                (
+                    f"d{i}",
+                    [{"kind": "text", "text": "x", "media_ref": None, "offset": 0}],
+                    0,
+                    ts,
+                )
+                for i, ts in rows
+            ],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, partition_id int, event_ts timestamp",
+        )
+
+    import datetime
+    import time as _time
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    indir = str(tmp_path / "in")
+    # batch 1: W0 [00:00,00:10) x2, W2 [00:20,00:30) x1 → wm becomes 00:17
+    docs([(0, t(5)), (1, t(6)), (2, t(22))]).coalesce(1).write.mode("append").parquet(indir)
+    _time.sleep(1.2)  # distinct mod-times: the file source orders batches by them
+    # batch 2: settles the 00:17 watermark into the late-event filter
+    docs([(7, t(22))]).coalesce(1).write.mode("append").parquet(indir)
+    _time.sleep(1.2)
+    # batch 3: d3@00:08 → W0 end 00:10 < wm → DROPPED;
+    #          d4@00:15, d5@00:18 → W1 end 00:20 > wm → ACCEPTED (late but open)
+    docs([(3, t(8)), (4, t(15)), (5, t(18))]).coalesce(1).write.mode("append").parquet(indir)
+    _time.sleep(1.2)
+    # batch 4: flush far ahead so W1/W2 finalize in append mode
+    docs([(9, datetime.datetime(2024, 1, 1, 1, 0))]).coalesce(1).write.mode("append").parquet(indir)
+
+    q = start_windowed_violation_stream(
+        spark, indir, str(tmp_path / "ckpt"),
+        window="10 minutes", watermark="5 minutes", queryName="late_test",
+    )
+    q.awaitTermination(150)
+    rows = spark.sql("SELECT * FROM late_test").collect()
+    got = {str(r["window_start"])[11:16]: r["n_docs"] for r in rows}
+    assert len(rows) == len(got)        # each window emitted exactly once
+    assert got.get("00:00") == 2, got   # late d3 dropped: count is final
+    assert got.get("00:10") == 2, got   # open-window late rows accepted
+    assert got.get("00:20") == 2, got   # on-time rows across two batches
