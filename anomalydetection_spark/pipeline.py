@@ -226,14 +226,18 @@ def embed(df: DataFrame, text_col: str = "template", dim: int = EMBED_DIM) -> Da
         vdim = proj.shape[0]
         for s in batches:
             mats = np.zeros((len(s), vdim), dtype=np.float32)
-            for i, text in enumerate(s.fillna("")):
-                if text:
-                    # crc32, NOT hash(): python str hashing is salted per
-                    # process and would differ across executors
-                    idx = np.array(
-                        [zlib.crc32(t.encode()) % vdim for t in text.split()], dtype=np.int64
-                    )
-                    np.add.at(mats[i], idx, 1.0)
+            # one pandas explode per batch, then crc32 only per UNIQUE token
+            # (log corpora are template-shaped: the vocabulary is tiny next
+            # to the token stream) — no per-row Python loop.
+            # crc32, NOT hash(): python str hashing is salted per process
+            # and would differ across executors.
+            toks = s.reset_index(drop=True).fillna("").str.split().explode().dropna()
+            if len(toks):
+                uniq, inv = np.unique(toks.to_numpy(dtype=object), return_inverse=True)
+                codes = np.array(
+                    [zlib.crc32(u.encode()) % vdim for u in uniq], dtype=np.int64
+                )
+                np.add.at(mats, (toks.index.to_numpy(), codes[inv]), 1.0)
             yield pd.Series(list((mats @ proj).astype(np.float32)))
 
     return df.withColumn("embedding", _embed(F.col(text_col)))

@@ -147,6 +147,7 @@ class ResumableValidator:
         baseline: DataFrame,
         cfg: SuiteConfig = SuiteConfig(),
         with_sketches: bool = True,
+        partition_ids: list[int] | None = None,
     ) -> dict:
         """One (possibly resumed) validation pass. Returns run summary with
         the set of partitions validated this pass.
@@ -155,10 +156,22 @@ class ResumableValidator:
         span text lengths per partition and stores the serialized blob in
         the manifest (X2/U5) — incremental consumers merge new partials
         into global quantiles without rescanning finished partitions.
+
+        ``partition_ids``: the table's partition values when the caller
+        knows them from table METADATA (Iceberg partition summaries / Hive
+        partition listing) — skips the fallback ``distinct()`` job, which
+        scans the whole fact table just to enumerate a value the metastore
+        already holds. Always pass this at real table scale.
         """
         done = self.manifest.done_partitions()
         pending_docs = docs.filter(~F.col("partition_id").isin(list(done))) if done else docs
-        todo = [r["partition_id"] for r in pending_docs.select("partition_id").distinct().collect()]
+        if partition_ids is not None:
+            todo = [p for p in partition_ids if p not in done]
+        else:
+            todo = [
+                r["partition_id"]
+                for r in pending_docs.select("partition_id").distinct().collect()
+            ]
         run_id = uuid.uuid4().hex[:12]
         if not todo:
             return {"run_id": run_id, "validated_partitions": [], "skipped_partitions": sorted(done)}

@@ -283,6 +283,10 @@ def main() -> int:
     flagship_suite(spark, sf_dir).collect()
     timings["flagship_suite"] = round(time.time() - t0, 3)
     spark.stop()
+    # let the headline-query JVM actually exit before measuring the suite —
+    # its shutdown/GC otherwise overlaps the worker and inflates the
+    # measurement by ~50% (observed 16.3s vs 10.9s standalone)
+    time.sleep(8)
 
     # suite throughput on the north-rule synthetic workload (fresh session,
     # subprocess so JVM/session state can't leak into the measurement)
