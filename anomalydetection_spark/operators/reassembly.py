@@ -48,19 +48,40 @@ def explode_spans_meta(docs: DataFrame) -> DataFrame:
     by ``text_len`` (NULL iff text NULL). The suite's aggregations never
     need the string bytes — carrying lengths instead cuts the exploded row
     width ~3×, which is what flows through the shared exchange / agg hash
-    tables at 10^12 spans."""
-    return docs.select(
+    tables at 10^12 spans.
+
+    Built as per-field array extractions (``spans.kind`` etc. —
+    GetArrayStructFields) zipped back by position, NOT
+    ``posexplode(spans)`` on the whole struct: Catalyst's nested-schema
+    pruning reaches through field extractions but not through a
+    generator over the full struct, so a consumer that drops a column
+    here (referential uses only kind+media_ref, drift only
+    kind+text_len) gets a parquet scan that skips the fat ``text`` leaf
+    entirely — measured as every span-level branch of the suite reading
+    ALL leaves before this formulation."""
+    base = docs.select(
         "doc_id",
         "partition_id",
-        F.posexplode("spans").alias("pos", "span"),
+        F.col("spans.kind").alias("_kinds"),
+        F.transform("spans", lambda s: F.length(s["text"])).alias("_tlens"),
+        F.col("spans.media_ref").alias("_refs"),
+        F.col("spans.offset").alias("_offsets"),
+    )
+    return base.select(
+        "doc_id",
+        "partition_id",
+        F.posexplode("_kinds").alias("pos", "kind"),
+        "_tlens",
+        "_refs",
+        "_offsets",
     ).select(
         "doc_id",
         "partition_id",
         "pos",
-        F.col("span.kind").alias("kind"),
-        F.length("span.text").alias("text_len"),
-        F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").alias("offset"),
+        "kind",
+        F.element_at("_tlens", F.col("pos") + 1).alias("text_len"),
+        F.element_at("_refs", F.col("pos") + 1).alias("media_ref"),
+        F.element_at("_offsets", F.col("pos") + 1).alias("offset"),
     )
 
 
@@ -132,12 +153,15 @@ def check(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     the spans column (no explode, no shuffle except the final per-partition
     count agg).
     """
-    offsets = F.transform("spans", lambda s: s["offset"])
-    is_perm = F.array_sort(offsets) == F.sequence(F.lit(0), F.size("spans") - 1)
+    # spans.offset (GetArrayStructFields) instead of transform(spans, …):
+    # nested pruning reaches through the field extraction, so this check's
+    # parquet scan reads ONLY the offset leaf — not kind/text/media_ref
+    offsets = F.col("spans.offset")
+    is_perm = F.array_sort(offsets) == F.sequence(F.lit(0), F.size(offsets) - 1)
     checked = docs.select(
         "doc_id",
         "partition_id",
-        F.when(F.size("spans") == 0, F.lit(True)).otherwise(is_perm).alias("ok"),
+        F.when(F.size(offsets) == 0, F.lit(True)).otherwise(is_perm).alias("ok"),
     )
 
     violations = checked.filter(~F.col("ok")).select(

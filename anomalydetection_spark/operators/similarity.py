@@ -73,6 +73,58 @@ def brute_force_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def brute_force_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Arrow/BLAS variant of ``brute_force_topk`` for LARGE query batches:
+    the query matrix is collected once (bounded by the query set, not the
+    corpus), shipped in the UDF closure, and every corpus Arrow batch does
+    ONE sgemm against it — thousands of queries per batch at memory
+    bandwidth instead of |q| per-row expression evaluations.
+
+    Emits per-partition top-k candidates from ``mapInPandas`` (k rows per
+    query per input partition), then one global rank window per query —
+    the shuffle carries k·|queries|·|partitions| candidate rows, never the
+    |q|×|corpus| score matrix. Same output contract as the JVM operator:
+    cosine rounded to 6, (cos desc, neighbor_id) ordering.
+    """
+    import pandas as pd
+
+    qid = query_id_col or id_col
+    qrows = queries.select(qid, vec_col).collect()
+    q_ids = np.array([r[qid] for r in qrows])
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cos double"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = np.round(Qn @ Cn.T, 6)  # |q| × |batch| in one gemm
+            n_keep = min(k, S.shape[1])
+            # per-query top-k within the batch (argpartition: O(n) not sort)
+            idx = np.argpartition(-S, n_keep - 1, axis=1)[:, :n_keep]
+            rows = {
+                "query_id": np.repeat(q_ids, n_keep),
+                "neighbor_id": pdf[id_col].to_numpy()[idx].reshape(-1),
+                "cos": np.take_along_axis(S, idx, axis=1).reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return partial.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

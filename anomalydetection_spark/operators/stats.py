@@ -43,11 +43,14 @@ def check(
 ) -> tuple[DataFrame, DataFrame]:
     """column_stats constraint → (verdicts, violations)."""
     # --- doc-level single-pass agg ---------------------------------------
+    # span count via the offset leaf (same length as spans; nested pruning
+    # then reads one int leaf instead of the whole struct incl. text)
+    n_spans_arr = F.size(F.col("spans.offset"))
     doc_stats = docs.groupBy("partition_id").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.avg(F.when(F.size("spans") == 0, 1.0).otherwise(0.0)).alias("empty_spans_rate"),
-        F.avg(F.size("spans")).alias("spans_per_doc_mean"),
-        F.max(F.size("spans")).cast("double").alias("spans_per_doc_max"),
+        F.avg(F.when(n_spans_arr == 0, 1.0).otherwise(0.0)).alias("empty_spans_rate"),
+        F.avg(n_spans_arr).alias("spans_per_doc_mean"),
+        F.max(n_spans_arr).cast("double").alias("spans_per_doc_max"),
     )
 
     # --- span-level single-pass agg (over the narrow meta view: text_len

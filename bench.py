@@ -180,7 +180,8 @@ def main() -> int:
         # FASTER at local[8] than local[32]). The driver protocol allows
         # any "N and 4N cores" pair; 2 vs 8 is the pair where added cores
         # are real.
-        lo, hi = 2, 8
+        lo = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+        hi = 4 * lo
         results = {}
         env = dict(os.environ)
         # big-input runs need heap: local mode puts driver+executor in one
@@ -204,19 +205,32 @@ def main() -> int:
             if "PREP_DONE" not in prep.stdout:
                 print(prep.stdout[-2000:], prep.stderr[-4000:], file=sys.stderr)
                 return 1
-            for cores in (lo, hi):
-                cmd = [
-                    sys.executable, __file__, "--_suite-worker",
-                    "--master", f"local[{cores}]", "--suite-docs", str(n_suite_docs),
-                    "--input-dir", input_dir,
-                ]
-                out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
-                line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
-                if not line:
-                    print(out.stdout[-2000:], file=sys.stderr)
-                    print(out.stderr[-4000:], file=sys.stderr)
-                    return 1
-                results[cores] = json.loads(line[0][len("WORKER_RESULT "):])
+            # interleaved best-of-N: the sandbox is a shared-host VM and
+            # identical runs vary up to 4× with neighbor load — alternating
+            # the two levels and keeping each level's best decorrelates the
+            # noise from the comparison (both levels sample the same hour)
+            n_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+            for rep in range(n_reps):
+                for cores in (lo, hi):
+                    cmd = [
+                        sys.executable, __file__, "--_suite-worker",
+                        "--master", f"local[{cores}]", "--suite-docs", str(n_suite_docs),
+                        "--input-dir", input_dir,
+                    ]
+                    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
+                    line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+                    if not line:
+                        print(out.stdout[-2000:], file=sys.stderr)
+                        print(out.stderr[-4000:], file=sys.stderr)
+                        return 1
+                    r = json.loads(line[0][len("WORKER_RESULT "):])
+                    print(
+                        f"rep {rep} local[{cores}]: {r['elapsed_sec']:.1f}s "
+                        f"({r['docs_per_sec']:,.0f} docs/s)",
+                        file=sys.stderr,
+                    )
+                    if cores not in results or r["elapsed_sec"] < results[cores]["elapsed_sec"]:
+                        results[cores] = r
         finally:
             import shutil
 
@@ -234,7 +248,11 @@ def main() -> int:
             "span_order) over the deterministic synthetic interleaved documents\n"
             "table read from parquet (the Iceberg-scan analog); identical input\n"
             "at two parallelism levels — the in-sandbox proxy for the N vs 4N\n"
-            "cluster-size criterion (BASELINE.md protocol, \"N and 4N cores\").\n\n"
+            "cluster-size criterion (BASELINE.md protocol, \"N and 4N cores\").\n"
+            f"Best of {n_reps} interleaved repetitions per level: the sandbox\n"
+            "is a shared-host VM whose identical runs vary up to 4× with\n"
+            "neighbor load, so alternating levels and taking each level's\n"
+            "best decorrelates host noise from the comparison.\n\n"
             f"| config | docs | elapsed (s) | docs/sec |\n|---|---|---|---|\n"
             f"| local[{lo}] (N) | {results[lo]['n_docs']} | {results[lo]['elapsed_sec']:.2f} | {results[lo]['docs_per_sec']:.1f} |\n"
             f"| local[{hi}] (4N) | {results[hi]['n_docs']} | {results[hi]['elapsed_sec']:.2f} | {results[hi]['docs_per_sec']:.1f} |\n\n"
@@ -254,6 +272,12 @@ def main() -> int:
             "those single-process ceilings don't apply; the 2-vs-8 pair is the\n"
             "range where added local cores represent real added capacity.\n"
         )
+        # preserve everything from the training-data-ops section onward —
+        # the scaling rewrite owns only the sections above it
+        keep_marker = "## Training-data ops at scale"
+        old = Path("BENCH.md").read_text() if Path("BENCH.md").exists() else ""
+        if keep_marker in old:
+            md += "\n" + old[old.index(keep_marker):]
         Path("BENCH.md").write_text(md)
         print(json.dumps(report))
         return 0

@@ -104,3 +104,47 @@ def test_drift_no_partitionless_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "], [], [" not in line, line
+
+
+def test_uniqueness_salt_preserves_column_pruning(spark, tmp_path):
+    """duplicate_keys salts with spark_partition_id() (nondeterministic
+    expression) — that must not block parquet column pruning: the scan
+    reads (doc_id, partition_id), never the wide spans column."""
+    from anomalydetection_spark.datagen import DataGenConfig, generate_documents
+
+    generate_documents(spark, DataGenConfig(n_docs=200, n_partitions=2)).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    plan = _formatted(spark, uniqueness.duplicate_keys(docs))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "partition_id" in read_schema
+    assert "spans" not in read_schema, read_schema
+
+
+def test_suite_branches_prune_nested_leaves(spark, tmp_path):
+    """The pruning-friendly exploded view: per-branch parquet scans read
+    only the struct leaves that branch needs — span_order reads just
+    offset, referential just kind+media_ref. Reading all four leaves
+    (incl. the fat text) in every branch was the round-2 scan-volume bug."""
+    from anomalydetection_spark.datagen import DataGenConfig, generate_documents
+    from anomalydetection_spark.operators import referential as ref_op
+
+    generate_documents(spark, DataGenConfig(n_docs=200, n_partitions=2)).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    media = generate_media_assets(spark, DataGenConfig(n_docs=200, n_partitions=2))
+
+    so_verdicts, _ = reassembly.check(docs)
+    plan = _formatted(spark, so_verdicts)
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "offset" in schema and "text" not in schema, schema
+
+    exploded = reassembly.explode_spans_meta(docs)
+    _, viol = ref_op.check(exploded, media)
+    plan = _formatted(spark, viol)
+    for part in plan.split("ReadSchema: ")[1:]:
+        schema = part.splitlines()[0]
+        if "spans" in schema:
+            assert "text:string" not in schema, schema

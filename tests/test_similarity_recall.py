@@ -130,3 +130,18 @@ def test_srp_blocking_bounded_on_unit_normalized(spark):
     )
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(i, 1000 + i) for i in range(20)} <= found
+
+
+def test_blas_topk_matches_jvm_operator(spark, em):
+    """The Arrow/BLAS brute-force variant returns the same neighbors as the
+    JVM expression operator (cos may differ in the last ulp before
+    rounding, so sets match exactly and scores to 1e-6)."""
+    corpus = em.filter(F.col("vec_id") >= 10)
+    queries = em.filter(F.col("vec_id") < 10)
+    jvm = similarity.brute_force_topk(corpus, queries, "vec_id", "embedding", k=5)
+    blas = similarity.brute_force_topk_blas(corpus, queries, "vec_id", "embedding", k=5)
+    a = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in jvm.collect()}
+    b = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in blas.collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert abs(a[key] - b[key]) <= 1e-6, (key, a[key], b[key])
