@@ -94,6 +94,26 @@ def extract_features(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return narrow.mapInPandas(run, out_schema)
 
 
+def extract_frames(
+    df: DataFrame, id_col: str, content_col: str, frame_size: int = 4096, max_frames: int = 16
+) -> DataFrame:
+    """(id, frames array<binary>) — materialize the planned frame samples
+    as byte slices of the payload, all JVM-side (`substring` over binary
+    in a higher-order transform; no Python). Each extracted frame is a
+    full ``frame_size`` window (offsets stop at the last whole frame);
+    downstream per-frame decode goes through ``decode_media``'s Arrow path
+    on the exploded frames. The NULL/short-payload edge returns an empty
+    array, not NULL rows."""
+    c = content_col
+    frames = F.expr(
+        f"CASE WHEN {c} IS NOT NULL AND length({c}) >= {frame_size} THEN "
+        f"transform(sequence(0, least(cast(floor(length({c})/{frame_size}) AS int), {max_frames}) - 1), "
+        f"i -> substring({c}, i*{frame_size} + 1, {frame_size})) "
+        f"ELSE cast(array() AS array<binary>) END"
+    )
+    return df.select(id_col, frames.alias("frames"))
+
+
 def frame_offsets(df: DataFrame, id_col: str, n_bytes_col: str, frame_size: int = 4096) -> DataFrame:
     """Video-style frame sampling plan: (id, frame_offsets array<bigint>) —
     pure column arithmetic (no payload reads), the scan-planning half of a

@@ -26,7 +26,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-MAGIC = b"TD01"  # version stamp for manifest blobs
+MAGIC = b"TD02"  # version stamp for manifest blobs (TD02: +exact min/max)
 
 
 class TDigest:
@@ -36,6 +36,10 @@ class TDigest:
         self.compression = float(compression)
         self.means = np.empty(0, dtype=np.float64)
         self.weights = np.empty(0, dtype=np.float64)
+        # exact extrema survive compression/merge — centroid means are
+        # weighted averages, so q=0/q=1 would otherwise be approximate
+        self.vmin = np.inf
+        self.vmax = -np.inf
         self._buf_means: list[np.ndarray] = []
         self._buf_weights: list[np.ndarray] = []
 
@@ -51,6 +55,8 @@ class TDigest:
         else:
             # apply the same NaN mask so means and weights stay aligned
             w = np.asarray(weights, dtype=np.float64)[mask]
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
         self._buf_means.append(v)
         self._buf_weights.append(w)
         # amortized compaction keeps the buffer bounded
@@ -60,6 +66,8 @@ class TDigest:
     def merge(self, other: "TDigest") -> None:
         if other.total_weight() == 0:
             return
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
         self._buf_means.append(other._all_means())
         self._buf_weights.append(other._all_weights())
         self._compress()
@@ -117,16 +125,21 @@ class TDigest:
             return float("nan")
         if self.means.size == 1:
             return float(self.means[0])
+        if q <= 0.0:
+            return float(self.vmin)
+        if q >= 1.0:
+            return float(self.vmax)
         cum = np.cumsum(self.weights) - self.weights / 2.0
         target = q * self.weights.sum()
-        return float(np.interp(target, cum, self.means))
+        # exact extrema clamp the interpolation at the edges
+        return float(min(max(np.interp(target, cum, self.means), self.vmin), self.vmax))
 
     # -- serialization -----------------------------------------------------
     def to_bytes(self) -> bytes:
         self._compress()
         buf = io.BytesIO()
         buf.write(MAGIC)
-        buf.write(struct.pack("<dI", self.compression, self.means.size))
+        buf.write(struct.pack("<dddI", self.compression, self.vmin, self.vmax, self.means.size))
         buf.write(self.means.tobytes())
         buf.write(self.weights.tobytes())
         return buf.getvalue()
@@ -134,9 +147,10 @@ class TDigest:
     @classmethod
     def from_bytes(cls, data: bytes) -> "TDigest":
         assert data[:4] == MAGIC, "unknown t-digest blob version"
-        compression, n = struct.unpack_from("<dI", data, 4)
-        off = 4 + 12
+        compression, vmin, vmax, n = struct.unpack_from("<dddI", data, 4)
+        off = 4 + 28
         td = cls(compression)
+        td.vmin, td.vmax = vmin, vmax
         td.means = np.frombuffer(data, dtype=np.float64, count=n, offset=off).copy()
         td.weights = np.frombuffer(data, dtype=np.float64, count=n, offset=off + 8 * n).copy()
         return td
@@ -201,6 +215,37 @@ def group_quantiles(
                 td = TDigest.from_bytes(bytes(r["digest"]))
                 rows.append((*[r[c] for c in group_cols], *[td.quantile(q) for q in qs]))
             yield pd.DataFrame(rows, columns=[*group_cols, *qcols])
+
+    return digests.mapInPandas(extract, schema)
+
+
+def group_bounds(
+    df,
+    value_col: str,
+    group_cols: list[str],
+    compression: float = 200.0,
+):
+    """Per-group EXACT sketch invariants from merged digests:
+    (group_cols..., n long, vmin double, vmax double).
+
+    count and min/max pass through partial→merge→extract untouched
+    (unit weights sum exactly below 2^53; extrema are tracked outside the
+    centroids), so unlike the quantiles these columns are hash-checkable
+    against a plain SQL count/min/max — the oracle-visible proof that the
+    sketch pipeline loses nothing it promises to keep."""
+    digests = group_digests(df, value_col, group_cols, compression)
+    schema = ", ".join(f"`{c}` {t}" for c, t in _types(df.select(*group_cols), group_cols))
+    schema += ", n bigint, vmin double, vmax double"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                td = TDigest.from_bytes(bytes(r["digest"]))
+                rows.append(
+                    (*[r[c] for c in group_cols], int(td.total_weight()), td.vmin, td.vmax)
+                )
+            yield pd.DataFrame(rows, columns=[*group_cols, "n", "vmin", "vmax"])
 
     return digests.mapInPandas(extract, schema)
 

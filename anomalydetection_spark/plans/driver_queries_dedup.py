@@ -101,8 +101,11 @@ WHERE cast(ic AS double)/(za.sz + zb.sz - ic) >= 0.5
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit majority signature, 8-bit band
-    blocking, hamming ≤ 3 verified via bit_count(xor)."""
+    """SimHash near-dup pairs: 32-bit majority signature, Manku
+    block-combination banding, hamming ≤ 3 verified via bit_count(xor).
+    (The oracle keeps the simpler 4×8-bit banding: every returned pair is
+    hamming-verified, so the result set is identical under either
+    blocking.)"""
     return dedup.simhash_near_pairs(_dup_corpus(spark, sf_dir), "doc_id", "text")
 
 
@@ -507,6 +510,71 @@ def tdigest_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads
+    (operators/multimodal.extract_frames): slice each payload into 64-byte
+    frames (≤16), JVM substring in a higher-order transform, then
+    per-source frame accounting. Every extracted frame is a full window,
+    so the oracle mirrors the arithmetic without slicing blobs."""
+    from anomalydetection_spark.operators import multimodal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = d.select("doc_id", "source", F.encode("text", "utf-8").alias("content"))
+    framed = multimodal.extract_frames(payloads, "doc_id", "content", frame_size=64)
+    frame_bytes = F.aggregate(
+        "frames", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return (
+        payloads.select("doc_id", "source")
+        .join(framed, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum(F.size("frames")).cast("long").alias("n_frames"),
+            F.sum(frame_bytes).cast("long").alias("frame_bytes"),
+        )
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id, source,
+    CASE WHEN length(text) >= 64
+         THEN least(cast(floor(length(text) / 64) AS bigint), 16)
+         ELSE 0 END AS nf
+  FROM documents)
+SELECT source, count(*) AS n_payloads,
+       cast(sum(nf) AS bigint) AS n_frames,
+       cast(sum(nf * 64) AS bigint) AS frame_bytes
+FROM f GROUP BY source
+"""
+
+
+def tdigest_bounds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact invariants of the t-digest sketch pipeline: per-event_type
+    count and min/max travel through mapInPandas partials → applyInPandas
+    merge → extract untouched, so THIS query hash-matches plain SQL while
+    the quantiles query stays rows-only (approximate by design)."""
+    from anomalydetection_spark.operators.tdigest import group_bounds
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = group_bounds(e, "value", ["event_type"])
+    return b.select(
+        "event_type",
+        "n",
+        F.round("vmin", 3).alias("vmin"),
+        F.round("vmax", 3).alias("vmax"),
+    )
+
+
+TDIGEST_BOUNDS_SQL = """
+SELECT event_type, cast(count(value) AS bigint) AS n,
+       round(min(cast(value AS double)), 3) AS vmin,
+       round(max(cast(value AS double)), 3) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 def pandas_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas doing the tokenize-count work in pandas
     (U1's batch shape with integer-exact outputs, so the SQL oracle matches
@@ -591,8 +659,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats_lang": token_stats_lang,
     "fingerprint_docs": fingerprint_docs,
     "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_frame_stats": multimodal_frame_stats,
     "token_count_bpe": token_count_bpe,
     "tdigest_quantiles_events": tdigest_quantiles_events,
+    "tdigest_bounds_events": tdigest_bounds_events,
     "pandas_udf_token_stats": pandas_udf_token_stats,
     "above_brand_avg_lineitems": above_brand_avg_lineitems,
 }
@@ -612,6 +682,8 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_decode_stats": MULTIMODAL_SQL,
     "token_count_bpe": TOKEN_BPE_SQL,
     # tdigest_quantiles_events intentionally has no oracle (approximate)
+    "tdigest_bounds_events": TDIGEST_BOUNDS_SQL,
+    "multimodal_frame_stats": MULTIMODAL_FRAMES_SQL,
     "pandas_udf_token_stats": PANDAS_TOKEN_SQL,
     "above_brand_avg_lineitems": ABOVE_AVG_SQL,
 }

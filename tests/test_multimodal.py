@@ -61,3 +61,22 @@ def test_frame_offsets(spark):
     assert got[2] == []
     assert len(got[3]) == 16  # capped
     assert got[3][1] - got[3][0] == 4096
+
+
+def test_extract_frames_slicing(spark):
+    """Frame extraction: full 8-byte windows only, capped at max_frames,
+    empty array (not NULL) for short/NULL payloads, bytes land intact."""
+    from anomalydetection_spark.operators.multimodal import extract_frames
+
+    rows = [
+        (1, bytes(range(20))),   # 20 bytes → 2 full 8-byte frames
+        (2, b"abc"),             # short → no frames
+        (3, None),               # NULL → no frames
+        (4, bytes(200)),         # 25 windows → capped at 16
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r["frames"] for r in
+           extract_frames(df, "doc_id", "content", frame_size=8, max_frames=16).collect()}
+    assert [bytes(f) for f in got[1]] == [bytes(range(8)), bytes(range(8, 16))]
+    assert got[2] == [] and got[3] == []
+    assert len(got[4]) == 16 and all(len(bytes(f)) == 8 for f in got[4])
