@@ -104,12 +104,13 @@ class ManifestStore:
                 "violation_count": row["violation_count"],
                 "run_id": run_id,
                 "sketch_blob": row.get("sketch_blob"),
+                "hll_blob": row.get("hll_blob"),
                 "updated_at": now,
             }
         df = self.spark.createDataFrame(
             list(prev.values()),
             "partition_id int, status string, row_count long, violation_count long, "
-            "run_id string, sketch_blob binary, updated_at string",
+            "run_id string, sketch_blob binary, hll_blob binary, updated_at string",
         )
         self._publish(df)
 
@@ -126,7 +127,7 @@ class ManifestStore:
         df = self.spark.createDataFrame(
             rows,
             "partition_id int, status string, row_count long, violation_count long, "
-            "run_id string, sketch_blob binary, updated_at string",
+            "run_id string, sketch_blob binary, hll_blob binary, updated_at string",
         )
         self._publish(df)
 
@@ -199,8 +200,22 @@ class ResumableValidator:
                 r["partition_id"]: bytes(r["digest"])
                 for r in group_digests(lens, "text_len", ["partition_id"]).collect()
             }
+        hlls: dict[int, bytes] = {}
+        if with_sketches:
+            from anomalydetection_spark.operators.hll import group_hlls
+            from anomalydetection_spark.operators.reassembly import explode_spans_meta
+
+            refs = explode_spans_meta(pending_docs).select("partition_id", "media_ref")
+            hlls = {
+                r["partition_id"]: bytes(r["hll"])
+                for r in group_hlls(refs, "media_ref", ["partition_id"]).collect()
+            }
         rollup_rows = [
-            {**r.asDict(), "sketch_blob": sketches.get(r["partition_id"])}
+            {
+                **r.asDict(),
+                "sketch_blob": sketches.get(r["partition_id"]),
+                "hll_blob": hlls.get(r["partition_id"]),
+            }
             for r in res.partition_rollup.collect()
         ]
         self.manifest.mark_done(rollup_rows, run_id)

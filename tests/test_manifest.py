@@ -185,3 +185,32 @@ def test_latest_and_best_run_selection(spark, tmp_path):
     assert v.best_run("violation_count").first()["run_id"] == "r3"   # tie → newest
     assert v.best_run("violation_count", ascending=False).first()["run_id"] == "r4"
     assert v.best_run("row_count", ascending=False).first()["run_id"] == "r3"  # tie → newest
+
+
+def test_hll_blobs_merge_to_global_distinct(spark, tmp_path, inputs):
+    """Second sketch family (X2/S8/A12): per-partition media_ref HLLs in
+    the manifest merge to a global distinct estimate without rescanning —
+    and the estimate tracks the exact distinct count within HLL error."""
+    from anomalydetection_spark.operators.hll import HLL
+    from anomalydetection_spark.operators.reassembly import explode_spans_meta
+    from anomalydetection_spark.plans.manifest import ResumableValidator
+
+    docs, media, baseline = inputs
+    v = ResumableValidator(spark, str(tmp_path / "st"), str(tmp_path / "out"))
+    v.run(docs, media, baseline)
+    m = v.manifest.read()
+    blobs = [bytes(r["hll_blob"]) for r in m.collect() if r["hll_blob"] is not None]
+    assert len(blobs) == 6  # one per partition
+
+    merged = HLL()
+    for b in blobs:
+        merged.merge(HLL.from_bytes(b))
+    exact = (
+        explode_spans_meta(docs)
+        .filter("media_ref IS NOT NULL")
+        .select("media_ref")
+        .distinct()
+        .count()
+    )
+    est = merged.estimate()
+    assert abs(est - exact) / exact < 0.1, (est, exact)
