@@ -211,6 +211,60 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pair graph → (node, component): component = the minimum
+    node id reachable, i.e. the canonical survivor of each duplicate
+    cluster. This is the "apply" step the pair-reporting queries feed —
+    drop every node with node != component and the corpus is deduplicated
+    against transitive duplicate chains (A~B, B~C ⇒ one survivor), which
+    pairwise keep-min gets wrong.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in ≤ graph
+    diameter rounds (near-dup clusters are shallow — boilerplate families
+    link through shared hubs). Each round is one join + one hash agg,
+    both partitioned by node id; ``localCheckpoint`` truncates the plan
+    lineage so round N doesn't replan rounds 1..N-1 (swap for
+    ``checkpoint`` with a checkpoint dir on a real cluster). Convergence
+    is detected with a count of changed labels — a driver-side scalar per
+    round, not a collect of labels.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    sym = fwd.unionByName(rev)
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("src"), F.col("comp").alias("src_comp")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_comp").alias("nbr_comp"))
+            .select(F.col("dst").alias("node"), "nbr_comp")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).cast("int").alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
 SIMHASH_BITS = 32
 
 

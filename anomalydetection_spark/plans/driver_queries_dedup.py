@@ -69,8 +69,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_SQL = (
-    "WITH " + _CORPUS_CTE + r""",
+# minhash pipeline CTEs up to verified pairs — shared by the pair query
+# and the connected-components canonicalization oracle
+_MINHASH_VP_CTES = (
+    _CORPUS_CTE
+    + r""",
 h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::bigint % 2147483647 AS h FROM sh),
 sig AS (SELECT doc_id,
   min((131*h+7) % 2147483647) AS m0, min((137*h+11) % 2147483647) AS m1,
@@ -91,11 +94,44 @@ inter AS (SELECT c.id_a, c.id_b, count(*) AS ic
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-  GROUP BY c.id_a, c.id_b)
-SELECT i.id_a, i.id_b,
+  GROUP BY c.id_a, c.id_b),
+vp AS (SELECT i.id_a, i.id_b,
        round(cast(ic AS double)/(za.sz + zb.sz - ic), 6) AS jaccard
-FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
-WHERE cast(ic AS double)/(za.sz + zb.sz - ic) >= 0.5
+  FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b
+  WHERE cast(ic AS double)/(za.sz + zb.sz - ic) >= 0.5)
+"""
+)
+
+DEDUP_MINHASH_SQL = "WITH " + _MINHASH_VP_CTES + "SELECT id_a, id_b, jaccard FROM vp"
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization of the near-dup pair graph
+    (dedup.connected_components): iterative min-label propagation over
+    the MinHash-verified pairs → (doc_id, canonical_id). Dropping rows
+    with doc_id != canonical_id dedups the corpus against TRANSITIVE
+    duplicate chains — the step pairwise keep-min gets wrong. The DuckDB
+    twin computes the same components with a recursive CTE."""
+    pairs = dedup.minhash_dedup_pairs(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id")
+    )
+
+
+DEDUP_COMPONENTS_SQL = (
+    "WITH RECURSIVE " + _MINHASH_VP_CTES + """,
+sym AS (SELECT id_a AS src, id_b AS dst FROM vp
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM vp),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach(node, comp) AS (
+  SELECT node, node AS comp FROM nodes
+  UNION
+  SELECT s.dst AS node, r.comp FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS doc_id, min(comp) AS canonical_id FROM reach GROUP BY node
 """
 )
 
@@ -649,6 +685,7 @@ GROUP BY lp.p_brand
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_components": dedup_components,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -670,6 +707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,

@@ -152,3 +152,21 @@ def test_ngram_jaccard_freq_cap_bounds_hot_shingle(spark):
     # candidate generation excluded the hot shingles: without the cap the
     # boilerplate alone yields 102*101/2 ≈ 5k pairs; verified pairs stay 2
     assert len(got) == 2
+
+
+def test_connected_components_transitive_chains(spark):
+    """A~B, B~C, C~D must collapse to one cluster with the min id as
+    canonical — pairwise keep-min would leave B,C,D pointing at different
+    survivors. Isolated pair + chain + diamond all converge."""
+    pairs = spark.createDataFrame(
+        [
+            (2, 9), (9, 4), (4, 7),          # chain: {2,4,7,9} → 2
+            (10, 11), (10, 12), (11, 12),    # triangle: → 10
+            (20, 21),                        # isolated pair → 20
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {2: 2, 9: 2, 4: 2, 7: 2,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
