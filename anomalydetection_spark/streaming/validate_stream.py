@@ -154,6 +154,55 @@ def start_windowed_violation_stream(
     )
 
 
+def start_session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    queryName: str = "doc_sessions",
+):
+    """Event-time SESSION windows per partition (`F.session_window`):
+    bursts of document arrivals separated by ≥ ``gap`` of event-time
+    silence become separate sessions — the dynamic-window complement to
+    the tumbling-window stream (X4). Watermark bounds session state; a
+    session closes (append-mode emit) once the watermark passes its end.
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [*DOCUMENTS_SCHEMA.fields, T.StructField("event_ts", T.TimestampType(), True)]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("w"), "partition_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.col("spans.offset"))).alias("n_spans"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "partition_id",
+            "n_docs",
+            "n_spans",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_stateful_counter_stream(
     spark: SparkSession,
     input_dir: str,

@@ -233,3 +233,47 @@ def test_watermark_drops_late_accepts_in_horizon(spark, tmp_path):
     assert got.get("00:00") == 2, got   # late d3 dropped: count is final
     assert got.get("00:10") == 2, got   # open-window late rows accepted
     assert got.get("00:20") == 2, got   # on-time rows across two batches
+
+
+def test_session_windows_split_on_gap(spark, tmp_path):
+    """Session windows: two arrival bursts separated by more than the gap
+    become two sessions; a session's end extends while events keep landing
+    within the gap."""
+    import datetime
+
+    from anomalydetection_spark.streaming.validate_stream import start_session_stream
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [
+                (
+                    f"s{i}",
+                    [{"kind": "text", "text": "x", "media_ref": None, "offset": 0}],
+                    0,
+                    ts,
+                )
+                for i, ts in rows
+            ],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, partition_id int, event_ts timestamp",
+        )
+
+    t = lambda m, s=0: datetime.datetime(2024, 1, 1, 0, m, s)
+    indir = str(tmp_path / "in")
+    # burst 1: 00:00, 00:02, 00:04 (chained within 5m gap → ends 00:09)
+    # burst 2: 00:20, 00:21 (→ ends 00:26)   flush: 01:00
+    docs([(0, t(0)), (1, t(2)), (2, t(4)), (3, t(20)), (4, t(21))]).coalesce(1)\
+        .write.mode("append").parquet(indir)
+    import time as _time
+    _time.sleep(1.2)
+    docs([(9, datetime.datetime(2024, 1, 1, 1, 0))]).coalesce(1)\
+        .write.mode("append").parquet(indir)
+
+    q = start_session_stream(spark, indir, str(tmp_path / "ckpt"),
+                             gap="5 minutes", queryName="sess_test")
+    q.awaitTermination(120)
+    got = sorted(
+        (str(r["session_start"])[11:16], str(r["session_end"])[11:16], r["n_docs"])
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    )
+    assert got == [("00:00", "00:09", 3), ("00:20", "00:26", 2)], got
