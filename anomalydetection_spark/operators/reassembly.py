@@ -141,8 +141,13 @@ def sorted_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def check(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def check(docs: DataFrame, share_violations: bool = False) -> tuple[DataFrame, DataFrame]:
     """span_order constraint → (verdicts, violations).
+
+    ``share_violations``: persist the violation rows and derive the
+    verdict counts from them + a plain per-partition row count — the
+    permutation check (array_sort + sequence compare per doc) then runs
+    once instead of once per action.
 
     A doc violates iff its offsets are not exactly a permutation of
     0..n_spans-1 (nulls, duplicates, gaps). Reversed-but-complete offsets
@@ -171,6 +176,27 @@ def check(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.lit(None).cast("int").alias("pos"),
         F.lit("offsets are not a permutation of 0..n-1").alias("detail"),
     )
+
+    if share_violations:
+        from pyspark.storagelevel import StorageLevel
+
+        violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+        rows = docs.groupBy("partition_id").agg(F.count("*").cast("long").alias("row_count"))
+        bad = violations.groupBy("partition_id").agg(
+            F.count("*").cast("long").alias("violation_count")
+        )
+        verdicts = rows.join(bad, "partition_id", "left").select(
+            "partition_id",
+            F.lit(CONSTRAINT).alias("constraint"),
+            (F.coalesce(F.col("violation_count"), F.lit(0)) == 0).alias("passed"),
+            F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+            "row_count",
+            F.create_map(
+                F.lit("violation_rate"),
+                F.coalesce(F.col("violation_count"), F.lit(0)) / F.col("row_count"),
+            ).alias("metrics"),
+        )
+        return verdicts, violations
 
     verdicts = checked.groupBy("partition_id").agg(
         F.lit(CONSTRAINT).alias("constraint"),

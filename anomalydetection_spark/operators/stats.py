@@ -40,8 +40,16 @@ def check(
     docs: DataFrame,
     exploded: DataFrame,  # the narrow meta view (reassembly.explode_spans_meta)
     th: StatsThresholds = StatsThresholds(),
+    share_violations: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """column_stats constraint → (verdicts, violations)."""
+    """column_stats constraint → (verdicts, violations).
+
+    ``share_violations``: persist the violation rows and derive the
+    verdicts' ``n_null_text`` from THEM (a per-partition count join)
+    instead of an inline conditional sum — the verdict action then
+    materializes the persisted frame, so the separate violations action
+    reuses it rather than re-scanning the span table (one fewer pass over
+    the fat text leaf per suite run; identical values either way)."""
     # --- doc-level single-pass agg ---------------------------------------
     # span count via the offset leaf (same length as spans; nested pruning
     # then reads one int leaf instead of the whole struct incl. text)
@@ -65,12 +73,30 @@ def check(
         p50 = F.expr("percentile_approx(text_len, 0.5, 10000)").cast("double")
         p95 = F.expr("percentile_approx(text_len, 0.95, 10000)").cast("double")
 
+    violations = exploded.filter(texty & F.col("text_len").isNull()).select(
+        "partition_id",
+        F.lit(CONSTRAINT).alias("constraint"),
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.concat(F.lit("null text on kind="), F.col("kind")).alias("detail"),
+    )
+    if share_violations:
+        from pyspark.storagelevel import StorageLevel
+
+        violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+        null_counts = violations.groupBy("partition_id").agg(
+            F.count("*").cast("long").alias("n_null_text")
+        )
+
+    agg_null_text = (
+        F.sum(F.when(texty & F.col("text_len").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text")
+    )
     span_stats = exploded.groupBy("partition_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.when(texty, 1).otherwise(0)).cast("long").alias("n_texty"),
-        F.sum(F.when(texty & F.col("text_len").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_null_text"),
+        *([] if share_violations else [agg_null_text]),
         F.avg(tlen).alias("text_len_mean"),
         F.stddev(tlen).alias("text_len_std"),
         F.min(tlen).alias("text_len_min"),
@@ -81,6 +107,10 @@ def check(
     )
 
     joined = doc_stats.join(span_stats, "partition_id", "left")
+    if share_violations:
+        joined = joined.join(null_counts, "partition_id", "left").withColumn(
+            "n_null_text", F.coalesce(F.col("n_null_text"), F.lit(0)).cast("long")
+        )
     null_text_rate = F.when(
         F.col("n_texty") > 0, F.col("n_null_text") / F.col("n_texty")
     ).otherwise(F.lit(0.0))
@@ -118,11 +148,4 @@ def check(
         ).alias("metrics"),
     )
 
-    violations = exploded.filter(texty & F.col("text_len").isNull()).select(
-        "partition_id",
-        F.lit(CONSTRAINT).alias("constraint"),
-        "doc_id",
-        F.col("pos").cast("int").alias("pos"),
-        F.concat(F.lit("null text on kind="), F.col("kind")).alias("detail"),
-    )
     return verdicts, violations

@@ -101,7 +101,13 @@ def run_suite(
         return pair[0], pair[1].persist(StorageLevel.MEMORY_AND_DISK)
 
     builders = {
-        "column_stats": lambda: stats.check(docs, exploded, cfg.stats),
+        # stats/span_order persist their own violation frames when sharing
+        # is on: their verdicts then DERIVE counts from those frames, so the
+        # violations action reuses them instead of re-scanning the span
+        # table (one fewer pass over the text leaf per run)
+        "column_stats": lambda: stats.check(
+            docs, exploded, cfg.stats, share_violations=cfg.persist_violations
+        ),
         "uniqueness": lambda: _maybe_persist(
             uniqueness.check(docs, n_salts=cfg.n_salts, scope_docs=uniqueness_scope)
         ),
@@ -109,7 +115,9 @@ def run_suite(
             referential.check(exploded, media, broadcast=cfg.broadcast_media)
         ),
         "distribution_drift": lambda: drift.check(exploded, baseline_hist, cfg.drift),
-        "span_order": lambda: reassembly.check(docs),
+        "span_order": lambda: reassembly.check(
+            docs, share_violations=cfg.persist_violations
+        ),
     }
     all_pairs = [builders[name]() for name in ALL_CONSTRAINTS if name in selected]
     verdicts = reduce(DataFrame.unionByName, [p[0] for p in all_pairs])
