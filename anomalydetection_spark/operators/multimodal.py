@@ -94,6 +94,54 @@ def extract_features(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return narrow.mapInPandas(run, out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    target_w: int = 8,
+    target_h: int = 8,
+) -> DataFrame:
+    """(id, resized binary, width, height) — the resize leg of the
+    decode/feature/resize/frame-sample quartet, as Arrow-batched
+    mapInPandas plumbing.
+
+    The stub treats the payload as a row-major ``fake_height × fake_width``
+    byte image (dims from the same deterministic pseudo-decode as
+    ``decode_media``; bytes repeated/truncated to fill) and
+    nearest-neighbor subsamples it to ``target_h × target_w``. A real
+    deployment swaps the reshape for an actual image decode + PIL/OpenCV
+    resize with the identical signature; schema, batching, and NULL
+    handling are the production contract. NULL/empty payloads yield an
+    all-zero target-size image."""
+    id_type = dict(zip(df.schema.names, (f.dataType.simpleString() for f in df.schema.fields)))[id_col]
+    out_schema = f"`{id_col}` {id_type}, resized binary, width int, height int"
+    narrow = df.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for b in pdf[content_col]:
+                data = np.frombuffer(bytes(b) if b is not None else b"", dtype=np.uint8)
+                if data.size == 0:
+                    out_bytes.append(bytes(target_w * target_h))
+                    continue
+                _, _, w, h = _decode_stub(data.tobytes())
+                grid = np.resize(data, (h, w))  # repeat/truncate — deterministic
+                ri = np.linspace(0, h - 1, target_h).round().astype(int)
+                ci = np.linspace(0, w - 1, target_w).round().astype(int)
+                out_bytes.append(grid[np.ix_(ri, ci)].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "resized": out_bytes,
+                    "width": np.full(len(pdf), target_w, dtype=np.int32),
+                    "height": np.full(len(pdf), target_h, dtype=np.int32),
+                }
+            )
+
+    return narrow.mapInPandas(run, out_schema)
+
+
 def extract_frames(
     df: DataFrame, id_col: str, content_col: str, frame_size: int = 4096, max_frames: int = 16
 ) -> DataFrame:

@@ -80,3 +80,22 @@ def test_extract_frames_slicing(spark):
     assert [bytes(f) for f in got[1]] == [bytes(range(8)), bytes(range(8, 16))]
     assert got[2] == [] and got[3] == []
     assert len(got[4]) == 16 and all(len(bytes(f)) == 8 for f in got[4])
+
+
+def test_resize_media_deterministic_and_sized(spark):
+    """Resize plumbing: output is exactly target_w*target_h bytes,
+    deterministic across partitionings, zeros for NULL/empty payloads."""
+    from anomalydetection_spark.operators.multimodal import resize_media
+
+    rows = [(1, bytes(range(100))), (2, b""), (3, None), (4, bytes(range(255, 0, -1)))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in resize_media(df, "doc_id", "content", 8, 8).collect()}
+    for i in (1, 2, 3, 4):
+        assert len(bytes(out[i]["resized"])) == 64
+        assert (out[i]["width"], out[i]["height"]) == (8, 8)
+    assert bytes(out[2]["resized"]) == bytes(64)
+    assert bytes(out[3]["resized"]) == bytes(64)
+    # partitioning-independent
+    out2 = {r["doc_id"]: bytes(r["resized"])
+            for r in resize_media(df.repartition(3), "doc_id", "content", 8, 8).collect()}
+    assert {k: bytes(v["resized"]) for k, v in out.items()} == out2
