@@ -124,26 +124,37 @@ def jaccard_verify(
     pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs: (id_a, id_b, jaccard) ≥ threshold.
-    Integer overlap counts + one double division → engine-deterministic."""
+    Integer overlap counts + one double division → engine-deterministic.
+
+    Size-ratio prefilter (standard, provably result-preserving):
+    J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose
+    set sizes differ by more than the threshold ratio is dropped BEFORE
+    the expensive per-shingle intersection join — the broadcast-size join
+    costs one small row per candidate, the intersection join costs
+    min(|A|,|B|) rows per candidate."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb"))
+    sized = (
+        pairs.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(
+            F.least("sza", "szb") >= F.greatest("sza", "szb") * F.lit(threshold)
+        )
+    )
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        pairs.join(sa, "id_a")
+        sized.select("id_a", "id_b", "sza", "szb")
+        .join(sa, "id_a")
         .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sza", "szb")
         .agg(F.count("*").alias("ic"))
     )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb"))
-    jac = (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))).alias("jaccard"),
-        )
+    jac = inter.select(
+        "id_a",
+        "id_b",
+        (F.col("ic") / (F.col("sza") + F.col("szb") - F.col("ic"))).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold)
 
