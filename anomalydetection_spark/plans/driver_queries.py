@@ -249,6 +249,28 @@ GROUP BY l_partkey
 """
 
 
+def referential_orphans_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same referential complement as ``referential_orphans`` through the
+    catalog-scale path (operators/bloom.py): distinct-first fact-key
+    reduction, Bloom short-circuit for definitely-dangling keys, exact
+    anti-join only for the maybe set, dangling keys broadcast back onto
+    the fact table. Byte-identical output to the broadcast anti-join —
+    the plan, not the answer, is what changes when the catalog outgrows
+    a broadcast (SURVEY §2.3 J1/T2 at 10^12-row scale)."""
+    from anomalydetection_spark.operators import bloom
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0).select("p_partkey")
+    keys = bloom.dangling_keys_scalable(
+        l, "l_partkey", p, catalog_col="p_partkey", m_bits=1 << 20
+    )
+    return (
+        l.join(F.broadcast(keys), "l_partkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_orphan_rows"))
+    )
+
+
 def histogram_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: bucketed histogram (floor-width buckets, capped tail)."""
     d = _t(spark, sf_dir, "documents")
@@ -1123,6 +1145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_documents": stats_documents,
     "uniqueness_partkey": uniqueness_partkey,
     "referential_orphans": referential_orphans,
+    "referential_orphans_bloom": referential_orphans_bloom,
     "histogram_n_chars": histogram_n_chars,
     "drift_kl_psi_by_source": drift_kl_psi_by_source,
     "threshold_verdict_events": threshold_verdict_events,
@@ -1158,6 +1181,7 @@ ORACLE_SQL: dict[str, str] = {
     "stats_documents": STATS_SQL,
     "uniqueness_partkey": UNIQUENESS_SQL,
     "referential_orphans": REFERENTIAL_SQL,
+    "referential_orphans_bloom": REFERENTIAL_SQL,
     "histogram_n_chars": HISTOGRAM_SQL,
     "drift_kl_psi_by_source": DRIFT_SQL,
     "threshold_verdict_events": THRESHOLD_SQL,
