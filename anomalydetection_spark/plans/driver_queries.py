@@ -249,6 +249,69 @@ GROUP BY l_partkey
 """
 
 
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucket expansion — the equi-join rewrite
+    of a containment predicate Spark would otherwise plan as a broadcast
+    nested-loop filter.
+
+    24 deterministic, overlapping maintenance windows (start = epoch +
+    29h·w, length 13+(7w mod 31) hours) are EXPLODED into the calendar
+    days they cover; events carry a day bucket column. The join is then
+    a broadcast hash equi-join on the day bucket with the exact
+    containment predicate as a post-filter — each event row is tested
+    against only the windows touching its day, not all 24. At 10^12
+    events the nested-loop variant evaluates |windows| predicates per
+    row with no pruning; the bucketed rewrite stays a hash join whose
+    fan-out is bounded by windows-per-day, and the same shape handles a
+    non-broadcastable interval side (shuffle on bucket). An event in N
+    overlapping windows legitimately contributes to all N groups."""
+    e = _t(spark, sf_dir, "events")
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    wins = spark.range(24).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_seconds(F.unix_timestamp(base) + F.col("id") * 29 * 3600).alias(
+            "start_ts"
+        ),
+        F.timestamp_seconds(
+            F.unix_timestamp(base)
+            + (F.col("id") * 29 + 13 + F.pmod(F.col("id") * 7, F.lit(31))) * 3600
+        ).alias("end_ts"),
+    )
+    win_days = wins.select(
+        "window_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("start_ts")),
+                F.date_trunc("day", F.col("end_ts")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("bucket"),
+    )
+    ev = e.select("ts", "value", F.date_trunc("day", F.col("ts")).alias("bucket"))
+    joined = ev.join(F.broadcast(win_days), "bucket").filter(
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        _dec_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH w AS (
+  SELECT cast(i AS bigint) AS window_id,
+         TIMESTAMP '2024-01-01' + to_hours(i * 29) AS start_ts,
+         TIMESTAMP '2024-01-01' + to_hours(i * 29 + 13 + (i * 7) % 31) AS end_ts
+  FROM (SELECT unnest(generate_series(0, 23)) AS i))
+SELECT w.window_id, count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+FROM events e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+GROUP BY 1
+"""
+
+
 def referential_orphans_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same referential complement as ``referential_orphans`` through the
     catalog-scale path (operators/bloom.py): distinct-first fact-key
@@ -1146,6 +1209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_partkey": uniqueness_partkey,
     "referential_orphans": referential_orphans,
     "referential_orphans_bloom": referential_orphans_bloom,
+    "range_join_windows": range_join_windows,
     "histogram_n_chars": histogram_n_chars,
     "drift_kl_psi_by_source": drift_kl_psi_by_source,
     "threshold_verdict_events": threshold_verdict_events,
@@ -1182,6 +1246,7 @@ ORACLE_SQL: dict[str, str] = {
     "uniqueness_partkey": UNIQUENESS_SQL,
     "referential_orphans": REFERENTIAL_SQL,
     "referential_orphans_bloom": REFERENTIAL_SQL,
+    "range_join_windows": RANGE_JOIN_SQL,
     "histogram_n_chars": HISTOGRAM_SQL,
     "drift_kl_psi_by_source": DRIFT_SQL,
     "threshold_verdict_events": THRESHOLD_SQL,

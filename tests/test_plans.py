@@ -148,3 +148,13 @@ def test_suite_branches_prune_nested_leaves(spark, tmp_path):
         schema = part.splitlines()[0]
         if "spans" in schema:
             assert "text:string" not in schema, schema
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bucket-expansion rewrite must plan as a broadcast HASH join on
+    the day bucket — a BroadcastNestedLoopJoin here means the containment
+    predicate fell through as the join condition and every event row is
+    tested against every window."""
+    plan = _formatted(spark, dq.range_join_windows(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
