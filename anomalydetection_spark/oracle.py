@@ -147,3 +147,24 @@ def span_order_violations(docs: pd.DataFrame) -> pd.DataFrame:
     v = pd.DataFrame(rows, columns=["partition_id", "doc_id"])
     v["constraint"] = "span_order"
     return v
+
+
+def frequent_items_verdicts(sp: pd.DataFrame, max_ref_share: float, min_refs: int) -> pd.DataFrame:
+    """Hot media_ref detection in the reference's value_counts idiom."""
+    out = []
+    for pid, g in sp.groupby("partition_id"):
+        refs = g["media_ref"].dropna()
+        counts = refs.value_counts()  # preprocessing.py:7 idiom
+        n_refs = int(len(refs))
+        hot = counts[counts > max_ref_share * n_refs] if n_refs >= min_refs else counts[:0]
+        out.append(
+            {
+                "partition_id": pid,
+                "constraint": "frequent_items",
+                "passed": len(hot) == 0,
+                "violation_count": int(len(hot)),
+                "row_count": n_refs,
+                "max_ref_share": float(counts.max() / n_refs) if n_refs else 0.0,
+            }
+        )
+    return pd.DataFrame(out)

@@ -36,6 +36,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 
 from anomalydetection_spark.operators.drift import DriftThresholds
+from anomalydetection_spark.operators.freqitems import FreqThresholds
 from anomalydetection_spark.operators.stats import StatsThresholds
 from anomalydetection_spark.plans.suite import (
     ALL_CONSTRAINTS,
@@ -50,6 +51,7 @@ _ALLOWED_FIELDS = {
     "referential": {"broadcast"},
     "distribution_drift": {f.name for f in dc_fields(DriftThresholds)},
     "span_order": set(),
+    "frequent_items": {f.name for f in dc_fields(FreqThresholds)},
 }
 _EXECUTION_FIELDS = {"persist_exploded", "persist_violations", "repartition_exploded"}
 
@@ -83,6 +85,8 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
             kwargs["n_salts"] = params["n_salts"]
         elif ctype == "referential" and params:
             kwargs["broadcast_media"] = params["broadcast"]
+        elif ctype == "frequent_items" and params:
+            kwargs["freq"] = FreqThresholds(**params)
 
     execution = spec.get("execution", {})
     extra = set(execution) - _EXECUTION_FIELDS

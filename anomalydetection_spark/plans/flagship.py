@@ -186,12 +186,30 @@ drift_v AS (
      cast(sum(CASE WHEN NOT (d.kl <= 0.05 AND d.psi <= 0.1) THEN 1 ELSE 0 END) AS bigint)
        AS violation_count,
      cast(max(s.n_spans) AS bigint) AS row_count
-  FROM dscores d JOIN span_stats s USING (partition_id) GROUP BY 1)
+  FROM dscores d JOIN span_stats s USING (partition_id) GROUP BY 1),
+fi_cnt AS (
+  SELECT partition_id, media_ref, count(*) AS n FROM sp
+  WHERE media_ref IS NOT NULL GROUP BY 1, 2),
+fi_tot AS (
+  SELECT p.partition_id, coalesce(sum(c.n), 0) AS n_refs
+  FROM (SELECT DISTINCT partition_id FROM sp) p
+  LEFT JOIN fi_cnt c USING (partition_id) GROUP BY 1),
+fi_hot AS (
+  SELECT c.partition_id, count(*) AS viol
+  FROM fi_cnt c JOIN fi_tot t USING (partition_id)
+  WHERE t.n_refs >= 50 AND c.n > 0.05 * t.n_refs GROUP BY 1),
+fi_v AS (
+  SELECT t.partition_id, 'frequent_items' AS "constraint",
+     coalesce(h.viol, 0) = 0 AS passed,
+     cast(coalesce(h.viol, 0) AS bigint) AS violation_count,
+     cast(t.n_refs AS bigint) AS row_count
+  FROM fi_tot t LEFT JOIN fi_hot h USING (partition_id))
 SELECT * FROM stats_v
 UNION ALL SELECT * FROM uniq_v
 UNION ALL SELECT * FROM ref_v
 UNION ALL SELECT * FROM so_v
 UNION ALL SELECT * FROM drift_v
+UNION ALL SELECT * FROM fi_v
 """
 
 

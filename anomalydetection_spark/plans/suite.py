@@ -23,13 +23,21 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from anomalydetection_spark.operators import drift, referential, reassembly, stats, uniqueness
+from anomalydetection_spark.operators import (
+    drift,
+    freqitems,
+    referential,
+    reassembly,
+    stats,
+    uniqueness,
+)
 
 
 @dataclass(frozen=True)
 class SuiteConfig:
     stats: stats.StatsThresholds = field(default_factory=stats.StatsThresholds)
     drift: drift.DriftThresholds = field(default_factory=drift.DriftThresholds)
+    freq: freqitems.FreqThresholds = field(default_factory=freqitems.FreqThresholds)
     n_salts: int = 16
     broadcast_media: bool = True
     persist_exploded: bool = True
@@ -59,6 +67,7 @@ ALL_CONSTRAINTS = (
     "referential",
     "distribution_drift",
     "span_order",
+    "frequent_items",
 )
 
 
@@ -118,6 +127,7 @@ def run_suite(
         "span_order": lambda: reassembly.check(
             docs, share_violations=cfg.persist_violations
         ),
+        "frequent_items": lambda: _maybe_persist(freqitems.check(exploded, cfg.freq)),
     }
     all_pairs = [builders[name]() for name in ALL_CONSTRAINTS if name in selected]
     verdicts = reduce(DataFrame.unionByName, [p[0] for p in all_pairs])

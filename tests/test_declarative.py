@@ -33,7 +33,12 @@ def test_empty_spec_runs_everything(spark, inputs):
     res = run_declarative({}, docs, media, baseline)
     got = {r["constraint"] for r in res.verdicts.collect()}
     assert got == {
-        "column_stats", "uniqueness", "referential", "distribution_drift", "span_order"
+        "column_stats",
+        "uniqueness",
+        "referential",
+        "distribution_drift",
+        "span_order",
+        "frequent_items",
     }
 
 
@@ -69,6 +74,7 @@ def test_spec_matches_programmatic_config(spark, inputs):
             {"type": "referential"},
             {"type": "distribution_drift"},
             {"type": "span_order"},
+            {"type": "frequent_items", "max_ref_share": 0.04},
         ],
         "execution": {"persist_exploded": False},
     }
@@ -76,10 +82,14 @@ def test_spec_matches_programmatic_config(spark, inputs):
         (r["partition_id"], r["constraint"], r["passed"], r["violation_count"])
         for r in run_declarative(spec, docs, media, baseline).verdicts.collect()
     )
+    from anomalydetection_spark.operators.freqitems import FreqThresholds
     from anomalydetection_spark.operators.stats import StatsThresholds
 
     cfg = SuiteConfig(
-        stats=StatsThresholds(max_null_text_rate=0.01), n_salts=4, persist_exploded=False
+        stats=StatsThresholds(max_null_text_rate=0.01),
+        freq=FreqThresholds(max_ref_share=0.04),
+        n_salts=4,
+        persist_exploded=False,
     )
     b = sorted(
         (r["partition_id"], r["constraint"], r["passed"], r["violation_count"])

@@ -17,7 +17,14 @@ from anomalydetection_spark.schema import VERDICTS_SCHEMA, VIOLATIONS_SCHEMA
 
 CFG = DataGenConfig(n_docs=1500, n_partitions=4, n_media=300, drift_partitions=(3,))
 
-CONSTRAINTS = {"column_stats", "uniqueness", "referential", "distribution_drift", "span_order"}
+CONSTRAINTS = {
+    "column_stats",
+    "uniqueness",
+    "referential",
+    "distribution_drift",
+    "span_order",
+    "frequent_items",
+}
 
 
 @pytest.fixture(scope="module")
