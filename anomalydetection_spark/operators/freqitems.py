@@ -205,6 +205,44 @@ def partition_sketches(
     return df.select(col).mapInPandas(gen, "mg_blob binary")
 
 
+def group_mgs(
+    df: DataFrame, value_col: str, group_cols: list[str], capacity: int = 256
+) -> DataFrame:
+    """Per-group serialized MG summary: (group_cols..., mg binary) —
+    the same partial→merge shape as hll.group_hlls / tdigest.group_digests
+    so heavy-hitter state rides the manifest like the other sketch
+    families. NULLs are excluded; the shuffle moves one bounded blob per
+    (batch × group), never key rows."""
+    from collections.abc import Iterator
+
+    from anomalydetection_spark.operators.tdigest import _types
+
+    narrow = df.filter(F.col(value_col).isNotNull()).select(*group_cols, value_col)
+    schema = ", ".join(f"`{c}` {t}" for c, t in _types(narrow, group_cols)) + ", mg binary"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for key, g in pdf.groupby(group_cols, dropna=False, sort=False):
+                mg = MisraGries(capacity)
+                mg.add_counts(g[value_col].astype(str).value_counts())
+                key_t = key if isinstance(key, tuple) else (key,)
+                rows.append((*key_t, mg.to_bytes()))
+            yield pd.DataFrame(rows, columns=[*group_cols, "mg"])
+
+    partials = narrow.mapInPandas(partial, schema)
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        mg = MisraGries(capacity)
+        for blob in pdf["mg"]:
+            mg.merge(MisraGries.from_bytes(bytes(blob)))
+        return pd.DataFrame([(*key, mg.to_bytes())], columns=[*group_cols, "mg"])
+
+    return partials.groupBy(*group_cols).applyInPandas(merge, schema)
+
+
 def merged_sketch(df: DataFrame, col: str, capacity: int = 256) -> MisraGries:
     """Global MG summary: per-partition sketches (bounded blobs) are
     collected — |partitions| rows, never data rows — and merged."""

@@ -93,8 +93,15 @@ class ManifestStore:
         single-file rewrite — the manifest is tiny by construction)."""
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
         existing = self.read()
+        # older manifests may predate a sketch column — fill, don't KeyError
+        blob_cols = ("sketch_blob", "hll_blob", "mg_blob")
         prev = (
-            {r["partition_id"]: r.asDict() for r in existing.collect()} if existing is not None else {}
+            {
+                r["partition_id"]: {**{c: None for c in blob_cols}, **r.asDict()}
+                for r in existing.collect()
+            }
+            if existing is not None
+            else {}
         )
         for row in rollup_rows:
             prev[row["partition_id"]] = {
@@ -105,12 +112,14 @@ class ManifestStore:
                 "run_id": run_id,
                 "sketch_blob": row.get("sketch_blob"),
                 "hll_blob": row.get("hll_blob"),
+                "mg_blob": row.get("mg_blob"),
                 "updated_at": now,
             }
         df = self.spark.createDataFrame(
             list(prev.values()),
             "partition_id int, status string, row_count long, violation_count long, "
-            "run_id string, sketch_blob binary, hll_blob binary, updated_at string",
+            "run_id string, sketch_blob binary, hll_blob binary, mg_blob binary, "
+            "updated_at string",
         )
         self._publish(df)
 
@@ -120,14 +129,16 @@ class ManifestStore:
         m = self.read()
         if m is None:
             return
-        rows = [r.asDict() for r in m.collect()]
+        blob_cols = ("sketch_blob", "hll_blob", "mg_blob")
+        rows = [{**{c: None for c in blob_cols}, **r.asDict()} for r in m.collect()]
         for r in rows:
             if r["partition_id"] in set(partition_ids):
                 r["status"] = STATUS_PENDING
         df = self.spark.createDataFrame(
             rows,
             "partition_id int, status string, row_count long, violation_count long, "
-            "run_id string, sketch_blob binary, hll_blob binary, updated_at string",
+            "run_id string, sketch_blob binary, hll_blob binary, mg_blob binary, "
+            "updated_at string",
         )
         self._publish(df)
 
@@ -210,11 +221,22 @@ class ResumableValidator:
                 r["partition_id"]: bytes(r["hll"])
                 for r in group_hlls(refs, "media_ref", ["partition_id"]).collect()
             }
+        mgs: dict[int, bytes] = {}
+        if with_sketches:
+            from anomalydetection_spark.operators.freqitems import group_mgs
+            from anomalydetection_spark.operators.reassembly import explode_spans_meta
+
+            refs = explode_spans_meta(pending_docs).select("partition_id", "media_ref")
+            mgs = {
+                r["partition_id"]: bytes(r["mg"])
+                for r in group_mgs(refs, "media_ref", ["partition_id"]).collect()
+            }
         rollup_rows = [
             {
                 **r.asDict(),
                 "sketch_blob": sketches.get(r["partition_id"]),
                 "hll_blob": hlls.get(r["partition_id"]),
+                "mg_blob": mgs.get(r["partition_id"]),
             }
             for r in res.partition_rollup.collect()
         ]

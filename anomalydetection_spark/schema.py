@@ -86,6 +86,8 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("violation_count", T.LongType(), True),
         T.StructField("run_id", T.StringType(), True),
         T.StructField("sketch_blob", T.BinaryType(), True),  # serialized t-digests
+        T.StructField("hll_blob", T.BinaryType(), True),     # serialized HyperLogLog
+        T.StructField("mg_blob", T.BinaryType(), True),      # serialized Misra-Gries
         T.StructField("updated_at", T.StringType(), True),
     ]
 )

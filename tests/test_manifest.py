@@ -214,3 +214,40 @@ def test_hll_blobs_merge_to_global_distinct(spark, tmp_path, inputs):
     )
     est = merged.estimate()
     assert abs(est - exact) / exact < 0.1, (est, exact)
+
+
+def test_mg_blobs_merge_to_global_heavy_hitters(spark, tmp_path, inputs):
+    """Fourth sketch family: per-partition media_ref Misra-Gries summaries
+    in the manifest merge to a global heavy-hitter view without rescans —
+    the top merged key matches the exact global top key, and its estimate
+    brackets the exact count."""
+    from anomalydetection_spark.operators.freqitems import MisraGries
+    from anomalydetection_spark.operators.reassembly import explode_spans_meta
+    from anomalydetection_spark.plans.manifest import ResumableValidator
+    from pyspark.sql import functions as F
+
+    docs, media, baseline = inputs
+    v = ResumableValidator(spark, str(tmp_path / "st"), str(tmp_path / "out"))
+    v.run(docs, media, baseline)
+    m = v.manifest.read()
+    blobs = [bytes(r["mg_blob"]) for r in m.collect() if r["mg_blob"] is not None]
+    assert len(blobs) == 6  # one per partition
+
+    merged = MisraGries()
+    for b in blobs:
+        merged.merge(MisraGries.from_bytes(b))
+    exact = (
+        explode_spans_meta(docs)
+        .filter("media_ref IS NOT NULL")
+        .groupBy("media_ref")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "media_ref")
+        .limit(1)
+        .first()
+    )
+    top_key, top_n = merged.topk(1)[0]
+    lo, hi = merged.estimate(exact["media_ref"])
+    assert lo <= exact["n"] <= hi
+    # with per-partition capacity far above the distinct-ref count the
+    # sketch is exact, so the merged top key is the true top key
+    assert top_key == exact["media_ref"]
