@@ -293,3 +293,92 @@ def start_running_stats_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_referential_join_stream(
+    spark: SparkSession,
+    refs_dir: str,
+    media_dir: str,
+    checkpoint_dir: str,
+    tolerance: str = "10 minutes",
+    watermark: str = "10 minutes",
+    queryName: str = "stream_referential",
+):
+    """Referential integrity across TWO live streams: document media_refs
+    joined to media-asset arrivals with a watermarked stream-stream LEFT
+    OUTER join. A ref whose asset arrives within ``tolerance`` of its
+    event time emits matched; one the watermark passes unmatched emits
+    with ``dangling = true`` — the streaming analog of the batch
+    anti-join (operators/referential.py), where "absent from the catalog"
+    becomes "did not arrive in time". State on both sides is bounded by
+    watermark + tolerance (Spark evicts rows that can no longer match).
+    """
+    refs = (
+        spark.readStream.schema("doc_id string, media_ref string, ref_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(refs_dir)
+        .withWatermark("ref_ts", watermark)
+        .alias("r")
+    )
+    media = (
+        spark.readStream.schema("media_ref string, media_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(media_dir)
+        .withWatermark("media_ts", watermark)
+        .alias("m")
+    )
+    joined = refs.join(
+        media,
+        F.expr(
+            f"r.media_ref = m.media_ref AND "
+            f"m.media_ts BETWEEN r.ref_ts - interval {tolerance} "
+            f"AND r.ref_ts + interval {tolerance}"
+        ),
+        "leftOuter",
+    )
+    out = joined.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.media_ref").alias("media_ref"),
+        F.col("r.ref_ts").alias("ref_ts"),
+        F.col("m.media_ts").alias("media_ts"),
+        F.col("m.media_ts").isNull().alias("dangling"),
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    queryName: str = "stream_dedup",
+):
+    """Streaming uniqueness: first arrival of each doc_id passes, any
+    re-arrival within the watermark horizon is dropped
+    (``dropDuplicatesWithinWatermark`` — keyed state holds one entry per
+    doc_id, evicted once the watermark guarantees no more replays). The
+    streaming face of the batch uniqueness constraint: the batch check
+    *reports* duplicates, the stream *suppresses* them at ingest."""
+    s = (
+        spark.readStream.schema("doc_id string, event_ts timestamp, partition_id int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    deduped = s.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["doc_id"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

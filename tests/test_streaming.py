@@ -277,3 +277,83 @@ def test_session_windows_split_on_gap(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sess_test").collect()
     )
     assert got == [("00:00", "00:09", 3), ("00:20", "00:26", 2)], got
+
+
+def test_stream_stream_referential_join(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join: a media_ref whose asset
+    arrives within tolerance emits matched; one the watermark passes
+    unmatched emits dangling=true — the streaming anti-join. Two flush
+    batches: the first advances the watermark past d3's join horizon, the
+    second gives the state store the follow-up micro-batch in which the
+    expired unmatched row is actually emitted."""
+    import datetime
+    import time as _time
+
+    from anomalydetection_spark.streaming.validate_stream import (
+        start_referential_join_stream,
+    )
+
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)
+    refs_dir, media_dir = str(tmp_path / "refs"), str(tmp_path / "media")
+
+    refs = spark.createDataFrame(
+        [("d1", "m-1", t(0, 0)), ("d2", "m-2", t(0, 1)), ("d3", "m-3", t(0, 2))],
+        "doc_id string, media_ref string, ref_ts timestamp",
+    )
+    refs.coalesce(1).write.mode("append").parquet(refs_dir)
+    # m-1 on time, m-2 five minutes later (within 10m tolerance), m-3 never
+    spark.createDataFrame(
+        [("m-1", t(0, 0)), ("m-2", t(0, 6))], "media_ref string, media_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(media_dir)
+    _time.sleep(1.2)
+    # flush rows push BOTH watermarks far past d3's join horizon
+    spark.createDataFrame(
+        [("dF", "m-F", t(2, 0))], "doc_id string, media_ref string, ref_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(refs_dir)
+    spark.createDataFrame(
+        [("m-F", t(2, 0))], "media_ref string, media_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(media_dir)
+
+    _time.sleep(1.2)
+    # second flush: one more micro-batch AFTER the watermark advance so the
+    # state store emits the expired unmatched row
+    spark.createDataFrame(
+        [("dF2", "m-F2", t(3, 0))], "doc_id string, media_ref string, ref_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(refs_dir)
+    spark.createDataFrame(
+        [("m-F2", t(3, 0))], "media_ref string, media_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(media_dir)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = start_referential_join_stream(spark, refs_dir, media_dir, ckpt, queryName="ssj")
+    q.awaitTermination(180)
+
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert rows["d1"]["dangling"] is False
+    assert rows["d2"]["dangling"] is False  # tolerance window caught the late asset
+    assert rows["d3"]["dangling"] is True and rows["d3"]["media_ts"] is None
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: first arrival passes, replays within
+    the horizon are suppressed — streaming uniqueness at ingest."""
+    import datetime
+    import time as _time
+
+    from anomalydetection_spark.streaming.validate_stream import start_dedup_stream
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    indir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("a", t(0), 0), ("b", t(1), 0)], "doc_id string, event_ts timestamp, partition_id int"
+    ).coalesce(1).write.mode("append").parquet(indir)
+    _time.sleep(1.2)
+    # batch 2: "a" replays (within 30m watermark) + new "c"
+    spark.createDataFrame(
+        [("a", t(2), 0), ("c", t(3), 0)], "doc_id string, event_ts timestamp, partition_id int"
+    ).coalesce(1).write.mode("append").parquet(indir)
+
+    q = start_dedup_stream(spark, indir, str(tmp_path / "ckpt"), queryName="sdedup")
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM sdedup").collect())
+    assert got == ["a", "b", "c"]  # each doc exactly once, replay suppressed
