@@ -84,3 +84,34 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None 
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-registered bucketed sink — the co-located-join layout.
+
+    Hash-bucketing both sides of a recurring join key (doc_id, media_ref)
+    at WRITE time lets every later equi-join/aggregation on that key plan
+    with NO Exchange: Spark reads matching buckets pairwise (plan-asserted
+    in tests/test_plans.py). At 10^12 rows this converts the single
+    largest recurring shuffle into a one-time layout cost — the
+    file-format analog of Iceberg's ``bucket(N, col)`` partition
+    transform, which is the production target (write_table + an Iceberg
+    catalog); this path covers plain-parquet warehouses.
+
+    ``sort=True`` additionally sorts within buckets, upgrading
+    merge-joins to skip their sort. Bucket counts should be sized so a
+    bucket fits an executor's memory comfortably (n_buckets ≈ table_bytes
+    / 256 MB, rounded to a power of two).
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *cols)
+    if sort:
+        w = w.sortBy(*cols)
+    w.saveAsTable(table_name)

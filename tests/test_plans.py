@@ -158,3 +158,30 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = _formatted(spark, dq.range_join_windows(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join layout (§2.3 at scale): two tables bucketed on the
+    join key plan a SortMergeJoin with NO Exchange on either side — the
+    recurring-join shuffle is paid once at write time."""
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.sources.io import write_bucketed
+
+    a = spark.range(50_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(50_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_plan_a", "k", n_buckets=8)
+    write_bucketed(b, "bkt_plan_b", "k", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_plan_a").join(spark.table("bkt_plan_b"), "k")
+        plan = _formatted(spark, j)
+        n = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_plan_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_plan_b")
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+    assert n == 50_000
