@@ -158,3 +158,36 @@ def test_mg_distributed_sketch(spark):
     assert mg.topk(1)[0][0] == "HEAVY"
     lo, hi = mg.estimate("HEAVY")
     assert lo <= 5000 <= hi
+
+
+# hypothesis property: MG guarantees hold for ARBITRARY streams and
+# arbitrary chunkings/merge orders, not just the zipf fixtures above
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        data=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        n_chunks=st.integers(min_value=1, max_value=5),
+        capacity=st.integers(min_value=2, max_value=16),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_mg_property_bounds(data, n_chunks, capacity):
+        s = pd.Series([f"k{v}" for v in data])
+        true = s.value_counts()
+        chunks = np.array_split(s, n_chunks)
+        mg = MisraGries(capacity)
+        for ch in chunks:
+            part = MisraGries(capacity)
+            if len(ch):
+                part.add_counts(pd.Series(ch).value_counts())
+            mg.merge(part)
+        assert mg.decremented <= len(s) / (capacity + 1)
+        assert len(mg.counts) <= capacity
+        for key, cnt in true.items():
+            if cnt > mg.decremented:
+                assert key in mg.counts
+            lo, hi = mg.estimate(key)
+            assert lo <= cnt <= hi
+
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass
