@@ -75,7 +75,12 @@ def suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible across engines; everything here is integer counts and
     threshold booleans, so the DuckDB twin (SUITE_VERDICTS_SQL) hash-matches.
     """
-    docs = derive_spans_documents(spark, sf_dir)
+    # persist the DERIVED table: unlike production (where docs is an
+    # Iceberg scan each branch re-reads cheaply), the derivation re-runs
+    # the text split + struct build per consuming branch if left lazy —
+    # the doc-level branches (stats/uniqueness/span_order) would pay it
+    # 3x on top of the persisted exploded view
+    docs = derive_spans_documents(spark, sf_dir).persist()
     media = derived_media_assets(spark)
     baseline = drift.compute_baseline(reassembly.explode_spans_meta(docs))
     res = run_suite(docs, media, baseline, SuiteConfig(persist_exploded=True))
@@ -217,7 +222,7 @@ def flagship_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run stats+uniqueness+referential+drift+span_order on the derived
     spans table; returns the per-(partition, constraint) verdicts with the
     metrics map rendered to JSON (stable schema for the driver's check)."""
-    docs = derive_spans_documents(spark, sf_dir)
+    docs = derive_spans_documents(spark, sf_dir).persist()  # see suite_verdicts
     media = derived_media_assets(spark)
     baseline = drift.compute_baseline(reassembly.explode_spans_meta(docs))
     res = run_suite(docs, media, baseline, SuiteConfig(persist_exploded=True))

@@ -96,3 +96,21 @@ def test_full_suite_through_table_io_contract(spark, tmp_path):
     assert not iceberg_available(spark)
     with _pytest.raises(RuntimeError, match="iceberg runtime jars"):
         read_table(spark, "catalog.db.docs", fmt="iceberg")
+
+
+def test_compact_output_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: a fragmented write (many tiny files) is
+    rewritten to the size-targeted file count with identical content."""
+    from anomalydetection_spark.sources.io import compact_output
+
+    out = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id % 7 AS grp").repartition(50).write.parquet(out)
+    import pathlib
+
+    assert len(list(pathlib.Path(out).rglob("*.parquet"))) >= 50
+    stats = compact_output(spark, out, target_file_mb=256)
+    assert stats["files_before"] >= 50
+    assert stats["files_after"] <= 4  # tiny dataset → one target-size file (+luck)
+    df = spark.read.parquet(out)
+    assert df.count() == 10_000
+    assert df.selectExpr("sum(id) AS s").first()["s"] == 10_000 * 9_999 // 2
