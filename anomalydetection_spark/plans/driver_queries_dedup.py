@@ -682,8 +682,100 @@ GROUP BY lp.p_brand
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation COMPOSITION: quality filter →
+    language filter → exact dedup (min-doc_id keeper per text hash) →
+    per-source rollup, as ONE Catalyst plan. Each stage is an operator
+    already hash-verified on its own (`quality_by_source`,
+    `lang_id_confusion`, `dedup_exact`); this query pins that their
+    composition stays correct AND fused — the quality/lang columns ride
+    the same scan, the dedup is one hash aggregate, and the rollup
+    map-side combines. The reference's analog is the eager stage chain
+    (end_to_end_prediction.py:618-667) writing a file between stages;
+    here stage boundaries exist only where shuffles genuinely are."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source", "text")
+    extra = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+    )
+    corpus = d.unionByName(extra)
+    q = textops.quality_score(corpus, "doc_id", "text").select("doc_id", "quality")
+    lang = textops.language_id(corpus, "doc_id", "text").select("doc_id", "predicted_lang")
+    kept = (
+        corpus.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("predicted_lang") == "en"))
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+        )
+    )
+    keepers = kept.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    survivors = kept.join(keepers, ["text_hash", "doc_id"])
+    cand = kept.groupBy("source").agg(F.count("*").alias("n_candidates"))
+    n = F.count("*")
+    return (
+        survivors.groupBy("source")
+        .agg(
+            n.alias("n_kept"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(12,6)")).cast("double") / n, 6
+            ).alias("avg_quality"),
+        )
+        .join(cand, "source")
+        .select("source", "n_candidates", "n_kept", "avg_quality")
+    )
+
+
+_CURATION_G = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+CURATION_SQL = (
+    r"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents WHERE doc_id % 7 = 0),
+t AS (SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+q AS (SELECT doc_id, source, text,
+        len(toks) AS n_tokens, len(list_distinct(toks)) AS n_types,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS n_stop,
+"""
+    + ",\n".join(
+        f"        len(list_filter(toks, x -> x IN {flt})) AS s_{lang}"
+        for lang, flt in sorted(_MARKER_FILTERS.items())
+    )
+    + f"""
+      FROM t),
+scored AS (SELECT doc_id, source, text,
+   round(0.4 * least(n_tokens / 64.0, 1.0)
+       + 0.4 * (CASE WHEN n_tokens > 0 THEN cast(n_types AS double)/n_tokens ELSE 0 END)
+       + 0.2 * (1.0 - (CASE WHEN n_tokens > 0 THEN cast(n_stop AS double)/n_tokens ELSE 0 END)),
+     6) AS quality,
+   CASE WHEN {_CURATION_G} = 0 THEN 'und'
+"""
+    + "\n".join(
+        f"        WHEN s_{lang} = {_CURATION_G} THEN '{lang}'"
+        for lang in sorted(_MARKER_FILTERS)
+    )
+    + """
+        ELSE 'und' END AS predicted_lang
+   FROM q),
+kept AS (SELECT doc_id, source, quality, md5(lower(trim(text))) AS text_hash
+         FROM scored WHERE quality >= 0.5 AND predicted_lang = 'en'),
+keepers AS (SELECT text_hash, min(doc_id) AS doc_id FROM kept GROUP BY 1),
+surv AS (SELECT k.* FROM kept k JOIN keepers USING (text_hash, doc_id)),
+cand AS (SELECT source, count(*) AS n_candidates FROM kept GROUP BY 1)
+SELECT s.source, c.n_candidates, count(*) AS n_kept,
+   round(cast(sum(cast(s.quality AS decimal(12,6))) AS double) / count(*), 6) AS avg_quality
+FROM surv s JOIN cand c USING (source)
+GROUP BY s.source, c.n_candidates
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
+    "curation_pipeline": curation_pipeline,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
     "dedup_simhash": dedup_simhash,
@@ -706,6 +798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "curation_pipeline": CURATION_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
