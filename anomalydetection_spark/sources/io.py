@@ -39,6 +39,8 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str = "auto") -> Da
                 "or add org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages"
             )
         return spark.read.format("iceberg").load(path_or_table)
+    if fmt == "orc":
+        return spark.read.orc(path_or_table)
     return spark.read.parquet(path_or_table)
 
 
@@ -51,12 +53,16 @@ def write_table(
 ) -> None:
     """S5/S6: columnar sink by default; ``fmt='csv'`` for the reference's
     report-file shape (header on, escaped) — only for small result tables,
-    never for span-bearing data."""
+    never for span-bearing data. ``fmt='orc'`` for warehouses standardized
+    on ORC (both columnar formats carry the nested span struct and the
+    min/max stats pruning relies on)."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     if fmt == "csv":
         w.option("header", True).csv(path)
+    elif fmt == "orc":
+        w.orc(path)
     else:
         w.parquet(path)
 

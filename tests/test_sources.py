@@ -114,3 +114,20 @@ def test_compact_output_reduces_files_preserves_rows(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 10_000
     assert df.selectExpr("sum(id) AS s").first()["s"] == 10_000 * 9_999 // 2
+
+
+def test_orc_roundtrip_preserves_spans(spark, tmp_path):
+    """fmt='orc': the nested span struct round-trips byte-identically
+    through the ORC sink/source pair (S5 format coverage)."""
+    from anomalydetection_spark.datagen import DataGenConfig, generate_documents
+    from anomalydetection_spark.sources.io import read_table, write_table
+
+    docs = generate_documents(spark, DataGenConfig(n_docs=300, n_partitions=3))
+    out = str(tmp_path / "docs_orc")
+    write_table(docs, out, partition_by=["partition_id"], fmt="orc")
+    back = read_table(spark, out, fmt="orc")
+    assert back.count() == docs.count()
+    key = lambda df: sorted(
+        (r["doc_id"], [tuple(s) for s in (r["spans"] or [])]) for r in df.collect()
+    )
+    assert key(back) == key(docs)
