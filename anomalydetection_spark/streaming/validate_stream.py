@@ -382,3 +382,106 @@ def start_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_template_mining_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    max_diff: int = 2,
+    queryName: str = "stream_templates",
+    out_dir: str | None = None,
+):
+    """Online template mining with EVOLVING cluster state — the true
+    streaming analog of the reference's Drain fold (drain.py:69-90: a
+    mutating miner updated per 100k-line buffer, persisted for resume).
+
+    Lines are digit-masked JVM-side, keyed by the Drain tree key
+    (token count, first token), and folded into per-key template
+    clusters held in Spark-managed state (``applyInPandasWithState``):
+    an incoming line joins the first cluster within ``max_diff``
+    differing concrete positions — those positions generalize to
+    ``<*>`` — else it seeds a new cluster. State (template strings +
+    counts) lives in the checkpoint: a killed stream resumes mid-corpus
+    exactly like Drain's FilePersistence state file (drain.py:48-51).
+
+    Python sees one row per DISTINCT masked line per batch
+    (``value_counts`` pre-aggregation), and cluster matching is
+    inherently sequential per key — the same work profile as the
+    reference's miner, now sharded across keys and resumable. Batch
+    twin: pipeline.mine_templates + generalize_templates.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    masked_col = F.regexp_replace(F.trim(F.col("value")), r"\d+", "<*>")
+    toks = F.split(masked_col, r"\s+")
+    lines = (
+        spark.readStream.text(input_dir)
+        .select(
+            masked_col.alias("masked"),
+            F.size(toks).cast("int").alias("n_tok"),
+            F.element_at(toks, 1).alias("t1"),
+        )
+    )
+
+    out_schema = "n_tok int, t1 string, template string, n bigint"
+    state_schema = "templates array<string>, counts array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            templates, counts = list(state.get[0]), list(state.get[1])
+        else:
+            templates, counts = [], []
+        tpl_toks = [t.split(" ") for t in templates]
+        for pdf in pdfs:
+            for masked, n_new in pdf["masked"].value_counts().items():
+                toks_in = masked.split(" ")
+                for i, cand in enumerate(tpl_toks):
+                    diff = [
+                        j
+                        for j, (a, b) in enumerate(zip(cand, toks_in))
+                        if a != b and a != "<*>"
+                    ]
+                    if len(diff) <= max_diff:
+                        for j in diff:
+                            cand[j] = "<*>"
+                        templates[i] = " ".join(cand)
+                        counts[i] += int(n_new)
+                        break
+                else:
+                    templates.append(masked)
+                    tpl_toks.append(toks_in)
+                    counts.append(int(n_new))
+        state.update((templates, counts))
+        yield pd.DataFrame(
+            {
+                "n_tok": key[0],
+                "t1": key[1],
+                "template": templates,
+                "n": counts,
+            }
+        )
+
+    mined = lines.groupBy("n_tok", "t1").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    w = mined.writeStream.outputMode("update")
+    if out_dir is not None:
+        # durable sink (memory sinks cannot recover from a checkpoint):
+        # append each batch's template updates stamped with the batch id;
+        # readers take max(n) per template — counts are monotonic
+        def emit(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        w = w.foreachBatch(emit)
+    else:
+        w = w.format("memory").queryName(queryName)
+    return (
+        w.option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -357,3 +357,55 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM sdedup").collect())
     assert got == ["a", "b", "c"]  # each doc exactly once, replay suppressed
+
+
+def test_streaming_template_mining_state_evolves(spark, tmp_path):
+    """Online Drain analog: clusters generalize within a batch, counts
+    accumulate ACROSS batches through checkpointed state, and a
+    resumed stream continues from the evolved templates."""
+    import time as _time
+    from pathlib import Path
+
+    from anomalydetection_spark.streaming.validate_stream import (
+        start_template_mining_stream,
+    )
+
+    indir = tmp_path / "lines"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    Path(indir / "b1.txt").write_text(
+        "user alice login\nuser bob login\ndisk full on nodeX\n"
+    )
+    _time.sleep(1.1)
+    Path(indir / "b2.txt").write_text(
+        "user carol login\ndisk full on nodeY\nuser dave login\n"
+    )
+
+    out = str(tmp_path / "tpl_out")
+    q = start_template_mining_stream(spark, str(indir), ckpt, out_dir=out)
+    q.awaitTermination(120)
+    # update-mode emissions append per batch; the final state per template
+    # is its max running count
+    by_tpl = {
+        r["template"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("template")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    assert by_tpl["user <*> login"] == 4          # alice/bob/carol/dave merged
+    assert by_tpl["disk full on <*>"] == 2        # nodeX/nodeY generalized
+    assert len(by_tpl) == 2
+
+    # resume: a third batch continues from the evolved, checkpointed state
+    _time.sleep(1.1)
+    Path(indir / "b3.txt").write_text("user erin login\n")
+    q2 = start_template_mining_stream(spark, str(indir), ckpt, out_dir=out)
+    q2.awaitTermination(120)
+    n = (
+        spark.read.parquet(out)
+        .filter(F.col("template") == "user <*> login")
+        .agg(F.max("n").alias("n"))
+        .first()["n"]
+    )
+    assert n == 5
