@@ -872,6 +872,59 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP complement to the CUBE query: hierarchical margins
+    (status, priority) → (status) → () with an explicit grouping-level
+    column — `grouping()` flags distinguish a genuine NULL group value
+    from a rollup total (the NULL-ambiguity CUBE/ROLLUP consumers hit)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("lvl"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS sum_price,
+       cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS int) AS lvl
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 breadth: NTILE(4) quartile assignment within each event_type
+    (ranking key pre-disambiguated by event_id so tile boundaries are
+    deterministic), then per-quartile aggregates — the windowed-bucketing
+    shape behind per-cohort percentile reporting."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    tiled = e.select(
+        "event_type", "value", F.ntile(4).over(w).alias("quartile")
+    )
+    n = F.count("*")
+    return tiled.groupBy("event_type", "quartile").agg(
+        n.alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / n, 6
+        ).alias("avg_value"),
+    )
+
+
+NTILE_SQL = """
+WITH tiled AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+  FROM events)
+SELECT event_type, quartile, count(*) AS n_events,
+       round(cast(sum(cast(value AS decimal(18,2))) AS double) / count(*), 6) AS avg_value
+FROM tiled GROUP BY 1, 2
+"""
+
+
 def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 engine-portable: per-stratum deterministic sampling — each lang
     gets its own keep-rate, membership decided by an md5-derived uniform
@@ -1224,6 +1277,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "template_merge_events": template_merge_events,
     "roc_auc_embeddings": roc_auc_embeddings,
     "cube_order_counts": cube_order_counts,
+    "rollup_order_priority": rollup_order_priority,
+    "ntile_value_quartiles": ntile_value_quartiles,
     "stratified_sample_langs": stratified_sample_langs,
     "except_users": except_users,
     "running_total_user": running_total_user,
@@ -1261,6 +1316,8 @@ ORACLE_SQL: dict[str, str] = {
     "template_merge_events": TEMPLATE_MERGE_SQL,
     "roc_auc_embeddings": ROC_AUC_SQL,
     "cube_order_counts": CUBE_SQL,
+    "rollup_order_priority": ROLLUP_SQL,
+    "ntile_value_quartiles": NTILE_SQL,
     "stratified_sample_langs": STRATIFIED_SQL,
     "except_users": EXCEPT_SQL,
     "running_total_user": RUNNING_TOTAL_SQL,
