@@ -139,3 +139,24 @@ def run_suite(
         F.max("row_count").cast("long").alias("row_count"),
     )
     return ValidationResult(verdicts=verdicts, violations=violations, partition_rollup=rollup)
+
+
+def quarantine_documents(docs: DataFrame, violations: DataFrame) -> DataFrame:
+    """Full offending DOCUMENT rows for inspection/repair — the violation
+    table carries keys + detail strings; the quarantine carries payloads.
+
+    Violating doc_ids are the exception by construction, so the key set
+    is aggregated small (collect_set of constraints per doc) and
+    broadcast back onto the document table as an inner join — one more
+    scan of the fact side, zero fact-side shuffle. Each offending
+    document ROW is quarantined with all its constraint labels (a
+    doc_id duplicated in the table — the uniqueness offender — yields
+    one payload row per physical duplicate). Key-level violations with
+    no doc_id (e.g. frequent_items hot keys) have no payload row to
+    quarantine and are excluded here."""
+    keys = (
+        violations.filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("constraint")).alias("violated_constraints"))
+    )
+    return docs.join(F.broadcast(keys), "doc_id")

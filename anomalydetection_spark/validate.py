@@ -37,10 +37,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-null-text-rate", type=float, default=0.05)
     ap.add_argument("--max-kl", type=float, default=0.05)
     ap.add_argument("--max-psi", type=float, default=0.1)
+    ap.add_argument("--max-ref-share", type=float, default=0.05,
+                    help="frequent_items: max share of a partition's refs one media_ref may hold")
+    ap.add_argument("--min-refs", type=int, default=50,
+                    help="frequent_items: partitions with fewer refs are vacuously clean")
     ap.add_argument("--no-persist-exploded", action="store_true",
                     help="recompute the span view from the columnar scan (large inputs)")
     ap.add_argument("--spec", help="JSON constraint spec (plans/declarative.py) — "
                                    "overrides the individual threshold flags")
+    ap.add_argument("--quarantine", action="store_true",
+                    help="additionally write full offending document rows to <out>/quarantine")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -53,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     from anomalydetection_spark.operators import drift, reassembly
     from anomalydetection_spark.operators.drift import DriftThresholds
+    from anomalydetection_spark.operators.freqitems import FreqThresholds
     from anomalydetection_spark.operators.stats import StatsThresholds
     from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
     from anomalydetection_spark.session import get_spark
@@ -90,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
         suite_cfg = SuiteConfig(
             stats=StatsThresholds(max_null_text_rate=args.max_null_text_rate),
             drift=DriftThresholds(max_kl=args.max_kl, max_psi=args.max_psi),
+            freq=FreqThresholds(max_ref_share=args.max_ref_share, min_refs=args.min_refs),
             n_salts=args.n_salts,
             persist_exploded=not args.no_persist_exploded,
         )
@@ -128,6 +136,12 @@ def main(argv: list[str] | None = None) -> int:
         res.violations.write.mode("overwrite").partitionBy("constraint").parquet(
             f"{args.out}/violations"
         )
+        if args.quarantine:
+            from anomalydetection_spark.plans.suite import quarantine_documents
+
+            quarantine_documents(docs, res.violations).write.mode("overwrite").parquet(
+                f"{args.out}/quarantine"
+            )
         n_viol = spark.read.parquet(f"{args.out}/violations").count()
         rows = spark.read.parquet(f"{args.out}/verdicts").collect()
     else:

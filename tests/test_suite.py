@@ -64,3 +64,32 @@ def test_clean_data_all_pass(spark, baseline):
     bad = [(r["partition_id"], r["constraint"]) for r in rows if not r["passed"]]
     assert bad == []
     assert res.violations.count() == 0
+
+
+def test_quarantine_documents(spark, baseline):
+    """Quarantine = full payload rows of violating docs, one row per doc
+    with all its constraint labels; count matches the distinct doc-level
+    violators and every label is justified by a violation row."""
+    from anomalydetection_spark.plans.suite import quarantine_documents
+
+    docs = generate_documents(spark, CFG)
+    media = generate_media_assets(spark, CFG)
+    res = run_suite(docs, media, baseline)
+    q = quarantine_documents(docs, res.violations)
+    viol = res.violations.filter(F.col("doc_id").isNotNull())
+    n_ids = viol.select("doc_id").distinct().count()
+    assert n_ids > 0
+    assert q.select("doc_id").distinct().count() == n_ids
+    # duplicated doc_ids (uniqueness offenders) quarantine one payload row
+    # per physical duplicate, so row count can exceed distinct ids
+    assert q.count() >= n_ids
+    # spans payload present; labels match the violation table per doc
+    assert "spans" in q.columns
+    got = {r["doc_id"]: list(r["violated_constraints"]) for r in q.collect()}
+    want = {
+        r["doc_id"]: sorted(r["cs"])
+        for r in viol.groupBy("doc_id")
+        .agg(F.collect_set("constraint").alias("cs"))
+        .collect()
+    }
+    assert got == want
