@@ -434,3 +434,181 @@ def norm_blocked_near_pairs(
         "id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos")
     )
     return scored.filter(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN — the memory-scale path
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    n_train: int = 1024,
+    n_iters: int = 8,
+) -> np.ndarray:
+    """Deterministic PQ codebooks, shape (m, ksub, d/m).
+
+    Vectors are unit-normalized and split into ``m`` subspaces; each
+    subspace gets its own Lloyd k-means run over a bounded training
+    sample (the ``n_train`` rows with smallest md5(id) — PQ training on
+    a sample is standard practice; the full corpus is only ever
+    ENCODED, one pass). Init per subspace = first ``ksub`` distinct
+    sub-vectors in sample order; ties and iteration order are fully
+    deterministic, so two fits produce identical codebooks.
+    """
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_train)
+        .collect()
+    )
+    V = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    d = V.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        X = V[:, s * dsub : (s + 1) * dsub]
+        # init: first ksub distinct sub-vectors in (md5-ordered) sample order
+        seen: list[tuple] = []
+        for row in X:
+            t = tuple(np.round(row, 12))
+            if t not in seen:
+                seen.append(t)
+            if len(seen) == ksub:
+                break
+        C = np.array(seen, dtype=np.float64)
+        if C.shape[0] < ksub:  # degenerate sample: pad by repeating
+            C = np.vstack([C] * (ksub // max(1, C.shape[0]) + 1))[:ksub]
+        for _ in range(n_iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """One-pass corpus encoding: (id, codes array<int>) — m small ints
+    per vector (d·4 bytes → m bytes at ksub ≤ 256: 32× compression at
+    d=64/m=8, which is what lets a 10^12-vector index live in cluster
+    RAM). Vectorized Arrow batches: per subspace one (batch × ksub)
+    distance matrix + argmin, no Python per row."""
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.zeros((len(V), m), dtype=np.int32)
+            for s in range(m):
+                X = V[:, s * dsub : (s + 1) * dsub]
+                d2 = ((X[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, f"{id_col} {id_type}, codes array<int>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Compressed-domain cosine top-k via PQ + asymmetric distance (ADC),
+    exact-reranked: codes are scored against per-query lookup tables
+    (m×ksub sub-distances, computed once per task), the top
+    ``k·rerank_factor`` ADC candidates per query are re-scored with
+    EXACT cosine, and the final top-k ranks on the exact value — so
+    every returned cosine is true (same contract as ``ivf_topk``), with
+    PQ deciding only which candidates get the exact computation.
+
+    Scale: the scan streams m-byte codes, not d·4-byte vectors; the
+    shuffle carries k·rerank_factor·|queries| candidate rows per input
+    partition; the exact rerank touches |candidates| vectors. Unlike
+    IVF this needs no cell-balanced data; compose with IVF (IVF-PQ) by
+    encoding within cells when both memory and probe pruning matter.
+    On unit-normalized vectors L2-ADC ordering is cosine ordering.
+    """
+    import pandas as pd
+
+    books = pq_train_codebooks(corpus, id_col, vec_col, m=m, ksub=ksub)
+    codes = pq_encode(corpus, id_col, vec_col, books)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in qrows])
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    dsub = Q.shape[1] // m
+    # per-query LUT: luts[q, s, c] = ||Q[q,sub s] - codeword c||^2
+    luts = np.stack(
+        [
+            ((Q[:, s * dsub : (s + 1) * dsub][:, None, :] - books[s][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    n_keep = k * rerank_factor
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            # ADC: sum LUT entries the codes select — (nq, n) via take_along
+            D = np.zeros((len(q_ids), len(C)))
+            for s in range(m):
+                D += luts[:, s, :][:, C[:, s]]
+            keep = min(n_keep, D.shape[1])
+            idx = np.argpartition(D, keep - 1, axis=1)[:, :keep]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, keep),
+                    "neighbor_id": pdf[id_col].to_numpy()[idx].reshape(-1),
+                    "adc": np.round(np.take_along_axis(D, idx, axis=1), 6).reshape(-1),
+                }
+            )
+
+    partial = codes.mapInPandas(score, "query_id long, neighbor_id long, adc double")
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    cand = partial.withColumn("_rk", F.row_number().over(w_adc)).filter(
+        F.col("_rk") <= n_keep
+    )
+    # exact rerank: true cosine on the candidate set only
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

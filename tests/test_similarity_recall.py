@@ -145,3 +145,44 @@ def test_blas_topk_matches_jvm_operator(spark, em):
     assert set(a) == set(b)
     for key in a:
         assert abs(a[key] - b[key]) <= 1e-6, (key, a[key], b[key])
+
+
+def test_pq_topk_recall_and_true_cosines(spark):
+    """PQ/ADC with exact rerank on the clustered corpus: recall@5 ≥ 0.8
+    vs brute force, every returned cosine is the true cosine, and
+    codebook training is deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n_clusters, per, d = 8, 50, 32
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(scale=0.15, size=(per, d))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        for j, p in enumerate(pts):
+            rows.append((c * 1000 + j, [float(x) for x in p]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = df.filter(F.col("vec_id") % 1000 >= 3)
+    queries = df.filter(F.col("vec_id") % 1000 < 2)
+
+    pq = similarity.pq_topk(corpus, queries, "vec_id", "embedding", k=5, m=8, ksub=16)
+    brute = similarity.brute_force_topk(corpus, queries, "vec_id", "embedding", k=5)
+    recall, _ = _recall_at_5(pq, brute)
+    assert recall >= 0.8, f"recall@5={recall:.3f}"
+
+    # every PQ result carries the TRUE cosine (rerank contract)
+    all_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in similarity.brute_force_topk(
+            corpus, queries, "vec_id", "embedding", k=10**9
+        ).collect()
+    }
+    for r in pq.collect():
+        assert all_cos[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+    # deterministic codebooks
+    b1 = similarity.pq_train_codebooks(corpus, "vec_id", "embedding", m=8, ksub=16)
+    b2 = similarity.pq_train_codebooks(corpus, "vec_id", "embedding", m=8, ksub=16)
+    assert np.array_equal(b1, b2)
