@@ -313,10 +313,17 @@ def main() -> int:
     time.sleep(8)
 
     # suite throughput on the north-rule synthetic workload (fresh session,
-    # subprocess so JVM/session state can't leak into the measurement)
+    # subprocess so JVM/session state can't leak into the measurement).
+    # Executor sizing: a 32-core node runs as ~4 executors × 8 cores in
+    # production (Spark's ≤5-8 cores/executor guidance); local mode can't
+    # express multi-executor, and one JVM saturates this host's memory
+    # subsystem below 32 threads on scan-heavy work (measured on 1M docs:
+    # local[8] 85.4k docs/s vs local[32] 69.2k, reproducible) — so the
+    # suite worker uses the per-executor-sized local[8] unless overridden.
+    suite_cpus = int(os.environ.get("SPARK_GRAFT_SUITE_CPUS", min(int(cpus), 8)))
     cmd = [
         sys.executable, __file__, "--_suite-worker",
-        "--master", f"local[{cpus}]", "--suite-docs", str(n_suite_docs),
+        "--master", f"local[{suite_cpus}]", "--suite-docs", str(n_suite_docs),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     suite = None
