@@ -773,8 +773,32 @@ GROUP BY s.source, c.n_candidates
 )
 
 
+def pca_anomaly_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA reconstruction-error anomaly scoring (operators/
+    pca.py): one-pass moment partials → driver eigh → map-only scoring →
+    exact-q95 threshold verdicts — the reference's fit/score/threshold
+    pipeline (end_to_end_prediction.py:433-461) with PCA standing in for
+    the learned encoder. The model is a data-dependent eigendecomposition
+    → no SQL oracle (driver records rows-only, like
+    tdigest_quantiles_events); agreement with single-node NumPy PCA is
+    pytest-gated (tests/test_pca.py)."""
+    from anomalydetection_spark.operators import pca
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca.fit_pca(e, "embedding", k=8)
+    scores = pca.reconstruction_scores(e, "vec_id", "embedding", model)
+    verdicts = pca.anomaly_verdicts(scores, "vec_id", q=0.95)
+    labeled = verdicts.join(e.select("vec_id", "label"), "vec_id")
+    return labeled.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
+    "pca_anomaly_by_label": pca_anomaly_by_label,
     "curation_pipeline": curation_pipeline,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
@@ -813,6 +837,8 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_decode_stats": MULTIMODAL_SQL,
     "token_count_bpe": TOKEN_BPE_SQL,
     # tdigest_quantiles_events intentionally has no oracle (approximate)
+    # pca_anomaly_by_label intentionally has no oracle (iterative/eigen —
+    # non-SQL-expressible; NumPy-exactness gated in tests/test_pca.py)
     "tdigest_bounds_events": TDIGEST_BOUNDS_SQL,
     "multimodal_frame_stats": MULTIMODAL_FRAMES_SQL,
     "pandas_udf_token_stats": PANDAS_TOKEN_SQL,
