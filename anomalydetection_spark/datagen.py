@@ -6,6 +6,8 @@ injectable on demand (FIXTURES.md §1):
 
 - duplicate ``doc_id`` values incl. hot keys (salted-uniqueness exercise)
 - dangling ``media_ref`` (referential anti-join)
+- malformed ``media_ref`` format / NULL ref on media spans
+  (pattern / cross_column constraints)
 - null ``text`` on text spans (null-rate stats)
 - drifted partitions with a different span-kind mix and span-length
   distribution (KL/PSI drift)
@@ -55,6 +57,8 @@ class DataGenConfig:
     hot_keys: int = 2               # number of hot duplicate doc_ids
     hot_rate: float = 0.01          # fraction of docs collapsing onto hot keys
     dangling_rate: float = 0.03     # media spans with refs outside the catalog
+    malformed_ref_rate: float = 0.0  # media spans with refs in a wrong format (pattern)
+    missing_ref_rate: float = 0.0    # media spans with NULL media_ref (cross_column)
     null_text_rate: float = 0.02    # text spans with NULL text
     empty_spans_rate: float = 0.01  # docs with spans = []
     reversed_offset_rate: float = 0.05  # docs with reversed (still valid) offsets
@@ -137,11 +141,20 @@ def generate_documents(spark: SparkSession, cfg: DataGenConfig) -> DataFrame:
             is_texty & (_u(sid, "nulltext", s) >= F.lit(cfg.null_text_rate)), text
         ).otherwise(F.lit(None).cast("string"))
 
-        # media_ref: only for media spans; a slice is dangling (beyond catalog)
+        # media_ref: only for media spans; a slice is dangling (beyond catalog);
+        # optional injected slices are NULL (cross_column) or wrong-format (pattern)
         ref_space = int(cfg.n_media / (1.0 - cfg.dangling_rate)) if cfg.dangling_rate > 0 else cfg.n_media
+        ref_num = F.pmod(_h(sid, "ref", s), F.lit(max(ref_space, 1)))
+        u_refviol = _u(sid, "refviol", s)
+        well_formed = F.format_string("m-%08d", ref_num)
         media_ref = F.when(
             ~is_texty,
-            F.format_string("m-%08d", F.pmod(_h(sid, "ref", s), F.lit(max(ref_space, 1)))),
+            F.when(u_refviol < F.lit(cfg.missing_ref_rate), F.lit(None).cast("string"))
+            .when(
+                u_refviol < F.lit(cfg.missing_ref_rate + cfg.malformed_ref_rate),
+                F.format_string("REF_%08d", ref_num),
+            )
+            .otherwise(well_formed),
         ).otherwise(F.lit(None).cast("string"))
 
         offset = F.when(reverse, n_spans - 1 - i).otherwise(i).cast("int")
@@ -190,6 +203,8 @@ def clean_config(cfg: DataGenConfig) -> DataGenConfig:
         hot_keys=1,
         hot_rate=0.0,
         dangling_rate=0.0,
+        malformed_ref_rate=0.0,
+        missing_ref_rate=0.0,
         null_text_rate=0.0,
         empty_spans_rate=0.0,
         reversed_offset_rate=0.0,

@@ -149,6 +149,33 @@ def span_order_violations(docs: pd.DataFrame) -> pd.DataFrame:
     return v
 
 
+def pattern_violations(sp: pd.DataFrame, ref_pattern: str) -> pd.DataFrame:
+    """Non-null media_refs failing the format regex (re.fullmatch-free:
+    the engine's rlike is a search, so the pattern carries its anchors)."""
+    import re
+
+    rx = re.compile(ref_pattern)
+    refs = sp[sp["media_ref"].notna()]
+    bad = refs[~refs["media_ref"].map(lambda r: bool(rx.search(r)))]
+    v = bad[["partition_id", "doc_id", "pos", "media_ref"]].copy()
+    v["constraint"] = "pattern"
+    return v.reset_index(drop=True)
+
+
+def cross_column_violations(sp: pd.DataFrame) -> pd.DataFrame:
+    """kind-vs-media_ref consistency + kind domain (operators/patterns.py)."""
+    media_kinds = {"image", "audio", "video"}
+    known = media_kinds | TEXTY
+    bad = sp[
+        (sp["kind"].isin(media_kinds) & sp["media_ref"].isna())
+        | (sp["kind"].isin(TEXTY) & sp["media_ref"].notna())
+        | ~sp["kind"].isin(known)
+    ]
+    v = bad[["partition_id", "doc_id", "pos", "kind"]].copy()
+    v["constraint"] = "cross_column"
+    return v.reset_index(drop=True)
+
+
 def frequent_items_verdicts(sp: pd.DataFrame, max_ref_share: float, min_refs: int) -> pd.DataFrame:
     """Hot media_ref detection in the reference's value_counts idiom."""
     out = []

@@ -17,7 +17,10 @@ Spec shape (every field optional; defaults = SuiteConfig defaults):
         {"type": "referential", "broadcast": true},
         {"type": "distribution_drift", "max_kl": 0.05, "max_psi": 0.1,
          "epsilon": 1e-6},
-        {"type": "span_order"}
+        {"type": "span_order"},
+        {"type": "frequent_items", "max_ref_share": 0.05, "min_refs": 50},
+        {"type": "pattern", "ref_pattern": "^m-[0-9]{5,8}$"},
+        {"type": "cross_column"}
       ],
       "execution": {"persist_exploded": true, "persist_violations": true,
                     "repartition_exploded": null}
@@ -37,6 +40,7 @@ from pyspark.sql import DataFrame
 
 from anomalydetection_spark.operators.drift import DriftThresholds
 from anomalydetection_spark.operators.freqitems import FreqThresholds
+from anomalydetection_spark.operators.patterns import PatternThresholds
 from anomalydetection_spark.operators.stats import StatsThresholds
 from anomalydetection_spark.plans.suite import (
     ALL_CONSTRAINTS,
@@ -52,6 +56,8 @@ _ALLOWED_FIELDS = {
     "distribution_drift": {f.name for f in dc_fields(DriftThresholds)},
     "span_order": set(),
     "frequent_items": {f.name for f in dc_fields(FreqThresholds)},
+    "pattern": {f.name for f in dc_fields(PatternThresholds)},
+    "cross_column": set(),
 }
 _EXECUTION_FIELDS = {"persist_exploded", "persist_violations", "repartition_exploded"}
 
@@ -87,6 +93,8 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
             kwargs["broadcast_media"] = params["broadcast"]
         elif ctype == "frequent_items" and params:
             kwargs["freq"] = FreqThresholds(**params)
+        elif ctype == "pattern" and params:
+            kwargs["pattern"] = PatternThresholds(**params)
 
     execution = spec.get("execution", {})
     extra = set(execution) - _EXECUTION_FIELDS

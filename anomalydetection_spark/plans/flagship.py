@@ -66,7 +66,7 @@ def derived_media_assets(spark: SparkSession) -> DataFrame:
 
 
 def suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checkable flagship suite: the five constraint verdicts over
+    """Oracle-checkable flagship suite: all eight constraint verdicts over
     the derived spans table, restricted to the engine-deterministic columns
     (partition_id, constraint, passed, violation_count, row_count).
 
@@ -208,19 +208,43 @@ fi_v AS (
      coalesce(h.viol, 0) = 0 AS passed,
      cast(coalesce(h.viol, 0) AS bigint) AS violation_count,
      cast(t.n_refs AS bigint) AS row_count
-  FROM fi_tot t LEFT JOIN fi_hot h USING (partition_id))
+  FROM fi_tot t LEFT JOIN fi_hot h USING (partition_id)),
+pat_viol AS (
+  SELECT partition_id, count(*) AS viol FROM sp
+  WHERE media_ref IS NOT NULL AND NOT regexp_matches(media_ref, '^m-[0-9]{5,8}$')
+  GROUP BY 1),
+pat_v AS (
+  SELECT s.partition_id, 'pattern' AS "constraint",
+     coalesce(v.viol, 0) = 0 AS passed,
+     cast(coalesce(v.viol, 0) AS bigint) AS violation_count,
+     cast(s.n_spans AS bigint) AS row_count
+  FROM span_stats s LEFT JOIN pat_viol v USING (partition_id)),
+cc_viol AS (
+  SELECT partition_id, count(*) AS viol FROM sp
+  WHERE (kind IN ('image','audio','video') AND media_ref IS NULL)
+     OR (kind IN ('text','code') AND media_ref IS NOT NULL)
+     OR kind NOT IN ('image','audio','video','text','code')
+  GROUP BY 1),
+cc_v AS (
+  SELECT s.partition_id, 'cross_column' AS "constraint",
+     coalesce(v.viol, 0) = 0 AS passed,
+     cast(coalesce(v.viol, 0) AS bigint) AS violation_count,
+     cast(s.n_spans AS bigint) AS row_count
+  FROM span_stats s LEFT JOIN cc_viol v USING (partition_id))
 SELECT * FROM stats_v
 UNION ALL SELECT * FROM uniq_v
 UNION ALL SELECT * FROM ref_v
 UNION ALL SELECT * FROM so_v
 UNION ALL SELECT * FROM drift_v
 UNION ALL SELECT * FROM fi_v
+UNION ALL SELECT * FROM pat_v
+UNION ALL SELECT * FROM cc_v
 """
 
 
 def flagship_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run stats+uniqueness+referential+drift+span_order on the derived
-    spans table; returns the per-(partition, constraint) verdicts with the
+    """Run the full eight-constraint suite on the derived spans table;
+    returns the per-(partition, constraint) verdicts with the
     metrics map rendered to JSON (stable schema for the driver's check)."""
     docs = derive_spans_documents(spark, sf_dir).persist()  # see suite_verdicts
     media = derived_media_assets(spark)

@@ -1,7 +1,8 @@
 """ValidationSuite — the engine's top-level plan builder.
 
-Composes the four constraint operators (stats, uniqueness, referential,
-drift) plus the span_order invariant into ONE lazy DataFrame DAG:
+Composes the constraint operators (stats, uniqueness, referential, drift,
+frequent_items, pattern, cross_column) plus the span_order invariant into
+ONE lazy DataFrame DAG:
 
     scan → posexplode (once) → {stats agg | anti-join | histogram agg}
          ⊎ doc-level {permutation check | salted uniqueness}
@@ -26,6 +27,7 @@ from pyspark.sql import functions as F
 from anomalydetection_spark.operators import (
     drift,
     freqitems,
+    patterns,
     referential,
     reassembly,
     stats,
@@ -38,6 +40,7 @@ class SuiteConfig:
     stats: stats.StatsThresholds = field(default_factory=stats.StatsThresholds)
     drift: drift.DriftThresholds = field(default_factory=drift.DriftThresholds)
     freq: freqitems.FreqThresholds = field(default_factory=freqitems.FreqThresholds)
+    pattern: patterns.PatternThresholds = field(default_factory=patterns.PatternThresholds)
     n_salts: int = 16
     broadcast_media: bool = True
     persist_exploded: bool = True
@@ -68,6 +71,8 @@ ALL_CONSTRAINTS = (
     "distribution_drift",
     "span_order",
     "frequent_items",
+    "pattern",
+    "cross_column",
 )
 
 
@@ -128,6 +133,8 @@ def run_suite(
             docs, share_violations=cfg.persist_violations
         ),
         "frequent_items": lambda: _maybe_persist(freqitems.check(exploded, cfg.freq)),
+        "pattern": lambda: _maybe_persist(patterns.pattern_check(exploded, cfg.pattern)),
+        "cross_column": lambda: _maybe_persist(patterns.cross_column_check(exploded)),
     }
     all_pairs = [builders[name]() for name in ALL_CONSTRAINTS if name in selected]
     verdicts = reduce(DataFrame.unionByName, [p[0] for p in all_pairs])

@@ -41,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="frequent_items: max share of a partition's refs one media_ref may hold")
     ap.add_argument("--min-refs", type=int, default=50,
                     help="frequent_items: partitions with fewer refs are vacuously clean")
+    ap.add_argument("--ref-pattern", default=None,
+                    help="pattern: regex every non-null media_ref must match")
     ap.add_argument("--no-persist-exploded", action="store_true",
                     help="recompute the span view from the columnar scan (large inputs)")
     ap.add_argument("--spec", help="JSON constraint spec (plans/declarative.py) — "
@@ -94,10 +96,17 @@ def main(argv: list[str] | None = None) -> int:
 
         suite_cfg, selected_constraints = compile_spec(load_spec(args.spec))
     else:
+        from anomalydetection_spark.operators.patterns import PatternThresholds
+
         suite_cfg = SuiteConfig(
             stats=StatsThresholds(max_null_text_rate=args.max_null_text_rate),
             drift=DriftThresholds(max_kl=args.max_kl, max_psi=args.max_psi),
             freq=FreqThresholds(max_ref_share=args.max_ref_share, min_refs=args.min_refs),
+            pattern=(
+                PatternThresholds(ref_pattern=args.ref_pattern)
+                if args.ref_pattern
+                else PatternThresholds()
+            ),
             n_salts=args.n_salts,
             persist_exploded=not args.no_persist_exploded,
         )

@@ -39,6 +39,8 @@ def test_empty_spec_runs_everything(spark, inputs):
         "distribution_drift",
         "span_order",
         "frequent_items",
+        "pattern",
+        "cross_column",
     }
 
 
@@ -75,6 +77,8 @@ def test_spec_matches_programmatic_config(spark, inputs):
             {"type": "distribution_drift"},
             {"type": "span_order"},
             {"type": "frequent_items", "max_ref_share": 0.04},
+            {"type": "pattern"},
+            {"type": "cross_column"},
         ],
         "execution": {"persist_exploded": False},
     }

@@ -24,6 +24,8 @@ CONSTRAINTS = {
     "distribution_drift",
     "span_order",
     "frequent_items",
+    "pattern",
+    "cross_column",
 }
 
 
