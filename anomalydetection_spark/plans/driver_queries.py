@@ -1249,6 +1249,52 @@ GROUP BY 1
 """
 
 
+def zorder_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave as a JVM bit expression (operators/
+    layout.py): events keyed by (user bucket, hour-of-day) get a 16-bit
+    Z-value; per coarse Z-range the bounding box of BOTH dimensions stays
+    tight — the per-file min/max stats a clustered write would give a
+    10^12-row scan for multi-dimension skipping. The interleave itself is
+    cross-engine-checkable integer arithmetic."""
+    from anomalydetection_spark.operators import layout
+
+    e = _t(spark, sf_dir, "events")
+    x = F.pmod("user_id", F.lit(256)).cast("long")
+    y = F.hour("ts").cast("long")
+    z = layout.z_value([x, y], bits=8)
+    return (
+        e.select(z.alias("z"), x.alias("x"), y.alias("y"))
+        .groupBy(F.shiftright("z", 10).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+def _z_interleave_sql(xexpr: str, yexpr: str, bits: int) -> str:
+    terms = [f"((({xexpr}) >> {b}) & 1) << {2 * b}" for b in range(bits)]
+    terms += [f"((({yexpr}) >> {b}) & 1) << {2 * b + 1}" for b in range(bits)]
+    return " | ".join(f"({t})" for t in terms)
+
+
+ZORDER_SQL = f"""
+WITH xy AS (
+  SELECT user_id % 256 AS x, hour(ts) AS y FROM events
+),
+zv AS (
+  SELECT x, y, ({_z_interleave_sql('x', 'y', 8)}) AS z FROM xy
+)
+SELECT z >> 10 AS z_bucket, count(*) AS n_events,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM zv GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1290,6 +1336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_api_revenue_by_status": sql_api_revenue_by_status,
     "distinct_agg_customers": distinct_agg_customers,
     "left_join_null_handling": left_join_null_handling,
+    "zorder_event_buckets": zorder_event_buckets,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1329,4 +1376,5 @@ ORACLE_SQL: dict[str, str] = {
     "sql_api_revenue_by_status": SQL_API_SQL,
     "distinct_agg_customers": DISTINCT_AGG_SQL,
     "left_join_null_handling": LEFT_JOIN_NULL_SQL,
+    "zorder_event_buckets": ZORDER_SQL,
 }
