@@ -149,6 +149,19 @@ def test_suite_branches_prune_nested_leaves(spark, tmp_path):
         if "spans" in schema:
             assert "text:string" not in schema, schema
 
+    # pattern/cross_column share the contract: kind+media_ref leaves only
+    from anomalydetection_spark.operators import patterns
+
+    for verdicts in (
+        patterns.pattern_check(exploded)[0],
+        patterns.cross_column_check(exploded)[0],
+    ):
+        plan = _formatted(spark, verdicts)
+        for part in plan.split("ReadSchema: ")[1:]:
+            schema = part.splitlines()[0]
+            if "spans" in schema:
+                assert "text:string" not in schema, schema
+
 
 def test_range_join_is_hash_join_not_nested_loop(spark):
     """The bucket-expansion rewrite must plan as a broadcast HASH join on
