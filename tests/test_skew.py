@@ -65,3 +65,53 @@ def test_hot_key_actually_spreads(spark, skewed):
     )
     n_salts_used = f.filter(F.col("k") == "HOT").select("_salt").distinct().count()
     assert n_salts_used >= 4
+
+
+def test_aqe_splits_skewed_join(spark):
+    """North-rule 'AQE skew-join handling': with the skew thresholds scaled
+    down to test-sized data, AQE's OptimizeSkewedJoin must split the hot
+    key's oversized shuffle partition into subpartitions (the final adaptive
+    plan marks the join skew=true) while preserving the join result. This is
+    the runtime complement to salted_join: salting handles skew the planner
+    can predict, AQE catches it at shuffle time from actual map statistics.
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pad = "x" * 120
+        fact = spark.range(60_000).select(
+            F.when(F.col("id") < 55_000, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 37).cast("string")))
+            .alias("k"),
+            F.concat(F.lit(pad), F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(40).select(
+            F.when(F.col("id") == 0, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") - 1).cast("string")))
+            .alias("k"),
+            F.col("id").alias("attr"),
+        )
+        joined = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's own QueryExecution (count()
+        # would wrap it in a fresh one, leaving this plan un-finalized)
+        assert len(joined.collect()) == 60_000  # every fact row matches one dim row
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
