@@ -198,3 +198,32 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "Exchange" not in plan, plan
     assert "Bucketed: true" in plan
     assert n == 50_000
+
+
+def test_resume_scan_prunes_hive_partitions(spark, tmp_path):
+    """Manifest resume at 10^12 docs only works if the pending-partition
+    filter becomes a PARTITION filter on a partition_id-partitioned table —
+    pruned at file listing, zero data read for done partitions — not a
+    post-scan row filter over the whole table."""
+    from pyspark.sql import functions as F
+
+    docs = generate_documents(spark, DataGenConfig(n_docs=2000, n_partitions=8))
+    path = str(tmp_path / "docs_part")
+    docs.write.partitionBy("partition_id").mode("overwrite").parquet(path)
+
+    pending = [2, 5]
+    resumed = spark.read.parquet(path).filter(F.col("partition_id").isin(pending))
+    plan = _formatted(spark, resumed)
+
+    part_filter = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert part_filter, plan
+    assert "partition_id" in part_filter[0], part_filter[0]
+    # the predicate must NOT degrade to a post-scan data filter
+    data_filter = [ln for ln in plan.splitlines() if ln.strip().startswith("PushedFilters")]
+    if data_filter:
+        assert "partition_id" not in data_filter[0], data_filter[0]
+    n_rows = resumed.count()
+    expected = docs.filter(F.col("partition_id").isin(pending)).count()
+    assert n_rows == expected > 0
