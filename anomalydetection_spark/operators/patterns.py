@@ -95,9 +95,13 @@ def pattern_check(
 
 
 def _inconsistent(kind: Column, media_ref: Column) -> Column:
+    # NULL kind must be flagged too: a bare `~isin` evaluates to NULL (not
+    # true) for NULL kind and the filter would silently drop the row, while
+    # the pandas oracle (isin→False on NaN) flags it.
     return (
         (kind.isin(*MEDIA_KINDS) & media_ref.isNull())
         | (kind.isin(*TEXT_KINDS) & media_ref.isNotNull())
+        | kind.isNull()
         | ~kind.isin(*KIND_DOMAIN)
     )
 
@@ -108,7 +112,7 @@ def cross_column_check(exploded: DataFrame) -> tuple[DataFrame, DataFrame]:
     bad = exploded.filter(_inconsistent(F.col("kind"), F.col("media_ref")))
     detail = (
         F.when(
-            ~F.col("kind").isin(*KIND_DOMAIN),
+            F.col("kind").isNull() | ~F.col("kind").isin(*KIND_DOMAIN),
             F.concat(F.lit("unknown kind="), F.coalesce("kind", F.lit("NULL"))),
         )
         .when(

@@ -223,6 +223,7 @@ cc_viol AS (
   SELECT partition_id, count(*) AS viol FROM sp
   WHERE (kind IN ('image','audio','video') AND media_ref IS NULL)
      OR (kind IN ('text','code') AND media_ref IS NOT NULL)
+     OR kind IS NULL
      OR kind NOT IN ('image','audio','video','text','code')
   GROUP BY 1),
 cc_v AS (

@@ -139,9 +139,16 @@ def compact_output(
     ``target_file_mb`` (repartition count = ceil(bytes/target)), keeping
     the partitioned layout if ``partition_by`` is given — the
     plain-parquet analog of Iceberg's rewrite_data_files maintenance
-    action. Write-then-swap: the rewrite lands in a sibling dir and is
-    moved into place only after success, so readers never see a
-    half-compacted dataset.
+    action. With ``partition_by``, rows are hash-repartitioned on the
+    partition columns so each task holds whole dynamic partitions and
+    writes one file per partition it owns (a plain ``repartition(n)``
+    would scatter every partition across all n tasks and re-fragment
+    the output into up to n × |partitions| files). Write-then-swap:
+    the rewrite lands in a sibling dir and is swapped in only after
+    success. The swap is two directory renames, so a concurrent reader
+    can race the brief window between them — run compaction when the
+    dataset is quiescent (table-format sinks like Iceberg get true
+    snapshot-atomic rewrites instead).
 
     Returns {files_before, files_after, bytes}.
     """
@@ -155,7 +162,12 @@ def compact_output(
 
     df = spark.read.parquet(path)
     tmp = str(root.with_name(root.name + "._compact_tmp"))
-    w = df.repartition(int(n_files))
+    if partition_by:
+        # co-locate each dynamic partition in as few tasks as possible so a
+        # task writes one file per partition it owns, not one per task×partition
+        w = df.repartition(int(n_files), *partition_by)
+    else:
+        w = df.repartition(int(n_files))
     writer = w.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

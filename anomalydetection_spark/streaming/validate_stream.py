@@ -415,7 +415,14 @@ def start_template_mining_stream(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    masked_col = F.regexp_replace(F.trim(F.col("value")), r"\d+", "<*>")
+    # normalize whitespace runs to single spaces BEFORE masking so the JVM
+    # key (split on the masked column) and the Python state function
+    # (str.split(" ")) tokenize identically — a tab or double space must not
+    # make n_tok disagree with len(masked.split(" ")), or zip() silently
+    # truncates and templates merge incorrectly
+    masked_col = F.regexp_replace(
+        F.regexp_replace(F.trim(F.col("value")), r"\s+", " "), r"\d+", "<*>"
+    )
     toks = F.split(masked_col, r"\s+")
     lines = (
         spark.readStream.text(input_dir)

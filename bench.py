@@ -129,22 +129,27 @@ def run_suite_once(
         # with neighbor load (BENCH.md scaling analysis); the first rep
         # additionally pays JVM codegen + OS page-cache warmup. Keeping
         # the best rep measures the engine, not the noisiest minute.
-        elapsed = float("inf")
+        rep_secs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             res = run_suite(docs, media, baseline, suite_cfg)
             n_verdicts = res.verdicts.count()
             n_viol = res.violations.count()
-            elapsed = min(elapsed, time.time() - t0)
+            rep_secs.append(time.time() - t0)
             spark.catalog.clearCache()  # drop rep-1's persisted violation frames
+        elapsed = min(rep_secs)
     finally:
         spark.stop()
         if owns_tmp:
             shutil.rmtree(input_dir, ignore_errors=True)
+    # headline docs_per_sec is best-of-N (warm JVM/page-cache); the per-rep
+    # list rides along so every consumer sees the cold/warm spread too
     return {
         "n_docs": n,
         "elapsed_sec": elapsed,
+        "rep_secs": [round(s, 3) for s in rep_secs],
         "docs_per_sec": n / elapsed,
+        "docs_per_sec_per_rep": [round(n / s, 1) for s in rep_secs],
         "n_verdicts": n_verdicts,
         "n_violations": n_viol,
     }
@@ -192,6 +197,7 @@ def main() -> int:
         lo = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
         hi = 4 * lo
         results = {}
+        rep_tputs: dict[int, list[float]] = {}
         env = dict(os.environ)
         # big-input runs need heap: local mode puts driver+executor in one
         # JVM; tens of millions of docs of shuffle state don't fit 8g
@@ -238,18 +244,26 @@ def main() -> int:
                         f"({r['docs_per_sec']:,.0f} docs/s)",
                         file=sys.stderr,
                     )
+                    rep_tputs.setdefault(cores, []).append(r["docs_per_sec"])
                     if cores not in results or r["elapsed_sec"] < results[cores]["elapsed_sec"]:
                         results[cores] = r
         finally:
             import shutil
 
             shutil.rmtree(input_dir, ignore_errors=True)
+        import statistics
+
         eff = results[hi]["docs_per_sec"] / (4 * results[lo]["docs_per_sec"])
+        med = {c: statistics.median(v) for c, v in rep_tputs.items()}
+        eff_med = med[hi] / (4 * med[lo])
         report = {
             "n_docs": n_suite_docs,
             f"throughput_local{lo}_docs_per_sec": round(results[lo]["docs_per_sec"], 1),
             f"throughput_local{hi}_docs_per_sec": round(results[hi]["docs_per_sec"], 1),
             "scaling_efficiency": round(eff, 3),
+            f"median_local{lo}_docs_per_sec": round(med[lo], 1),
+            f"median_local{hi}_docs_per_sec": round(med[hi], 1),
+            "scaling_efficiency_median": round(eff_med, 3),
         }
         md = (
             "# BENCH — suite throughput + scaling efficiency\n\n"
@@ -263,11 +277,14 @@ def main() -> int:
             "is a shared-host VM whose identical runs vary up to 4× with\n"
             "neighbor load, so alternating levels and taking each level's\n"
             "best decorrelates host noise from the comparison.\n\n"
-            f"| config | docs | elapsed (s) | docs/sec |\n|---|---|---|---|\n"
-            f"| local[{lo}] (N) | {results[lo]['n_docs']} | {results[lo]['elapsed_sec']:.2f} | {results[lo]['docs_per_sec']:.1f} |\n"
-            f"| local[{hi}] (4N) | {results[hi]['n_docs']} | {results[hi]['elapsed_sec']:.2f} | {results[hi]['docs_per_sec']:.1f} |\n\n"
+            f"| config | docs | elapsed (s) | docs/sec (best) | docs/sec (median) |\n|---|---|---|---|---|\n"
+            f"| local[{lo}] (N) | {results[lo]['n_docs']} | {results[lo]['elapsed_sec']:.2f} | {results[lo]['docs_per_sec']:.1f} | {med[lo]:.1f} |\n"
+            f"| local[{hi}] (4N) | {results[hi]['n_docs']} | {results[hi]['elapsed_sec']:.2f} | {results[hi]['docs_per_sec']:.1f} | {med[hi]:.1f} |\n\n"
             f"**Scaling efficiency** = throughput_{hi} / (4 × throughput_{lo}) = "
-            f"**{eff:.3f}** (target ≥ 0.8)\n\n"
+            f"**{eff:.3f}** best-of-{n_reps} / **{eff_med:.3f}** median (target ≥ 0.8).\n"
+            "Best-of-N figures are warm-cache (JIT-compiled JVM, warm OS page\n"
+            "cache after rep 1) — the per-rep medians above carry the\n"
+            "cold/warm spread alongside every headline number.\n\n"
             "Pair selection, host characterization, and the single-JVM\n"
             "bandwidth-ceiling evidence: see the Scaling analysis section\n"
             "below (preserved across bench runs).\n"

@@ -81,3 +81,26 @@ def test_clean_refs_pass(spark):
     cverd, _ = patterns.cross_column_check(exploded)
     assert all(r["passed"] for r in pverd.collect())
     assert all(r["passed"] for r in cverd.collect())
+
+
+def test_null_and_unknown_kind_flagged(spark):
+    """NULL kind must be flagged by cross_column on all three paths
+    (Spark, pandas oracle, flagship DuckDB twin): a bare ~isin() is NULL
+    for NULL kind and would silently drop the row (ADVICE r2)."""
+    rows = [
+        ("p0", "d0", 0, None, None),        # NULL kind → unknown-kind violation
+        ("p0", "d0", 1, "gif", "m-12345"),  # out-of-domain kind
+        ("p0", "d1", 0, "text", None),      # clean text span
+        ("p0", "d1", 1, "image", "m-00001"),  # clean media span
+    ]
+    exploded = spark.createDataFrame(
+        rows, "partition_id string, doc_id string, pos int, kind string, media_ref string"
+    ).withColumn("text_len", F.lit(3)).withColumn("offset", F.col("pos"))
+    verdicts, violations = patterns.cross_column_check(exploded)
+    got = {(r["pos"], r["detail"]) for r in violations.collect()}
+    assert got == {
+        (0, "unknown kind=NULL"),
+        (1, "unknown kind=gif"),
+    }
+    v = verdicts.collect()[0]
+    assert v["violation_count"] == 2 and not v["passed"]
