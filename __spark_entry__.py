@@ -32,16 +32,87 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_suite(spark, "/root/testdata/sf0.001")
 
 
+# The driver's per-round correctness gate checks a bounded prefix of this
+# registry (50 entries in round 2), so ordering is part of the contract:
+# the flagship suite leads, then the operators whose oracles are newest or
+# least redundant, one entry per operator family inside the checked window.
+# _TAIL holds only same-family redundants — each one's operator family is
+# already hash-checked by an earlier entry (noted inline) — so a prefix cut
+# never leaves a family driver-unverified.
+_PRIORITY = [
+    "suite_verdicts",          # flagship product query (full DuckDB twin)
+    "pca_anomaly_by_label",    # new model-literal oracle this round
+    "ann_pq_topk",             # new PQ ADC oracle this round
+    "tdigest_bounds_events",
+    "pandas_udf_token_stats",
+    "token_count_bpe",
+    "fingerprint_docs",
+    "multimodal_decode_stats",
+    "above_brand_avg_lineitems",
+    "stats_documents",
+    "uniqueness_partkey",
+    "referential_orphans",
+    "drift_kl_psi_by_source",
+    "histogram_n_chars",
+    "threshold_verdict_events",
+    "parse_logs",
+    "template_merge_events",
+    "sessionize_events",
+    "sample_deterministic",
+    "stratified_sample_langs",
+    "roc_auc_embeddings",
+    "confusion_matrix_embeddings",
+    "eval_metrics_embeddings",
+    "topk_users_by_type",
+    "running_total_user",
+    "ntile_value_quartiles",
+    "pivot_event_counts",
+    "grouping_sets_orders",
+    "group_count_having",
+    "distinct_agg_customers",
+    "set_ops_users",
+    "asof_last_purchase",
+    "range_join_windows",
+    "left_join_null_handling",
+    "zorder_event_buckets",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q13_order_count_distribution",
+    "sql_api_revenue_by_status",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "lang_id_confusion",
+    "quality_by_source",
+]
+_TAIL = [
+    "token_stats_lang",        # text-stats family: token_count_bpe + pandas_udf_token_stats
+    "curation_pipeline",       # composition of dedup/lang/quality entries above
+    "tumbling_hourly",         # X4 window family: sessionize_events
+    "template_mining_events",  # template family: template_merge_events masks + merges
+    "multimodal_frame_stats",  # multimodal family: multimodal_decode_stats
+    "q6_revenue_filter",       # scan+filter+agg family: q1_pricing_summary
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(driver_queries.QUERIES)
     q.update(driver_queries_dedup.QUERIES)
     # deterministic columns of the flagship suite — full DuckDB oracle twin
     q["suite_verdicts"] = suite_verdicts
-    return q
+    missing = set(q) - set(_PRIORITY) - set(_TAIL)
+    assert not missing, f"unordered registry entries: {sorted(missing)}"
+    return {name: q[name] for name in _PRIORITY + _TAIL if name in q}
 
 
 def oracle_sql() -> dict[str, str]:
     sql = dict(driver_queries.ORACLE_SQL)
     sql.update(driver_queries_dedup.ORACLE_SQL)
     sql["suite_verdicts"] = SUITE_VERDICTS_SQL
-    return sql
+    return {name: sql[name] for name in _PRIORITY + _TAIL if name in sql}

@@ -211,18 +211,45 @@ def _load_projection(dim: int, vocab_hash_dim: int = 1024) -> np.ndarray:
     return rng.standard_normal((vocab_hash_dim, dim)).astype(np.float32)
 
 
-def embed(df: DataFrame, text_col: str = "template", dim: int = EMBED_DIM) -> DataFrame:
+# process-level model cache: the scalar-iterator UDF body runs once per
+# TASK, so without this a reused python worker would re-load the model for
+# every task it executes. Keyed by the loader's import path (closures are
+# re-unpickled per task, so object identity won't survive; module-path
+# identity does).
+_MODEL_CACHE: dict[tuple, object] = {}
+
+
+def _load_model_once(loader, dim: int):
+    key = (getattr(loader, "__module__", ""), getattr(loader, "__qualname__", repr(loader)), dim)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = loader(dim)
+    return _MODEL_CACHE[key]
+
+
+def embed(
+    df: DataFrame,
+    text_col: str = "template",
+    dim: int = EMBED_DIM,
+    loader=_load_projection,
+) -> DataFrame:
     """Scalar-iterator pandas UDF: the projection loads ONCE per executor
-    (outside the batch loop), then every Arrow batch is a vectorized
-    bag-of-hashed-tokens matmul — the reference's batched GPU loop
-    (feature_extraction.py:53-71) without per-row Python."""
+    process (cached across tasks via _load_model_once), then every Arrow
+    batch is a vectorized bag-of-hashed-tokens matmul — the reference's
+    batched GPU loop (feature_extraction.py:53-71) without per-row Python.
+
+    ``loader`` is the model swap point: production replaces the seeded
+    projection with the transformer-checkpoint loader; the load-once /
+    batch-sized-call contract is pinned by tests/test_pipeline.py's
+    counting fake regardless of which loader is plugged in. The loaded
+    object only needs ``.shape[0]`` (hash vocab size) and to support
+    ``batch_matrix @ model``."""
     from pyspark.sql.functions import pandas_udf
 
     import zlib
 
     @pandas_udf("array<float>")
     def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        proj = _load_projection(dim)  # once per executor-process lifetime
+        proj = _load_model_once(loader, dim)  # once per executor-process lifetime
         vdim = proj.shape[0]
         for s in batches:
             mats = np.zeros((len(s), vdim), dtype=np.float32)

@@ -778,10 +778,13 @@ def pca_anomaly_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     pca.py): one-pass moment partials → driver eigh → map-only scoring →
     exact-q95 threshold verdicts — the reference's fit/score/threshold
     pipeline (end_to_end_prediction.py:433-461) with PCA standing in for
-    the learned encoder. The model is a data-dependent eigendecomposition
-    → no SQL oracle (driver records rows-only, like
-    tdigest_quantiles_events); agreement with single-node NumPy PCA is
-    pytest-gated (tests/test_pca.py)."""
+    the learned encoder. Partial DuckDB oracle (the SRP-literal pattern):
+    the eigensolve itself is not SQL-expressible (NumPy agreement is
+    pytest-gated, tests/test_pca.py), so the twin fits a single-node
+    NumPy model over the same sf0.01 parquet at oracle-build time, embeds
+    (μ, V) as literals, and re-derives scoring + q95 threshold + verdict
+    counts entirely in SQL — hash-checking everything downstream of the
+    eigen step."""
     from anomalydetection_spark.operators import pca
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -794,6 +797,197 @@ def pca_anomaly_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
         F.round(F.avg("score"), 4).alias("avg_score"),
     )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (similarity.pq_topk): deterministic per-subspace
+    Lloyd codebooks, one-pass corpus encoding to m-byte codes, ADC candidate
+    scoring against per-query LUTs, exact-cosine rerank of the top
+    k·rerank_factor — the compressed-domain scale path beside brute-force
+    and IVF. Same query/corpus split as ann_cosine_topk."""
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = em.filter(F.col("vec_id") < 10)
+    corpus = em.filter(F.col("vec_id") >= 10)
+    return similarity.pq_topk(corpus, queries, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Model-literal oracles (PCA + PQ)
+#
+# Both models are data-dependent, so their DuckDB twins are BUILT at
+# oracle-registration time against the driver's fixed oracle scale
+# (sf0.01): a single-node NumPy twin of the fit runs over the same
+# parquet the DuckDB views read, and the fitted model is embedded in the
+# SQL as nested-list literals (the dedup_embedding_cosine SRP pattern).
+# The fit itself stays pytest-gated (test_pca.py subspace match,
+# test_similarity_recall PQ determinism + recall floor); the twin
+# hash-checks everything downstream of it — encode/score/threshold/
+# verdict/rank — which is where the distributed execution lives.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _mat_literal(m) -> str:
+    import numpy as np  # noqa: F401  (repr of np.float64 round-trips)
+
+    if getattr(m, "ndim", 1) == 1:
+        return "[" + ",".join(repr(float(v)) for v in m) + "]"
+    return "[" + ",".join(_mat_literal(row) for row in m) + "]"
+
+
+def _pca_oracle_sql(sf_dir: str = _ORACLE_SF_DIR, k: int = 8) -> str:
+    """Single-node twin of operators/pca.fit_pca over the oracle-scale
+    parquet; returns SQL re-deriving pca_anomaly_by_label's rows from the
+    embedded (μ, V) literals. Scores use ||r||² − Σⱼ(Vⱼ·r)², identical to
+    the explicit-residual norm for orthonormal V up to ~1e-15, absorbed by
+    the engine's round-to-6 scoring contract (operators/pca.py)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    X = np.stack(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")
+        .to_pylist()
+    ).astype(np.float64)
+    n, d = X.shape
+    mean = X.sum(axis=0) / n
+    cov = (X.T @ X) / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return f"""
+WITH mu AS (SELECT {_mat_literal(mean)} AS m),
+vv AS (SELECT {_mat_literal(comps)} AS v),
+r AS (
+  SELECT vec_id, label,
+    list_transform(generate_series(1, {d}), i -> cast(embedding[i] AS double) - m[i]) AS x
+  FROM embeddings, mu),
+s AS (
+  SELECT vec_id, label,
+    round(sqrt(greatest(
+      list_sum(list_transform(x, e -> e * e))
+      - list_sum(list_transform(generate_series(1, {k}), j ->
+          power(list_sum(list_transform(generate_series(1, {d}), i -> x[i] * v[j][i])), 2))),
+      0)), 6) AS score
+  FROM r, vv),
+thr AS (SELECT quantile_cont(score, 0.95) AS t FROM s)
+SELECT label, count(*) AS n,
+  cast(sum(CASE WHEN score > t THEN 1 ELSE 0 END) AS bigint) AS n_anomalies,
+  round(avg(score), 4) AS avg_score
+FROM s, thr
+GROUP BY label
+"""
+
+
+def _pq_oracle_sql(
+    sf_dir: str = _ORACLE_SF_DIR,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank_factor: int = 4,
+) -> str:
+    """Single-node twin of similarity.pq_train_codebooks over the oracle
+    corpus (vec_id ≥ 10, md5-ordered sample — the engine's training path is
+    itself driver-side NumPy, so the codebooks are bit-identical), with
+    encode → ADC → exact-cosine rerank re-derived in SQL from the codebook
+    literal."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    vecs = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    mask = ids >= 10
+    ids, vecs = ids[mask], vecs[mask]
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(int(ids[i])).encode()).hexdigest(), int(ids[i])),
+    )[:1024]
+    V = vecs[order]
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    d = V.shape[1]
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        X = V[:, s * dsub : (s + 1) * dsub]
+        seen: list[tuple] = []
+        for row in X:
+            t = tuple(np.round(row, 12))
+            if t not in seen:
+                seen.append(t)
+            if len(seen) == ksub:
+                break
+        C = np.array(seen, dtype=np.float64)
+        if C.shape[0] < ksub:
+            C = np.vstack([C] * (ksub // max(1, C.shape[0]) + 1))[:ksub]
+        for _ in range(8):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                msk = assign == c
+                if msk.any():
+                    C[c] = X[msk].mean(axis=0)
+        books[s] = C
+    n_keep = k * rerank_factor
+    dist = (
+        f"list_transform(generate_series(1, {ksub}), t -> "
+        f"list_sum(list_transform(generate_series(1, {dsub}), i -> "
+        f"power(v[s * {dsub} + i] - b[s + 1][t][i], 2))))"
+    )
+    return f"""
+WITH bk AS (SELECT {_mat_literal(books)} AS b),
+cn AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> cast(x AS double) /
+      sqrt(list_sum(list_transform(embedding, y -> cast(y AS double) * cast(y AS double))))) AS v
+  FROM embeddings WHERE vec_id >= 10),
+qn AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> cast(x AS double) /
+      sqrt(list_sum(list_transform(embedding, y -> cast(y AS double) * cast(y AS double))))) AS v
+  FROM embeddings WHERE vec_id < 10),
+codes AS (
+  SELECT vec_id,
+    list_transform(generate_series(0, {m - 1}), s ->
+      list_position({dist}, list_min({dist})) - 1) AS cd
+  FROM cn, bk),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_sum(list_transform(generate_series(0, {m - 1}), s ->
+      list_sum(list_transform(generate_series(1, {dsub}), i ->
+        power(q.v[s * {dsub} + i] - b[s + 1][c.cd[s + 1] + 1][i], 2))))), 6) AS adc
+  FROM qn q, codes c, bk),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc ASC, neighbor_id ASC) AS ark
+    FROM adc)
+  WHERE ark <= {n_keep}),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                              i -> cast(qe.embedding[i] AS double) * cast(ce.embedding[i] AS double)))
+      / (sqrt(list_sum(list_transform(qe.embedding, x -> cast(x AS double) * cast(x AS double))))
+       * sqrt(list_sum(list_transform(ce.embedding, x -> cast(x AS double) * cast(x AS double))))),
+      6) AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {k}
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -814,10 +1008,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_stats": multimodal_frame_stats,
     "token_count_bpe": token_count_bpe,
-    "tdigest_quantiles_events": tdigest_quantiles_events,
+    # tdigest_quantiles_events stays implemented (operators/tdigest.py) but
+    # out of the driver registry: it was rows-only by design, the same
+    # sketch family is hash-checked via tdigest_bounds_events, and the
+    # quantile accuracy contract is pytest-gated vs NumPy (test_tdigest.py)
+    # — freeing its driver slot for a hash-checkable entry.
     "tdigest_bounds_events": tdigest_bounds_events,
     "pandas_udf_token_stats": pandas_udf_token_stats,
     "above_brand_avg_lineitems": above_brand_avg_lineitems,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -836,11 +1035,17 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprint_docs": FINGERPRINT_SQL,
     "multimodal_decode_stats": MULTIMODAL_SQL,
     "token_count_bpe": TOKEN_BPE_SQL,
-    # tdigest_quantiles_events intentionally has no oracle (approximate)
-    # pca_anomaly_by_label intentionally has no oracle (iterative/eigen —
-    # non-SQL-expressible; NumPy-exactness gated in tests/test_pca.py)
     "tdigest_bounds_events": TDIGEST_BOUNDS_SQL,
     "multimodal_frame_stats": MULTIMODAL_FRAMES_SQL,
     "pandas_udf_token_stats": PANDAS_TOKEN_SQL,
     "above_brand_avg_lineitems": ABOVE_AVG_SQL,
 }
+
+# Model-literal oracles are fitted against the driver's fixed oracle scale
+# at registration time; if that fixture is absent (non-driver contexts) the
+# entries degrade to the rows-only check instead of failing the import.
+try:
+    ORACLE_SQL["pca_anomaly_by_label"] = _pca_oracle_sql()
+    ORACLE_SQL["ann_pq_topk"] = _pq_oracle_sql()
+except OSError:  # pragma: no cover - oracle fixture missing
+    pass

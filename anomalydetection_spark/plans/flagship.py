@@ -65,6 +65,23 @@ def derived_media_assets(spark: SparkSession) -> DataFrame:
     )
 
 
+def _derived_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived spans table, persisted only under the suite's size gate.
+
+    Unlike production (where docs is an Iceberg scan each branch re-reads
+    cheaply), the derivation re-runs the text split + struct build per
+    consuming branch if left lazy — so SMALL fixtures cache it. Above the
+    gate the lazy re-derivation is the right trade: caching a corpus-sized
+    derived table is exactly the persist-everything default the suite's
+    size gate exists to prevent."""
+    from anomalydetection_spark.plans.suite import SuiteConfig, plan_size_bytes
+
+    docs = derive_spans_documents(spark, sf_dir)
+    if plan_size_bytes(docs) <= SuiteConfig().persist_exploded_max_bytes:
+        docs = docs.persist()
+    return docs
+
+
 def suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable flagship suite: all eight constraint verdicts over
     the derived spans table, restricted to the engine-deterministic columns
@@ -75,15 +92,10 @@ def suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible across engines; everything here is integer counts and
     threshold booleans, so the DuckDB twin (SUITE_VERDICTS_SQL) hash-matches.
     """
-    # persist the DERIVED table: unlike production (where docs is an
-    # Iceberg scan each branch re-reads cheaply), the derivation re-runs
-    # the text split + struct build per consuming branch if left lazy —
-    # the doc-level branches (stats/uniqueness/span_order) would pay it
-    # 3x on top of the persisted exploded view
-    docs = derive_spans_documents(spark, sf_dir).persist()
+    docs = _derived_docs(spark, sf_dir)
     media = derived_media_assets(spark)
     baseline = drift.compute_baseline(reassembly.explode_spans_meta(docs))
-    res = run_suite(docs, media, baseline, SuiteConfig(persist_exploded=True))
+    res = run_suite(docs, media, baseline, SuiteConfig())
     return res.verdicts.select(
         "partition_id", "constraint", "passed", "violation_count", "row_count"
     )
@@ -247,10 +259,10 @@ def flagship_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the full eight-constraint suite on the derived spans table;
     returns the per-(partition, constraint) verdicts with the
     metrics map rendered to JSON (stable schema for the driver's check)."""
-    docs = derive_spans_documents(spark, sf_dir).persist()  # see suite_verdicts
+    docs = _derived_docs(spark, sf_dir)
     media = derived_media_assets(spark)
     baseline = drift.compute_baseline(reassembly.explode_spans_meta(docs))
-    res = run_suite(docs, media, baseline, SuiteConfig(persist_exploded=True))
+    res = run_suite(docs, media, baseline, SuiteConfig())
     return res.verdicts.select(
         "partition_id",
         "constraint",

@@ -29,6 +29,83 @@ STATUS_DONE = "done"
 STATUS_PENDING = "pending"
 
 
+def group_sketch_blobs(
+    exploded: DataFrame,
+    compression: float = 200.0,
+    p: int = 12,
+    capacity: int = 256,
+) -> DataFrame:
+    """All three manifest sketch families in ONE scan: per partition_id a
+    (digest, hll, mg) blob triple — t-digest over text_len, HLL + Misra-
+    Gries over media_ref.
+
+    The naive composition (one ``group_digests`` + one ``group_hlls`` +
+    one ``group_mgs`` call) triggers three separate jobs, each re-scanning
+    every pending partition — 3× the per-run scan volume at 10^12 docs.
+    Here a single mapInPandas partial builds all three family partials per
+    (batch × partition) and one applyInPandas merge folds them, so the
+    shuffle still moves only KB-sized blobs and the corpus streams exactly
+    once. HLL blobs are bit-identical to hll.group_hlls (register-max is
+    order-independent); t-digest and MG blobs honor the same accuracy /
+    guarantee contracts as their per-family builders (pytest-pinned),
+    though centroid/counter layout may differ with batch segmentation.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from anomalydetection_spark.operators.freqitems import MisraGries
+    from anomalydetection_spark.operators.hll import HLL
+    from anomalydetection_spark.operators.tdigest import TDigest
+
+    narrow = exploded.select(
+        "partition_id",
+        F.col("text_len").cast("double").alias("_v"),
+        F.col("media_ref").alias("_ref"),
+        F.when(
+            F.col("media_ref").isNotNull(), F.xxhash64("media_ref")
+        ).alias("_h"),  # JVM-side hash, same as hll.group_hlls
+    )
+    schema = "partition_id int, digest binary, hll binary, mg binary"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for key, g in pdf.groupby("partition_id", dropna=False, sort=False):
+                td = TDigest(compression)
+                td.add(g["_v"].to_numpy(dtype=np.float64, na_value=np.nan))
+                refs = g.loc[g["_ref"].notna()]
+                h = HLL(p)
+                h.add_hashed(refs["_h"].to_numpy(dtype=np.int64))
+                mg = MisraGries(capacity)
+                mg.add_counts(refs["_ref"].astype(str).value_counts())
+                rows.append((key, td.to_bytes(), h.to_bytes(), mg.to_bytes()))
+            yield pd.DataFrame(rows, columns=["partition_id", "digest", "hll", "mg"])
+
+    partials = narrow.mapInPandas(partial, schema)
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest(compression)
+        h = HLL(p)
+        mg = MisraGries(capacity)
+        for blob in pdf["digest"]:
+            td.merge(TDigest.from_bytes(bytes(blob)))
+        for blob in pdf["hll"]:
+            h.merge(HLL.from_bytes(bytes(blob)))
+        for blob in pdf["mg"]:
+            mg.merge(MisraGries.from_bytes(bytes(blob)))
+        return pd.DataFrame(
+            [(*key, td.to_bytes(), h.to_bytes(), mg.to_bytes())],
+            columns=["partition_id", "digest", "hll", "mg"],
+        )
+
+    return partials.groupBy("partition_id").applyInPandas(merge, schema)
+
+
 class ManifestStore:
     """Parquet-backed manifest table under ``state_dir``.
 
@@ -200,37 +277,22 @@ class ResumableValidator:
             f"{self.out_dir}/violations"
         )
         sketches: dict[int, bytes] = {}
-        if with_sketches:
-            from anomalydetection_spark.operators.reassembly import explode_spans_meta
-            from anomalydetection_spark.operators.tdigest import group_digests
-
-            lens = explode_spans_meta(pending_docs).select(
-                "partition_id", F.col("text_len").cast("double").alias("text_len")
-            )
-            sketches = {
-                r["partition_id"]: bytes(r["digest"])
-                for r in group_digests(lens, "text_len", ["partition_id"]).collect()
-            }
         hlls: dict[int, bytes] = {}
-        if with_sketches:
-            from anomalydetection_spark.operators.hll import group_hlls
-            from anomalydetection_spark.operators.reassembly import explode_spans_meta
-
-            refs = explode_spans_meta(pending_docs).select("partition_id", "media_ref")
-            hlls = {
-                r["partition_id"]: bytes(r["hll"])
-                for r in group_hlls(refs, "media_ref", ["partition_id"]).collect()
-            }
         mgs: dict[int, bytes] = {}
         if with_sketches:
-            from anomalydetection_spark.operators.freqitems import group_mgs
+            # all three blob families in ONE job / one scan of the pending
+            # partitions (three per-family calls here used to re-scan the
+            # resumed docs three times per run)
             from anomalydetection_spark.operators.reassembly import explode_spans_meta
 
-            refs = explode_spans_meta(pending_docs).select("partition_id", "media_ref")
-            mgs = {
-                r["partition_id"]: bytes(r["mg"])
-                for r in group_mgs(refs, "media_ref", ["partition_id"]).collect()
-            }
+            meta = explode_spans_meta(pending_docs).select(
+                "partition_id", "text_len", "media_ref"
+            )
+            for r in group_sketch_blobs(meta).collect():
+                pid = r["partition_id"]
+                sketches[pid] = bytes(r["digest"])
+                hlls[pid] = bytes(r["hll"])
+                mgs[pid] = bytes(r["mg"])
         rollup_rows = [
             {
                 **r.asDict(),

@@ -43,7 +43,16 @@ class SuiteConfig:
     pattern: patterns.PatternThresholds = field(default_factory=patterns.PatternThresholds)
     n_salts: int = 16
     broadcast_media: bool = True
-    persist_exploded: bool = True
+    # persist the (narrow, text-free) exploded span view for the
+    # multi-consumer fan-out. True/False force it; None (default) applies a
+    # size gate: persist only when Catalyst's plan-stats estimate for the
+    # SOURCE table is at most persist_exploded_max_bytes. Caching the span
+    # view of a 100 TB corpus spills the whole run's memory budget for a
+    # view that nested-leaf-pruned columnar re-scans reproduce cheaply —
+    # the re-scan path is the at-scale default, the cache a small-input
+    # optimization. Unknown sizes (no stats) count as big.
+    persist_exploded: bool | None = None
+    persist_exploded_max_bytes: int = 8 << 30
     # persist each constraint's violation rows (MEMORY_AND_DISK) so the
     # verdict aggregation and the violation sink share one computation —
     # verdicts are *derived from* violations for uniqueness/referential, so
@@ -62,6 +71,14 @@ class ValidationResult:
     verdicts: DataFrame      # VERDICTS_SCHEMA: one row per (partition, constraint)
     violations: DataFrame    # VIOLATIONS_SCHEMA
     partition_rollup: DataFrame  # (partition_id, passed, violation_count, row_count)
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (bytes). File sources report
+    actual on-disk bytes scaled by projection; plans without statistics
+    report spark.sql.defaultSizeInBytes (Long.MaxValue) — i.e. unknown
+    counts as 'too big to cache', the safe direction for the persist gate."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
 
 
 ALL_CONSTRAINTS = (
@@ -104,7 +121,10 @@ def run_suite(
         # does map-side partial aggregation anyway, so co-location buys
         # nothing while balance buys full parallelism
         exploded = exploded.repartition(cfg.repartition_exploded)
-    if cfg.persist_exploded:
+    persist_ex = cfg.persist_exploded
+    if persist_ex is None:
+        persist_ex = plan_size_bytes(docs) <= cfg.persist_exploded_max_bytes
+    if persist_ex:
         exploded = exploded.persist()
 
     from pyspark.storagelevel import StorageLevel
@@ -148,22 +168,38 @@ def run_suite(
     return ValidationResult(verdicts=verdicts, violations=violations, partition_rollup=rollup)
 
 
-def quarantine_documents(docs: DataFrame, violations: DataFrame) -> DataFrame:
+def quarantine_documents(
+    docs: DataFrame,
+    violations: DataFrame,
+    broadcast_max_keys: int = 1_000_000,
+) -> DataFrame:
     """Full offending DOCUMENT rows for inspection/repair — the violation
     table carries keys + detail strings; the quarantine carries payloads.
 
     Violating doc_ids are the exception by construction, so the key set
-    is aggregated small (collect_set of constraints per doc) and
+    is normally aggregated small (collect_set of constraints per doc) and
     broadcast back onto the document table as an inner join — one more
-    scan of the fact side, zero fact-side shuffle. Each offending
-    document ROW is quarantined with all its constraint labels (a
-    doc_id duplicated in the table — the uniqueness offender — yields
-    one payload row per physical duplicate). Key-level violations with
-    no doc_id (e.g. frequent_items hot keys) have no payload row to
+    scan of the fact side, zero fact-side shuffle. But "normally" is a
+    data property, not a guarantee: a pathological run where (nearly)
+    every document violates would broadcast a corpus-sized key set and
+    OOM the driver/executors. The broadcast is therefore GATED on an
+    exact key count (one cheap job over the violation frame, which the
+    suite persists precisely because verdicts/sinks re-consume it);
+    above ``broadcast_max_keys`` the join falls back to a shuffle
+    hash/sort-merge join, which scales with the data instead of with
+    executor memory. ``broadcast_max_keys=None`` forces the broadcast
+    unconditionally (the pre-gate behavior).
+
+    Each offending document ROW is quarantined with all its constraint
+    labels (a doc_id duplicated in the table — the uniqueness offender —
+    yields one payload row per physical duplicate). Key-level violations
+    with no doc_id (e.g. frequent_items hot keys) have no payload row to
     quarantine and are excluded here."""
     keys = (
         violations.filter(F.col("doc_id").isNotNull())
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("constraint")).alias("violated_constraints"))
     )
-    return docs.join(F.broadcast(keys), "doc_id")
+    if broadcast_max_keys is None or keys.count() <= broadcast_max_keys:
+        keys = F.broadcast(keys)
+    return docs.join(keys, "doc_id")

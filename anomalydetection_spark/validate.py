@@ -108,7 +108,8 @@ def main(argv: list[str] | None = None) -> int:
                 else PatternThresholds()
             ),
             n_salts=args.n_salts,
-            persist_exploded=not args.no_persist_exploded,
+            # flag forces the cache OFF; otherwise the size gate decides
+            persist_exploded=False if args.no_persist_exploded else None,
         )
 
     t0 = time.time()

@@ -251,3 +251,61 @@ def test_mg_blobs_merge_to_global_heavy_hitters(spark, tmp_path, inputs):
     # with per-partition capacity far above the distinct-ref count the
     # sketch is exact, so the merged top key is the true top key
     assert top_key == exact["media_ref"]
+
+
+def test_sketch_blobs_single_scan_and_family_parity(spark, tmp_path, inputs):
+    """The manifest's sketch phase computes all three blob families in ONE
+    pass: the fused plan contains exactly one scan of the docs relation
+    (the per-family composition used to run three jobs, each rescanning
+    every pending partition). HLL blobs are bit-identical to the
+    per-family builder; t-digest quantiles and MG bounds honor the same
+    contracts."""
+    import numpy as np
+
+    from anomalydetection_spark.operators.freqitems import MisraGries, group_mgs
+    from anomalydetection_spark.operators.hll import group_hlls
+    from anomalydetection_spark.operators.tdigest import TDigest
+    from anomalydetection_spark.plans.manifest import group_sketch_blobs
+
+    docs, media, baseline = inputs
+    path = str(tmp_path / "docs_pq")
+    docs.write.parquet(path)
+    meta = reassembly.explode_spans_meta(spark.read.parquet(path)).select(
+        "partition_id", "text_len", "media_ref"
+    )
+
+    fused = group_sketch_blobs(meta)
+    plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        fused._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # one scan NODE: formatted explain names each node twice (tree line +
+    # detail header), so count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+    rows = {r["partition_id"]: r for r in fused.collect()}
+    assert sorted(rows) == list(range(6))
+
+    # HLL: register-max merge is order-independent → bytes identical
+    hll_ref = {
+        r["partition_id"]: bytes(r["hll"])
+        for r in group_hlls(meta, "media_ref", ["partition_id"]).collect()
+    }
+    assert {p: bytes(r["hll"]) for p, r in rows.items()} == hll_ref
+
+    # t-digest: same quantile accuracy as the per-family contract
+    lens = meta.filter("text_len IS NOT NULL").toPandas()
+    for pid, r in rows.items():
+        td = TDigest.from_bytes(bytes(r["digest"]))
+        part = lens[lens["partition_id"] == pid]["text_len"].to_numpy(dtype=float)
+        assert td.quantile(0.5) == pytest.approx(np.percentile(part, 50), rel=0.05)
+
+    # MG: estimate brackets the exact per-partition top count
+    refs = meta.filter("media_ref IS NOT NULL").toPandas()
+    for pid, r in rows.items():
+        mg = MisraGries.from_bytes(bytes(r["mg"]))
+        counts = refs[refs["partition_id"] == pid]["media_ref"].value_counts()
+        top_key, top_n = counts.index[0], int(counts.iloc[0])
+        lo, hi = mg.estimate(top_key)
+        assert lo <= top_n <= hi

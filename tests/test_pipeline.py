@@ -107,3 +107,86 @@ def test_generalize_templates_merge_and_overflow(spark):
     assert out["put obj x y z d end"] == (1, 4)
     assert out["delete tmp now"] == (1, 7)
     assert len(out) == 4
+
+
+def test_embed_loader_contract_load_once_batch_sized(spark, raw_logs, tmp_path):
+    """The model swap point (pipeline.embed ``loader=``) honors two
+    contracts a real transformer checkpoint depends on:
+
+    1. load-once-per-executor-process: a reused python worker running many
+       tasks loads the model once (process-level _MODEL_CACHE), so a GB-
+       sized checkpoint is not re-read per task;
+    2. batch-sized calls: the model sees whole Arrow batches (one matmul
+       per batch), never per-row invocations.
+
+    Evidenced by a counting fake that journals loads and matmul batch
+    sizes to a shared directory (local mode: workers share the FS)."""
+    import glob
+    import os
+    import uuid
+
+    import numpy as np
+
+    journal = str(tmp_path / "model_journal")
+    os.makedirs(journal, exist_ok=True)
+
+    class CountingModel:
+        # refuse numpy coercion so `batch @ model` defers to __rmatmul__
+        __array_ufunc__ = None
+
+        def __init__(self, mat, journal):
+            self.mat = mat
+            self.journal = journal
+            self.shape = mat.shape
+
+        def __rmatmul__(self, batch):
+            fn = f"{self.journal}/call-{os.getpid()}-{uuid.uuid4().hex}"
+            with open(fn, "w") as f:
+                f.write(str(batch.shape[0]))
+            return batch @ self.mat
+
+    def counting_loader(dim):
+        rng = np.random.default_rng(42)
+        mat = rng.standard_normal((1024, dim)).astype(np.float32)
+        with open(f"{journal}/load-{os.getpid()}-{uuid.uuid4().hex}", "w") as f:
+            f.write("1")
+        return CountingModel(mat, journal)
+
+    # pin the journal path through pickling (closures re-unpickle per task)
+    counting_loader.__qualname__ = f"counting_loader_{uuid.uuid4().hex}"
+
+    t = (
+        pipeline.mine_templates(pipeline.parse_logs(raw_logs))
+        .select("template", "log")
+        .repartition(1)  # one worker → cross-task cache is observable
+        .cache()
+    )
+    t.count()
+    out1 = pipeline.embed(t, loader=counting_loader)
+    out2 = pipeline.embed(t, loader=counting_loader)
+    n_rows = t.count()
+    rows1 = out1.collect()  # task 1
+    rows2 = out2.collect()  # task 2, same worker via reuse
+
+    loads = glob.glob(f"{journal}/load-*")
+    calls = glob.glob(f"{journal}/call-*")
+    load_pids = {os.path.basename(p).split("-")[1] for p in loads}
+    call_pids = {os.path.basename(p).split("-")[1] for p in calls}
+    # every worker process that called the model loaded it exactly once,
+    # even though it executed (at least) two tasks
+    assert len(loads) == len(load_pids)
+    assert call_pids <= load_pids
+    # two jobs over the same single-partition data: if the second job
+    # reused a worker (spark.python.worker.reuse default), it hit the
+    # cache — strictly fewer loads than tasks
+    n_tasks = 2
+    assert len(loads) < n_tasks or len(load_pids) < n_tasks
+    # batch-sized calls: every call covers many rows; totals match 2 passes
+    sizes = [int(open(p).read()) for p in calls]
+    assert sum(sizes) == 2 * n_rows
+    assert len(sizes) < 2 * n_rows
+    assert min(sizes) > 1
+    # fake model output matches the default loader bit-for-bit (same seed)
+    want = {r["log"]: r["embedding"] for r in pipeline.embed(t).collect()}
+    assert {r["log"]: r["embedding"] for r in rows1} == want
+    assert {r["log"]: r["embedding"] for r in rows2} == want

@@ -95,3 +95,44 @@ def test_quarantine_documents(spark, baseline):
         .collect()
     }
     assert got == want
+
+
+def test_quarantine_mass_violation_shuffle_fallback(spark, baseline):
+    """Pathological input where (nearly) every document violates: the
+    quarantine join must NOT broadcast the corpus-sized key set (round-2
+    verdict item). Above broadcast_max_keys the gate falls back to a
+    shuffle join — same rows, no broadcast of the keys side."""
+    from anomalydetection_spark.plans.suite import quarantine_documents
+
+    # every doc dangles its media_refs → every doc is a referential violator
+    docs = generate_documents(spark, CFG)
+    empty_media = generate_media_assets(spark, CFG).limit(0)
+    res = run_suite(docs, empty_media, baseline, constraints=("referential",))
+    viol = res.violations
+    n_violators = viol.select("doc_id").distinct().count()
+    # genuinely mass violation: every doc that references any media at all
+    # (~75% of generated docs; the rest are text-only)
+    assert n_violators > CFG.n_docs * 0.7
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = quarantine_documents(docs, viol, broadcast_max_keys=100)
+        plan = gated._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            gated._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        assert gated.select("doc_id").distinct().count() == n_violators
+
+        small = quarantine_documents(docs, viol, broadcast_max_keys=10_000_000)
+        plan_small = small._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            small._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan_small, plan_small
+        # both paths agree row-for-row
+        key = lambda df: sorted(
+            (r["doc_id"], tuple(r["violated_constraints"])) for r in df.collect()
+        )
+        assert key(gated) == key(small)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
