@@ -1,0 +1,274 @@
+"""`docstore`: an Iceberg-shaped table format as a Python DataSourceV2.
+
+The production engine targets Iceberg catalogs (sources/io.py read_table /
+write_table with ``fmt='iceberg'``); this sandbox has no Iceberg runtime
+jars and no network to vendor them, so this module implements the three
+Iceberg properties the engine actually depends on as a from-scratch
+DataSourceV2 (PySpark's Python DataSource API — planned as a real V2
+``BatchScan``/``PythonScan``, not a parquet alias):
+
+1. **snapshot-atomic commits** — every write lands data files under the
+   table dir, then commits ONE manifest JSON listing them; a
+   ``version-hint`` pointer file is swapped last (os.rename, atomic on
+   POSIX), so readers see the old snapshot or the new one, never a
+   half-written mix (the Iceberg metadata-pointer protocol,
+   version-hint.text analog);
+2. **manifest-driven scan planning** — `partitions()` plans one input
+   split per committed data file from the manifest, never from directory
+   listing (stale/abandoned files are invisible, exactly why Iceberg
+   scans survive concurrent writers);
+3. **file pruning from column stats** — the manifest records per-file
+   min/max for ``partition_id``; pushed filters (`pushFilters`) prune
+   whole files before any read, the Iceberg manifest-stats skip.
+
+Everything inside a data file is plain parquet, written/read with
+pyarrow over Arrow record batches — no per-row Python on either path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+STATS_COLUMN = "partition_id"
+_HINT = "version-hint.text"
+
+
+# ---------------------------------------------------------------------------
+# snapshot metadata
+# ---------------------------------------------------------------------------
+
+def _hint_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _HINT)
+
+
+def current_version(table_dir: str) -> int:
+    try:
+        with open(_hint_path(table_dir)) as f:
+            return int(f.read().strip())
+    except OSError:
+        return 0
+
+
+def load_manifest(table_dir: str) -> dict:
+    v = current_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    with open(os.path.join(table_dir, f"manifest-v{v}.json")) as f:
+        return json.load(f)
+
+
+def commit_snapshot(table_dir: str, files: list[dict], schema_json: str) -> int:
+    """Write manifest-v{N+1}.json then atomically swap the version hint.
+    The hint rename is the commit point — a crash before it leaves the
+    previous snapshot intact and the new files unreferenced (Iceberg's
+    orphan files, cleaned by maintenance, never read)."""
+    v = current_version(table_dir) + 1
+    manifest = {"version": v, "schema": schema_json, "files": files}
+    mpath = os.path.join(table_dir, f"manifest-v{v}.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    tmp = os.path.join(table_dir, f"._hint.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, _hint_path(table_dir))  # atomic commit point
+    return v
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _FileSplit(InputPartition):
+    path: str
+    journal_dir: str | None
+
+
+class DocStoreReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.table_dir = options["path"]
+        # optional side-channel recording which files were actually opened
+        # (the pruning-evidence hook for tests; no-op unless set)
+        self.journal_dir = options.get("journal") or None
+        self.manifest = load_manifest(self.table_dir)
+        self._bounds: tuple[float | None, float | None] = (None, None)
+        self._in_set: set | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept range/equality/in filters on the stats column; everything
+        else is returned as unsupported (Spark re-applies it post-scan, so
+        pruning is an optimization, never a correctness dependency)."""
+        lo, hi = self._bounds
+        unsupported: list[Filter] = []
+        for flt in filters:
+            col = flt.attribute[0] if len(flt.attribute) == 1 else None
+            if col != STATS_COLUMN:
+                unsupported.append(flt)
+            elif isinstance(flt, (EqualTo, EqualNullSafe)):
+                lo = flt.value if lo is None else max(lo, flt.value)
+                hi = flt.value if hi is None else min(hi, flt.value)
+            elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                lo = flt.value if lo is None else max(lo, flt.value)
+            elif isinstance(flt, (LessThan, LessThanOrEqual)):
+                hi = flt.value if hi is None else min(hi, flt.value)
+            elif isinstance(flt, In):
+                s = set(flt.values)
+                self._in_set = s if self._in_set is None else (self._in_set & s)
+            else:
+                unsupported.append(flt)
+        self._bounds = (lo, hi)
+        return iter(unsupported)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        lo, hi = self._bounds
+        splits = []
+        for f in self.manifest["files"]:
+            fmin, fmax = f["stats"].get(STATS_COLUMN, (None, None))
+            if fmin is not None:
+                if lo is not None and fmax < lo:
+                    continue
+                if hi is not None and fmin > hi:
+                    continue
+                if self._in_set is not None and not any(
+                    fmin <= v <= fmax for v in self._in_set
+                ):
+                    continue
+            splits.append(_FileSplit(os.path.join(self.table_dir, f["path"]), self.journal_dir))
+        # empty-scan guard: Spark requires >= 1 partition
+        return splits or [_FileSplit("", None)]
+
+    def read(self, part: _FileSplit):  # -> Iterator[pa.RecordBatch]
+        import pyarrow.parquet as pq
+
+        if not part.path:
+            return
+        if part.journal_dir:
+            open(
+                os.path.join(
+                    part.journal_dir,
+                    f"opened-{os.path.basename(part.path)}",
+                ),
+                "w",
+            ).close()
+        pf = pq.ParquetFile(part.path)
+        yield from pf.iter_batches()
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _FilesWritten(WriterCommitMessage):
+    files: list  # [{path, rows, stats}]
+
+
+class DocStoreWriter(DataSourceArrowWriter):
+    """Arrow-batch writer: each task streams its record batches into one
+    parquet file under the table dir and reports (path, rows, stats) in
+    its commit message; nothing becomes visible until `commit` swaps the
+    version hint on the driver."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
+        self.table_dir = options["path"]
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+        os.makedirs(self.table_dir, exist_ok=True)
+
+    def write(self, batches) -> _FilesWritten:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"data-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.table_dir, f"._tmp.{name}")
+        writer = None
+        rows = 0
+        cmin = cmax = None
+        for batch in batches:
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+            if STATS_COLUMN in batch.schema.names:
+                import pyarrow.compute as pc
+
+                col = batch.column(STATS_COLUMN)
+                mm = pc.min_max(col).as_py()
+                if mm["min"] is not None:
+                    cmin = mm["min"] if cmin is None else min(cmin, mm["min"])
+                    cmax = mm["max"] if cmax is None else max(cmax, mm["max"])
+        if writer is None:
+            return _FilesWritten([])
+        writer.close()
+        os.replace(tmp, os.path.join(self.table_dir, name))
+        stats = {STATS_COLUMN: [cmin, cmax]} if cmin is not None else {}
+        return _FilesWritten([{"path": name, "rows": rows, "stats": stats}])
+
+    def commit(self, messages: list[_FilesWritten]) -> None:
+        files: list[dict] = []
+        for m in messages:
+            files.extend(m.files)
+        if not self.overwrite:
+            v = current_version(self.table_dir)
+            if v:
+                files = load_manifest(self.table_dir)["files"] + files
+        commit_snapshot(self.table_dir, files, self.schema_json)
+
+    def abort(self, messages: list[_FilesWritten]) -> None:
+        # uncommitted data files are invisible (manifest-driven planning);
+        # best-effort cleanup of the orphans
+        for m in messages:
+            for f in m.files:
+                try:
+                    os.remove(os.path.join(self.table_dir, f["path"]))
+                except OSError:
+                    pass
+
+
+# ---------------------------------------------------------------------------
+# the DataSource
+# ---------------------------------------------------------------------------
+
+class DocStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "docstore"
+
+    def schema(self) -> StructType:
+        manifest = load_manifest(self.options["path"])
+        return StructType.fromJson(json.loads(manifest["schema"]))
+
+    def reader(self, schema: StructType) -> DocStoreReader:
+        return DocStoreReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DocStoreWriter:
+        return DocStoreWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the docstore format on this session.
+    Filter pushdown to Python data sources is opt-in; without it Spark
+    refuses to plan a reader that implements pushFilters."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DocStoreDataSource)

@@ -31,7 +31,12 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def read_table(spark: SparkSession, path_or_table: str, fmt: str = "auto") -> DataFrame:
-    """Iceberg table if the runtime has it (and fmt allows), else parquet."""
+    """Iceberg table if the runtime has it (and fmt allows), else parquet.
+
+    ``fmt='docstore'`` drives the from-scratch DataSourceV2 table format
+    (sources/docstore.py): snapshot-manifest planning, atomic version-hint
+    commits, stats-based file pruning — the jar-less stand-in proving the
+    engine's V2 contract end-to-end (tests/test_docstore.py)."""
     if fmt == "iceberg" or (fmt == "auto" and "/" not in path_or_table):
         if not iceberg_available(spark):
             raise RuntimeError(
@@ -39,6 +44,11 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str = "auto") -> Da
                 "or add org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages"
             )
         return spark.read.format("iceberg").load(path_or_table)
+    if fmt == "docstore":
+        from anomalydetection_spark.sources import docstore
+
+        docstore.register(spark)
+        return spark.read.format("docstore").option("path", path_or_table).load()
     if fmt == "orc":
         return spark.read.orc(path_or_table)
     return spark.read.parquet(path_or_table)
@@ -56,6 +66,12 @@ def write_table(
     never for span-bearing data. ``fmt='orc'`` for warehouses standardized
     on ORC (both columnar formats carry the nested span struct and the
     min/max stats pruning relies on)."""
+    if fmt == "docstore":
+        from anomalydetection_spark.sources import docstore
+
+        docstore.register(df.sparkSession)
+        df.write.format("docstore").mode(mode).option("path", path).save()
+        return
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -48,6 +48,7 @@ def start_validation_stream(
     baseline: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    manifest_state_dir: str | None = None,
 ):
     """foreachBatch: run the batch suite on each micro-batch, write
     verdicts/violations parquet stamped with the micro-batch id (lineage).
@@ -57,6 +58,20 @@ def start_validation_stream(
     after a crash (at-least-once), so each write is partitioned by
     batch_id and uses dynamic partition overwrite: a replay replaces
     exactly its own batch_id partition — idempotent, no duplicate rows.
+
+    ``manifest_state_dir`` unifies the two resume domains: when set, each
+    validated micro-batch also marks its partitions done in the BATCH
+    manifest (plans/manifest.ManifestStore), with the same sketch blobs a
+    batch pass would record, so a later ``ResumableValidator.run`` over
+    the full table skips everything the stream already validated instead
+    of re-validating it. Contract: the ingest layout must deliver WHOLE
+    table partitions per arriving file (the standard one-file-per-
+    partition ingest unit) — a partition whose docs straddle micro-batches
+    would be marked done after its first slice. Replays are safe: a
+    replayed batch re-marks the same partitions with identical rollups
+    (mark_done is an upsert). Uniqueness caveat: each batch checks doc_id
+    uniqueness within its own slice (the streaming dedup path,
+    dropDuplicatesWithinWatermark, owns cross-batch duplicates at ingest).
     """
     stream = stream_documents(spark, input_dir)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -78,6 +93,29 @@ def start_validation_stream(
             .partitionBy("batch_id")
             .parquet(f"{out_dir}/violations")
         )
+        if manifest_state_dir is not None:
+            from anomalydetection_spark.operators.reassembly import explode_spans_meta
+            from anomalydetection_spark.plans.manifest import (
+                ManifestStore,
+                group_sketch_blobs,
+            )
+
+            meta = explode_spans_meta(batch_df).select(
+                "partition_id", "text_len", "media_ref"
+            )
+            blobs = {r["partition_id"]: r for r in group_sketch_blobs(meta).collect()}
+            rollup_rows = [
+                {
+                    **r.asDict(),
+                    "sketch_blob": bytes(blobs[r["partition_id"]]["digest"]),
+                    "hll_blob": bytes(blobs[r["partition_id"]]["hll"]),
+                    "mg_blob": bytes(blobs[r["partition_id"]]["mg"]),
+                }
+                for r in res.partition_rollup.collect()
+            ]
+            ManifestStore(spark, manifest_state_dir).mark_done(
+                rollup_rows, run_id=f"stream-batch-{batch_id}"
+            )
 
     return (
         stream.writeStream.foreachBatch(process)

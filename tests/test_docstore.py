@@ -1,0 +1,144 @@
+"""DataSourceV2 contract: the from-scratch `docstore` table format.
+
+Proves write_table/read_table drive a REAL V2 path (BatchScan over a
+Python data source — not a parquet alias) with the three Iceberg
+properties the engine depends on: snapshot-atomic commits, manifest-driven
+scan planning, and stats-based file pruning from pushed filters.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.datagen import (
+    DataGenConfig,
+    clean_config,
+    generate_documents,
+    generate_media_assets,
+)
+from anomalydetection_spark.operators import drift, reassembly
+from anomalydetection_spark.plans.suite import run_suite
+from anomalydetection_spark.sources import docstore
+from anomalydetection_spark.sources.io import read_table, write_table
+
+CFG = DataGenConfig(n_docs=800, n_partitions=8, n_media=200, drift_partitions=(7,))
+
+
+def _docs_key(df):
+    return sorted(
+        (r["doc_id"], r["partition_id"], tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]))
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("docstore") / "documents")
+    # explicit N: AQE would coalesce the tiny shuffle partitions into one
+    # write task (one file), defeating the pruning demonstration
+    docs = generate_documents(spark, CFG).repartitionByRange(8, "partition_id")
+    write_table(docs, path, fmt="docstore")
+    return path, generate_documents(spark, CFG)
+
+
+def test_roundtrip_v2_plan(spark, table):
+    """Nested span structs survive the Arrow write/read round-trip row for
+    row, and the physical plan is a V2 BatchScan of the python source."""
+    path, docs = table
+    back = read_table(spark, path, fmt="docstore")
+    assert back.schema.simpleString() == docs.schema.simpleString()
+    assert _docs_key(back) == _docs_key(docs)
+    plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchScan docstore" in plan, plan
+    assert "Scan parquet" not in plan  # the V2 source, not a parquet alias
+
+
+def test_manifest_commit_is_atomic_pointer(spark, table, tmp_path):
+    """Appending a second snapshot writes a NEW manifest then swaps the
+    version hint; stale/uncommitted data files are invisible because scan
+    planning is manifest-driven, not directory-listing."""
+    path, docs = table
+    v1 = docstore.current_version(path)
+    n1 = read_table(spark, path, fmt="docstore").count()
+
+    # drop an orphan parquet file into the dir: a directory-listing reader
+    # would pick it up; the manifest reader must not
+    extra = generate_documents(spark, clean_config(CFG)).limit(10)
+    extra.coalesce(1).write.parquet(str(tmp_path / "orphan"))
+    orphan = glob.glob(str(tmp_path / "orphan/*.parquet"))[0]
+    os.link(orphan, os.path.join(path, "data-orphan.parquet"))
+    assert read_table(spark, path, fmt="docstore").count() == n1
+
+    # append commit: version increments by exactly one, rows accumulate
+    write_table(extra, path, mode="append", fmt="docstore")
+    assert docstore.current_version(path) == v1 + 1
+    assert read_table(spark, path, fmt="docstore").count() == n1 + 10
+
+    # manifest files for BOTH snapshots exist (time-travel-shaped metadata)
+    m1 = json.load(open(os.path.join(path, f"manifest-v{v1}.json")))
+    m2 = json.load(open(os.path.join(path, f"manifest-v{v1+1}.json")))
+    assert len(m2["files"]) == len(m1["files"]) + 1
+    assert sum(f["rows"] for f in m2["files"]) == n1 + 10
+
+
+def test_pushed_filter_prunes_files(spark, table, tmp_path):
+    """A partition_id predicate reaches the reader via pushFilters and
+    prunes whole files from the scan plan using manifest min/max stats —
+    evidenced by the reader's opened-file journal."""
+    path, _ = table
+    n_files = len(load := json.load(open(os.path.join(path, f"manifest-v{docstore.current_version(path)}.json")))["files"])
+    assert n_files >= 4, load  # repartition('partition_id') made several files
+
+    journal = str(tmp_path / "journal")
+    os.makedirs(journal)
+    docstore.register(spark)
+    pruned = (
+        spark.read.format("docstore")
+        .option("path", path)
+        .option("journal", journal)
+        .load()
+        .filter(F.col("partition_id") == 3)
+    )
+    want = read_table(spark, path, fmt="docstore").filter("partition_id = 3")
+    assert _docs_key(pruned) == _docs_key(want)
+    opened = glob.glob(f"{journal}/opened-*")
+    assert 0 < len(opened) < n_files  # pruning actually skipped files
+
+    # unfiltered read opens every committed file
+    journal2 = str(tmp_path / "journal2")
+    os.makedirs(journal2)
+    spark.read.format("docstore").option("path", path).option(
+        "journal", journal2
+    ).load().count()
+    assert len(glob.glob(f"{journal2}/opened-*")) == n_files
+
+
+def test_suite_through_docstore_matches_parquet(spark, table, tmp_path):
+    """The full 8-constraint suite over a docstore-read documents table is
+    verdict-identical to the same suite over the in-memory frame — the
+    'suite runs through the table format' gate the Iceberg path owes."""
+    _, docs = table
+    # own table: the atomic-commit test appends rows to the shared one
+    path = str(tmp_path / "suite_table")
+    write_table(docs, path, fmt="docstore")
+    media = generate_media_assets(spark, CFG)
+    baseline = drift.compute_baseline(
+        reassembly.explode_spans_meta(generate_documents(spark, clean_config(CFG)))
+    )
+
+    def key(res):
+        return sorted(
+            (r["partition_id"], r["constraint"], r["passed"], r["violation_count"], r["row_count"])
+            for r in res.verdicts.collect()
+        )
+
+    via_store = run_suite(read_table(spark, path, fmt="docstore"), media, baseline)
+    in_mem = run_suite(docs, media, baseline)
+    assert key(via_store) == key(in_mem)

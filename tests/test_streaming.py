@@ -409,3 +409,55 @@ def test_streaming_template_mining_state_evolves(spark, tmp_path):
         .first()["n"]
     )
     assert n == 5
+
+
+def test_streaming_ingest_feeds_batch_manifest(spark, tmp_path):
+    """Resume-domain unification: a streaming ingest that validates
+    partitions ALSO marks them done in the batch manifest, so a later
+    batch ResumableValidator.run over the full table re-validates only
+    the partitions the stream never saw."""
+    from anomalydetection_spark.plans.manifest import ManifestStore, ResumableValidator
+    from anomalydetection_spark.operators.freqitems import MisraGries
+    from anomalydetection_spark.operators.tdigest import TDigest
+
+    cfg = DataGenConfig(n_docs=1000, n_partitions=5, n_media=150)
+    docs = generate_documents(spark, cfg).cache()
+    media = generate_media_assets(spark, cfg).cache()
+    baseline = drift.compute_baseline(
+        reassembly.explode_spans_meta(generate_documents(spark, clean_config(cfg)))
+    ).cache()
+
+    indir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    # one file per table partition — the ingest contract the manifest hook
+    # documents (a micro-batch validates whole partitions)
+    for pid in (0, 1, 2):
+        docs.filter(F.col("partition_id") == pid).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+
+    q = start_validation_stream(
+        spark, indir, media, baseline,
+        str(tmp_path / "sout"), str(tmp_path / "sckpt"),
+        manifest_state_dir=state_dir,
+    )
+    q.awaitTermination(180)
+
+    store = ManifestStore(spark, state_dir)
+    assert store.done_partitions() == {0, 1, 2}
+    # streamed manifest rows carry the same sketch families a batch pass
+    # records — mergeable downstream without rescans
+    m = {r["partition_id"]: r for r in store.read().collect()}
+    for pid in (0, 1, 2):
+        assert TDigest.from_bytes(bytes(m[pid]["sketch_blob"])).total_weight() > 0
+        assert MisraGries.from_bytes(bytes(m[pid]["mg_blob"])).counts
+        assert m[pid]["run_id"].startswith("stream-batch-")
+
+    # batch resume over the FULL table: only the unseen partitions run
+    v = ResumableValidator(spark, state_dir, str(tmp_path / "bout"))
+    summary = v.run(docs, media, baseline, partition_ids=list(range(5)))
+    assert summary["validated_partitions"] == [3, 4]
+    assert summary["skipped_partitions"] == [0, 1, 2]
+    # and the pass is idempotent afterwards
+    again = v.run(docs, media, baseline, partition_ids=list(range(5)))
+    assert again["validated_partitions"] == []
