@@ -48,19 +48,47 @@ def decode_real(payload: bytes):  # pragma: no cover - documented stub
     )
 
 
-def decode_media(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+def _default_decoder_loader():
+    """The codec swap point: production replaces this loader with one that
+    initializes the real codec context / vision model ONCE and returns a
+    ``bytes -> (n_bytes, checksum, width, height)`` callable."""
+    return _decode_stub
+
+
+# process-level codec cache (same contract as pipeline._MODEL_CACHE): the
+# mapInPandas body runs once per task, so a reused python worker would
+# otherwise re-initialize the codec/model for every task it executes.
+_DECODER_CACHE: dict[tuple, object] = {}
+
+
+def _load_decoder_once(loader):
+    key = (getattr(loader, "__module__", ""), getattr(loader, "__qualname__", repr(loader)))
+    if key not in _DECODER_CACHE:
+        _DECODER_CACHE[key] = loader()
+    return _DECODER_CACHE[key]
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    decoder_loader=_default_decoder_loader,
+) -> DataFrame:
     """(id, n_bytes, checksum, fake_width, fake_height) via mapInPandas.
 
     Vectorized over Arrow batches: the only Python-side loop is across the
     rows of one batch, operating on numpy buffers — no Spark-row crossings.
+    ``decoder_loader`` is the codec swap point (load-once-per-worker via
+    _load_decoder_once; contract pinned in tests/test_multimodal.py).
     """
     id_type = dict(zip(df.schema.names, (f.dataType.simpleString() for f in df.schema.fields)))[id_col]
     out_schema = f"`{id_col}` {id_type}, {DECODED_FIELDS}"
     narrow = df.select(id_col, content_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _load_decoder_once(decoder_loader)
         for pdf in batches:
-            meta = [_decode_stub(bytes(b) if b is not None else b"") for b in pdf[content_col]]
+            meta = [decode(bytes(b) if b is not None else b"") for b in pdf[content_col]]
             out = pd.DataFrame(meta, columns=["n_bytes", "checksum", "fake_width", "fake_height"])
             out.insert(0, id_col, pdf[id_col].to_numpy())
             yield out

@@ -99,3 +99,41 @@ def test_resize_media_deterministic_and_sized(spark):
     out2 = {r["doc_id"]: bytes(r["resized"])
             for r in resize_media(df.repartition(3), "doc_id", "content", 8, 8).collect()}
     assert {k: bytes(v["resized"]) for k, v in out.items()} == out2
+
+
+def test_decoder_loader_contract_load_once(spark, media_df, tmp_path):
+    """The codec swap point (decode_media ``decoder_loader=``): a fake
+    "real" codec injected through the loader is initialized ONCE per
+    python worker process even across multiple jobs/tasks (process-level
+    _DECODER_CACHE), and produces rows identical to the default stub when
+    it wraps the same decode."""
+    import glob
+    import os
+    import uuid
+
+    journal = str(tmp_path / "codec_journal")
+    os.makedirs(journal, exist_ok=True)
+
+    def counting_codec_loader():
+        # "initialize the codec": journal one load event per process
+        with open(f"{journal}/load-{os.getpid()}-{uuid.uuid4().hex}", "w") as f:
+            f.write("1")
+        return multimodal._decode_stub  # the fake real codec
+
+    counting_codec_loader.__qualname__ = f"codec_loader_{uuid.uuid4().hex}"
+
+    # many more tasks (16 partitions × 2 jobs = 32) than python workers
+    # (≤ cores on local[4]): load-once-per-process means far fewer loads
+    # than tasks, deterministically
+    many = media_df.repartition(16).cache()
+    many.count()
+    a = sorted(map(tuple, multimodal.decode_media(many, "media_id", "content", decoder_loader=counting_codec_loader).collect()))
+    b = sorted(map(tuple, multimodal.decode_media(many, "media_id", "content", decoder_loader=counting_codec_loader).collect()))
+    want = sorted(map(tuple, multimodal.decode_media(many, "media_id", "content").collect()))
+    assert a == b == want
+
+    loads = glob.glob(f"{journal}/load-*")
+    load_pids = {os.path.basename(p).split("-")[1] for p in loads}
+    # one load per process that participated — never one per task
+    assert len(loads) == len(load_pids)
+    assert len(loads) < 32
