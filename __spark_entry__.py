@@ -43,6 +43,9 @@ _PRIORITY = [
     "suite_verdicts",          # flagship product query (full DuckDB twin)
     "pca_anomaly_by_label",    # new model-literal oracle this round
     "ann_pq_topk",             # new PQ ADC oracle this round
+    "decontaminate_docs",      # new: benchmark n-gram decontamination
+    "repetition_quality_by_lang",  # new: Gopher-rules repetition metrics
+    "domain_mixture_weights",  # new: training-mix planning
     "tdigest_bounds_events",
     "pandas_udf_token_stats",
     "token_count_bpe",
@@ -53,19 +56,16 @@ _PRIORITY = [
     "uniqueness_partkey",
     "referential_orphans",
     "drift_kl_psi_by_source",
-    "histogram_n_chars",
     "threshold_verdict_events",
     "parse_logs",
     "template_merge_events",
     "sessionize_events",
-    "sample_deterministic",
     "stratified_sample_langs",
     "roc_auc_embeddings",
     "confusion_matrix_embeddings",
     "eval_metrics_embeddings",
     "topk_users_by_type",
     "running_total_user",
-    "ntile_value_quartiles",
     "pivot_event_counts",
     "grouping_sets_orders",
     "group_count_having",
@@ -92,6 +92,9 @@ _PRIORITY = [
     "quality_by_source",
 ]
 _TAIL = [
+    "sample_deterministic",    # sampling family (R1): stratified_sample_langs (R2)
+    "ntile_value_quartiles",   # window family: topk (rank) + running_total (frame)
+    "histogram_n_chars",       # A11 histograms: drift_kl_psi_by_source builds them
     "token_stats_lang",        # text-stats family: token_count_bpe + pandas_udf_token_stats
     "curation_pipeline",       # composition of dedup/lang/quality entries above
     "tumbling_hourly",         # X4 window family: sessionize_events

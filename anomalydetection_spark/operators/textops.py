@@ -129,3 +129,154 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
         F.col(id_col),
         F.array_min(hashes).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-curation operators: decontamination, repetition quality, domain mix
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_ratio: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing k-token
+    n-grams with an evaluation/benchmark corpus (the n-gram-overlap
+    decontamination used for LLM training sets).
+
+    Returns one row per training doc with >=1 matched shingle:
+    (id, n_matched, n_shingles, contamination_ratio, contaminated) —
+    ``contaminated`` once the matched fraction exceeds ``max_ratio``.
+
+    Scale: the benchmark shingle set is DISTINCT-aggregated then broadcast
+    (eval suites are MB-sized next to a 100 TB corpus); the corpus
+    shingles stream through one broadcast semi-join + one hash-agg — the
+    fact side never shuffles on shingle. If the benchmark ever outgrows
+    broadcast range, swap the broadcast for operators/bloom.py's
+    membership blobs (same distinct-first shape, probe instead of join).
+    """
+    from anomalydetection_spark.operators.dedup import shingle_rows
+
+    bench_sh = shingle_rows(benchmark, id_col, text_col, k).select("shingle").distinct()
+    doc_sh = shingle_rows(docs, id_col, text_col, k)
+    per_doc = doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi").groupBy(
+        id_col
+    ).agg(F.count("*").alias("n_matched"))
+    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    ratio = F.col("n_matched") / F.col("n_shingles")
+    return per_doc.join(totals, id_col).select(
+        id_col,
+        "n_matched",
+        "n_shingles",
+        F.round(ratio, 6).alias("contamination_ratio"),
+        (ratio > max_ratio).alias("contaminated"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_top_bigram_share: float = 0.20,
+    max_dup_trigram_frac: float = 0.30,
+    min_diversity: float = 0.20,
+) -> DataFrame:
+    """Per-document repetition/quality metrics in the Gopher-rules family
+    (Rae et al. 2021: repetitious documents are low-quality training
+    signal), adapted to unstructured text (no line structure assumed):
+
+    - ``top_bigram_share``: occurrences of the most frequent bigram / all
+      bigram occurrences (boilerplate detector);
+    - ``dup_trigram_frac``: fraction of trigram occurrences whose trigram
+      occurs more than once in the doc (copy-paste/looping detector);
+    - ``diversity``: distinct tokens / total tokens;
+    - ``flagged``: any threshold breached.
+
+    All JVM (explode + two hash-aggs per n-gram order, map-side partials);
+    per-doc cardinality is bounded by doc length so no skew beyond doc
+    size, which the explode distributes."""
+    toked = docs.select(id_col, _tokens(text_col).alias("_toks"))
+
+    def gram_counts(n: int, out: str) -> DataFrame:
+        parts = [F.element_at(F.col("_toks"), F.col("_i") + j) for j in range(n)]
+        idx = F.when(
+            F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = toked.select(id_col, F.explode(idx).alias("_i"), "_toks").select(
+            id_col, F.concat_ws(" ", *parts).alias("_g")
+        )
+        per_gram = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+        return per_gram.groupBy(id_col).agg(
+            F.sum("_c").alias(f"_total_{out}"),
+            F.max("_c").alias(f"_max_{out}"),
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).alias(f"_dup_{out}"),
+        )
+
+    uni = toked.select(
+        id_col,
+        F.size("_toks").alias("_n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("_n_types"),
+    )
+    bi = gram_counts(2, "bi")
+    tri = gram_counts(3, "tri")
+    top_share = F.round(F.col("_max_bi") / F.col("_total_bi"), 6)
+    dup_frac = F.round(F.col("_dup_tri") / F.col("_total_tri"), 6)
+    diversity = F.round(F.col("_n_types") / F.col("_n_tokens"), 6)
+    return (
+        uni.join(bi, id_col, "left").join(tri, id_col, "left")
+        .select(
+            id_col,
+            F.col("_n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(top_share, F.lit(0.0)).alias("top_bigram_share"),
+            F.coalesce(dup_frac, F.lit(0.0)).alias("dup_trigram_frac"),
+            diversity.alias("diversity"),
+            (
+                (F.coalesce(top_share, F.lit(0.0)) > max_top_bigram_share)
+                | (F.coalesce(dup_frac, F.lit(0.0)) > max_dup_trigram_frac)
+                | (diversity < min_diversity)
+            ).alias("flagged"),
+        )
+    )
+
+
+def domain_mixture(
+    docs: DataFrame,
+    source_col: str,
+    text_col: str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Training-mix planning: per-source token counts, observed token
+    share, and the sampling weight that reshapes the corpus to
+    ``target_shares`` (uniform across observed sources when None) —
+    weight = target_share / observed_share, so sampling each source's
+    docs with probability ∝ weight yields the target mixture.
+
+    One narrow scan + one tiny hash-agg (|sources| rows); the share
+    denominator is a scalar agg broadcast back (no partition-less
+    window)."""
+    per_src = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens(text_col))).alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("_tot"))
+    joined = per_src.crossJoin(F.broadcast(total))
+    observed = F.col("n_tokens") / F.col("_tot")
+    if target_shares is None:
+        n_src = per_src.count()
+        target = F.lit(1.0 / n_src)
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )
+        target = mapping[F.col(source_col)]
+    return joined.select(
+        source_col,
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(observed, 6).alias("observed_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / observed, 6).alias("sampling_weight"),
+    )

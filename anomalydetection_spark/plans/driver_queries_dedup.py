@@ -990,6 +990,119 @@ WHERE rk <= {k}
 """
 
 
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textops.decontaminate): training docs
+    sharing 5-gram shingles with the 'eval set' (docs with doc_id % 13 = 0
+    standing in for a held-out benchmark) — the n-gram-overlap
+    decontamination LLM training sets run before every release. Benchmark
+    shingles broadcast; corpus streams once (semi-join + hash-agg)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    train = d.filter(F.col("doc_id") % 13 != 0)
+    return textops.decontaminate(train, bench, "doc_id", "text", k=5, max_ratio=0.05)
+
+
+DECONTAMINATE_SQL = r"""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+      THEN list_transform(generate_series(1, len(t)-4),
+           i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+      ELSE [] END) AS shingle
+    FROM tok)),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 13 <> 0),
+m AS (
+  SELECT doc_id, count(*) AS n_matched FROM train
+  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id)
+SELECT m.doc_id, n_matched, n_shingles,
+  round(n_matched / cast(n_shingles AS double), 6) AS contamination_ratio,
+  (n_matched / cast(n_shingles AS double)) > 0.05 AS contaminated
+FROM m JOIN tot ON m.doc_id = tot.doc_id
+"""
+
+
+def repetition_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rollup (textops.repetition_stats): per-lang
+    doc counts, flagged counts, and decimal-exact averages of the per-doc
+    repetition metrics (top-bigram share, duplicate-trigram fraction,
+    token diversity)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = textops.repetition_stats(d, "doc_id", "text")
+    joined = d.select("doc_id", "lang").join(stats, "doc_id")
+    n = F.count("*")
+
+    def avg6(c: str) -> F.Column:
+        return F.round(F.sum(F.col(c).cast("decimal(12,6)")).cast("double") / n, 6)
+
+    return joined.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+        avg6("top_bigram_share").alias("avg_top_bigram_share"),
+        avg6("dup_trigram_frac").alias("avg_dup_trigram_frac"),
+        avg6("diversity").alias("avg_diversity"),
+    )
+
+
+REPETITION_SQL = r"""
+WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+bi AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      THEN list_transform(generate_series(1, len(t)-1), i -> t[i]||' '||t[i+1])
+      ELSE [] END) AS g FROM tok)
+  GROUP BY doc_id, g),
+tri AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      THEN list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])
+      ELSE [] END) AS g FROM tok)
+  GROUP BY doc_id, g),
+bia AS (SELECT doc_id, sum(c) AS total_bi, max(c) AS max_bi FROM bi GROUP BY doc_id),
+tria AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
+                sum(c) AS total_tri FROM tri GROUP BY doc_id),
+per_doc AS (
+  SELECT tok.doc_id, tok.lang,
+    coalesce(round(max_bi / cast(total_bi AS double), 6), 0.0) AS top_share,
+    coalesce(round(dup_tri / cast(total_tri AS double), 6), 0.0) AS dup_frac,
+    round(len(list_distinct(t)) / cast(len(t) AS double), 6) AS diversity
+  FROM tok LEFT JOIN bia ON bia.doc_id = tok.doc_id
+           LEFT JOIN tria ON tria.doc_id = tok.doc_id)
+SELECT lang, count(*) AS n_docs,
+  cast(sum(CASE WHEN top_share > 0.20 OR dup_frac > 0.30 OR diversity < 0.20
+           THEN 1 ELSE 0 END) AS bigint) AS n_flagged,
+  round(cast(sum(cast(top_share AS decimal(12,6))) AS double) / count(*), 6) AS avg_top_bigram_share,
+  round(cast(sum(cast(dup_frac AS decimal(12,6))) AS double) / count(*), 6) AS avg_dup_trigram_frac,
+  round(cast(sum(cast(diversity AS decimal(12,6))) AS double) / count(*), 6) AS avg_diversity
+FROM per_doc GROUP BY lang
+"""
+
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning (textops.domain_mixture): per-source token
+    accounting and the sampling weight reshaping the corpus to a uniform
+    source mixture — the mix-rebalancing step of large-scale pretraining
+    data pipelines."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.domain_mixture(d, "source", "text")
+
+
+DOMAIN_MIX_SQL = r"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+    cast(sum(len(string_split_regex(trim(text), '\s+'))) AS bigint) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS n_src FROM per_src)
+SELECT source, n_docs, n_tokens,
+  round(n_tokens / cast(t AS double), 6) AS observed_share,
+  round(1.0 / n_src, 6) AS target_share,
+  round((1.0 / n_src) / (n_tokens / cast(t AS double)), 6) AS sampling_weight
+FROM per_src, tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "pca_anomaly_by_label": pca_anomaly_by_label,
@@ -1017,6 +1130,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pandas_udf_token_stats": pandas_udf_token_stats,
     "above_brand_avg_lineitems": above_brand_avg_lineitems,
     "ann_pq_topk": ann_pq_topk,
+    "decontaminate_docs": decontaminate_docs,
+    "repetition_quality_by_lang": repetition_quality_by_lang,
+    "domain_mixture_weights": domain_mixture_weights,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1039,6 +1155,9 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_frame_stats": MULTIMODAL_FRAMES_SQL,
     "pandas_udf_token_stats": PANDAS_TOKEN_SQL,
     "above_brand_avg_lineitems": ABOVE_AVG_SQL,
+    "decontaminate_docs": DECONTAMINATE_SQL,
+    "repetition_quality_by_lang": REPETITION_SQL,
+    "domain_mixture_weights": DOMAIN_MIX_SQL,
 }
 
 # Model-literal oracles are fitted against the driver's fixed oracle scale

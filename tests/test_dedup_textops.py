@@ -170,3 +170,73 @@ def test_connected_components_transitive_chains(spark):
     assert got == {2: 2, 9: 2, 4: 2, 7: 2,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """A training doc embedding a benchmark 5-gram verbatim is flagged;
+    clean docs don't appear; ratio matches hand count."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # contains bench 5-grams: 'alpha beta gamma delta epsilon' and
+            # 'beta gamma delta epsilon zeta'
+            (1, "x alpha beta gamma delta epsilon zeta y"),
+            (2, "totally different words nothing shared here at all"),
+            (3, "alpha beta gamma q delta epsilon zeta r s"),  # broken run
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           textops.decontaminate(train, bench, "doc_id", "text", k=5).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r["n_matched"] == 2
+    assert r["n_shingles"] == 4  # 8 tokens -> 4 distinct 5-grams
+    assert r["contaminated"]  # 0.5 > 0.05
+
+
+def test_repetition_stats_gopher_metrics(spark):
+    """Hand-checkable repetition metrics: a looping doc breaches the
+    dup-trigram and top-bigram thresholds; a diverse doc passes; a
+    too-short doc yields zero gram metrics without NULLs."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 10),              # one bigram dominates
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "solo"),                         # shorter than any bigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           textops.repetition_stats(df, "doc_id", "text").collect()}
+    # doc 1: 20 tokens, 19 bigrams, 'spam ham' occurs 10x
+    assert got[1]["top_bigram_share"] == pytest.approx(10 / 19, abs=1e-6)
+    assert got[1]["dup_trigram_frac"] == 1.0  # every trigram repeats
+    assert got[1]["flagged"]
+    assert got[2]["dup_trigram_frac"] == 0.0 and not got[2]["flagged"]
+    assert got[3]["top_bigram_share"] == 0.0
+    assert got[3]["dup_trigram_frac"] == 0.0
+    assert got[3]["diversity"] == 1.0
+
+
+def test_domain_mixture_weights_rebalance(spark):
+    """Uniform target over 2 sources: weights invert the observed token
+    shares and weighted shares sum back to 1."""
+    df = spark.createDataFrame(
+        [("a", "one two three four five six"), ("a", "seven eight"), ("b", "x y")],
+        "source string, text string",
+    )
+    got = {r["source"]: r for r in
+           textops.domain_mixture(df, "source", "text").collect()}
+    assert got["a"]["n_tokens"] == 8 and got["b"]["n_tokens"] == 2
+    assert got["a"]["observed_share"] == 0.8
+    assert got["a"]["sampling_weight"] == pytest.approx(0.5 / 0.8, abs=1e-6)
+    assert got["b"]["sampling_weight"] == pytest.approx(0.5 / 0.2, abs=1e-6)
+    # explicit target shares
+    got2 = {r["source"]: r for r in
+            textops.domain_mixture(df, "source", "text",
+                                   target_shares={"a": 0.25, "b": 0.75}).collect()}
+    assert got2["a"]["target_share"] == 0.25
+    assert got2["b"]["sampling_weight"] == pytest.approx(0.75 / 0.2, abs=1e-6)
