@@ -132,13 +132,30 @@ def check(
     it is tiny (partitions × 2 rows) but everything upstream of it (the
     histogram agg over all spans) would otherwise run once for the verdict
     action and again for the violation action.
+
+    ONE scan of the span table total: the raw bucket counts are persisted
+    (≤ partitions × features × buckets rows — KB at any input scale) and
+    everything else — normalized histograms, the partition list for the
+    baseline cross-join, and the per-partition row counts the verdicts
+    carry — derives from that frame. The naive composition (histograms +
+    a distinct() for partitions + a groupBy for row counts) re-scanned
+    every span three times per run.
     """
-    cur = histograms(exploded)
+    counts = (
+        _bucketed(exploded)
+        .groupBy("partition_id", "feature", "bucket")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    total = F.sum("n").over(Window.partitionBy("partition_id", "feature"))
+    cur = counts.select(
+        "partition_id", "feature", "bucket", (F.col("n") / total).alias("p")
+    )
     base = baseline.select("feature", "bucket", F.col("p").alias("q"))
 
     # full outer per (feature,bucket) within each partition: a partition may
     # miss baseline buckets and vice versa → epsilon smoothing.
-    parts = cur.select("partition_id").distinct()
+    parts = counts.select("partition_id").distinct()
     base_x = parts.crossJoin(F.broadcast(base))
     joined = base_x.join(cur, ["partition_id", "feature", "bucket"], "full_outer").select(
         "partition_id",
@@ -168,8 +185,13 @@ def check(
         ).alias("detail"),
     )
 
-    row_counts = exploded.groupBy("partition_id").agg(
-        F.count("*").cast("long").alias("row_count")
+    # every span contributes exactly one span_kind bucket row (NULL kinds
+    # kept), so the kind-feature counts sum to the span count — no second
+    # scan of the span table
+    row_counts = (
+        counts.filter(F.col("feature") == "span_kind")
+        .groupBy("partition_id")
+        .agg(F.sum("n").cast("long").alias("row_count"))
     )
     verdicts = (
         scored.groupBy("partition_id")

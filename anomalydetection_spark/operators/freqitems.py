@@ -55,18 +55,31 @@ def check(
 
     ``exploded`` is the narrow span view (reassembly.explode_spans_meta);
     only the kind/media_ref leaves are touched, so the parquet scan skips
-    the text leaf entirely (same pruning contract as referential)."""
-    counts = (
-        exploded.filter(F.col("media_ref").isNotNull())
-        .groupBy("partition_id", "media_ref")
+    the text leaf entirely (same pruning contract as referential).
+
+    ONE scan of the span table total: NULL media_refs are kept as their
+    own group in the count aggregate, so every partition (even one with
+    zero refs) appears in the counts frame and the former separate
+    ``distinct(partition_id)`` scan folds into the same aggregate. The
+    counts frame (|distinct keys| rows — bounded by key cardinality, the
+    documented exactness domain; unbounded columns take the MG sketch
+    path) is persisted because totals, hot keys, max-share, and both
+    output actions all re-consume it: un-persisted, one verdicts action
+    re-ran the scan+shuffle up to four times."""
+    from pyspark.storagelevel import StorageLevel
+
+    counts_all = (
+        exploded.groupBy("partition_id", "media_ref")
         .agg(F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # totals derived FROM the counts (tiny), plus ref-less partitions
-    # recovered from the span table so every partition gets a verdict
-    totals = counts.groupBy("partition_id").agg(F.sum("n").alias("n_refs"))
-    all_parts = exploded.select("partition_id").distinct()
-    totals = all_parts.join(totals, "partition_id", "left").select(
-        "partition_id", F.coalesce("n_refs", F.lit(0)).alias("n_refs")
+    counts = counts_all.filter(F.col("media_ref").isNotNull())
+    # totals derived FROM the counts (tiny); the NULL-key group keeps
+    # ref-less partitions present so every partition gets a verdict
+    totals = counts_all.groupBy("partition_id").agg(
+        F.sum(
+            F.when(F.col("media_ref").isNotNull(), F.col("n")).otherwise(F.lit(0))
+        ).alias("n_refs")
     )
 
     hot = counts.join(totals, "partition_id").filter(

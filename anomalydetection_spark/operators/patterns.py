@@ -137,3 +137,113 @@ def cross_column_check(exploded: DataFrame) -> tuple[DataFrame, DataFrame]:
         detail.alias("detail"),
     )
     return _verdicts(exploded, violations, CROSS_CONSTRAINT, "inconsistent_rate"), violations
+
+
+def fused_check(
+    exploded: DataFrame,
+    th: PatternThresholds = PatternThresholds(),
+    persist: bool = True,
+) -> dict[str, tuple[DataFrame, DataFrame]]:
+    """pattern + cross_column in ONE scan of the span table.
+
+    Run separately, each constraint scans the narrow meta view twice (its
+    violation filter and its per-partition totals) — four scans for two
+    per-span predicate checks. Here one pass emits a tagged violation
+    array per span (explode drops clean spans), the frame is persisted
+    (violation-bounded, not span-bounded), and BOTH constraints' violation
+    sets, violation counts, and the shared per-partition span totals
+    derive from it plus one totals aggregate — two scans total, and the
+    outputs are row-identical to the per-constraint builders (suite
+    hash-pinned by the flagship oracle).
+
+    Returns {constraint: (verdicts, violations)}.
+    """
+    pat_bad = F.col("media_ref").isNotNull() & ~F.col("media_ref").rlike(th.ref_pattern)
+    pat_detail = F.concat(F.lit("malformed media_ref="), F.col("media_ref"))
+    cross_bad = _inconsistent(F.col("kind"), F.col("media_ref"))
+    cross_detail = (
+        F.when(
+            F.col("kind").isNull() | ~F.col("kind").isin(*KIND_DOMAIN),
+            F.concat(F.lit("unknown kind="), F.coalesce("kind", F.lit("NULL"))),
+        )
+        .when(
+            F.col("media_ref").isNull(),
+            F.concat(F.lit("media span missing media_ref (kind="), "kind", F.lit(")")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("text span carries media_ref="),
+                "media_ref",
+                F.lit(" (kind="),
+                "kind",
+                F.lit(")"),
+            )
+        )
+    )
+    tags = F.filter(
+        F.array(
+            F.when(
+                pat_bad,
+                F.struct(
+                    F.lit(PATTERN_CONSTRAINT).alias("constraint"),
+                    pat_detail.alias("detail"),
+                ),
+            ),
+            F.when(
+                cross_bad,
+                F.struct(
+                    F.lit(CROSS_CONSTRAINT).alias("constraint"),
+                    cross_detail.alias("detail"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    both = exploded.select(
+        "partition_id",
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.explode(tags).alias("_t"),
+    ).select(
+        "partition_id",
+        F.col("_t.constraint").alias("constraint"),
+        "doc_id",
+        "pos",
+        F.col("_t.detail").alias("detail"),
+    )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        both = both.persist(StorageLevel.MEMORY_AND_DISK)
+
+    totals = exploded.groupBy("partition_id").agg(
+        F.count("*").cast("long").alias("n_spans")
+    )
+    if persist:
+        totals = totals.persist()
+
+    out: dict[str, tuple[DataFrame, DataFrame]] = {}
+    for constraint, rate_metric in (
+        (PATTERN_CONSTRAINT, "malformed_ref_rate"),
+        (CROSS_CONSTRAINT, "inconsistent_rate"),
+    ):
+        viol = both.filter(F.col("constraint") == constraint)
+        viol_per_part = viol.groupBy("partition_id").agg(
+            F.count("*").cast("long").alias("violation_count")
+        )
+        verdicts = totals.join(viol_per_part, "partition_id", "left").select(
+            "partition_id",
+            F.lit(constraint).alias("constraint"),
+            (F.coalesce("violation_count", F.lit(0)) == 0).alias("passed"),
+            F.coalesce("violation_count", F.lit(0)).cast("long").alias("violation_count"),
+            F.col("n_spans").alias("row_count"),
+            F.create_map(
+                F.lit(rate_metric),
+                F.when(
+                    F.col("n_spans") > 0,
+                    F.coalesce("violation_count", F.lit(0)) / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+            ).alias("metrics"),
+        )
+        out[constraint] = (verdicts, viol)
+    return out

@@ -156,6 +156,14 @@ def run_suite(
         "pattern": lambda: _maybe_persist(patterns.pattern_check(exploded, cfg.pattern)),
         "cross_column": lambda: _maybe_persist(patterns.cross_column_check(exploded)),
     }
+    # the two per-span predicate constraints fuse into ONE scan (tagged
+    # violation array + shared totals, operators/patterns.fused_check) when
+    # both are selected and violation sharing is on — row-identical output,
+    # half the span-table passes for this pair
+    if cfg.persist_violations and {"pattern", "cross_column"} <= set(selected):
+        fused = patterns.fused_check(exploded, cfg.pattern, persist=True)
+        builders["pattern"] = lambda: fused["pattern"]
+        builders["cross_column"] = lambda: fused["cross_column"]
     all_pairs = [builders[name]() for name in ALL_CONSTRAINTS if name in selected]
     verdicts = reduce(DataFrame.unionByName, [p[0] for p in all_pairs])
     violations = reduce(DataFrame.unionByName, [p[1] for p in all_pairs])

