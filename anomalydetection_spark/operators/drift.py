@@ -122,6 +122,7 @@ def check(
     baseline: DataFrame,
     th: DriftThresholds = DriftThresholds(),
     persist_scores: bool = True,
+    persist_counts: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """distribution_drift constraint → (verdicts, violations).
 
@@ -140,13 +141,20 @@ def check(
     carry — derives from that frame. The naive composition (histograms +
     a distinct() for partitions + a groupBy for row counts) re-scanned
     every span three times per run.
+
+    ``persist_counts``: cache the raw bucket counts. Pass False when the
+    caller already caches the exploded view (small inputs): re-deriving
+    the tiny agg from that cache is cheaper than paying another
+    materialization barrier, while at big inputs (exploded re-scanned
+    lazily) the cached counts are what keeps this a one-scan check.
     """
     counts = (
         _bucketed(exploded)
         .groupBy("partition_id", "feature", "bucket")
         .agg(F.count("*").alias("n"))
-        .persist()
     )
+    if persist_counts:
+        counts = counts.persist()
     total = F.sum("n").over(Window.partitionBy("partition_id", "feature"))
     cur = counts.select(
         "partition_id", "feature", "bucket", (F.col("n") / total).alias("p")

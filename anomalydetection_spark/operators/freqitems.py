@@ -49,7 +49,9 @@ class FreqThresholds:
 
 
 def check(
-    exploded: DataFrame, th: FreqThresholds = FreqThresholds()
+    exploded: DataFrame,
+    th: FreqThresholds = FreqThresholds(),
+    persist_counts: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """frequent_items constraint → (verdicts, violations).
 
@@ -65,14 +67,17 @@ def check(
     documented exactness domain; unbounded columns take the MG sketch
     path) is persisted because totals, hot keys, max-share, and both
     output actions all re-consume it: un-persisted, one verdicts action
-    re-ran the scan+shuffle up to four times."""
+    re-ran the scan+shuffle up to four times. ``persist_counts=False``
+    skips that cache — right when the caller already caches the exploded
+    view (small inputs), where re-aggregating from the cache is cheaper
+    than another materialization barrier."""
     from pyspark.storagelevel import StorageLevel
 
-    counts_all = (
-        exploded.groupBy("partition_id", "media_ref")
-        .agg(F.count("*").alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    counts_all = exploded.groupBy("partition_id", "media_ref").agg(
+        F.count("*").alias("n")
     )
+    if persist_counts:
+        counts_all = counts_all.persist(StorageLevel.MEMORY_AND_DISK)
     counts = counts_all.filter(F.col("media_ref").isNotNull())
     # totals derived FROM the counts (tiny); the NULL-key group keeps
     # ref-less partitions present so every partition gets a verdict

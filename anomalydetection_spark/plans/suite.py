@@ -148,11 +148,20 @@ def run_suite(
         "referential": lambda: _maybe_persist(
             referential.check(exploded, media, broadcast=cfg.broadcast_media)
         ),
-        "distribution_drift": lambda: drift.check(exploded, baseline_hist, cfg.drift),
+        # intermediate count-aggregate caches only when the exploded view
+        # is NOT cached: with the view cached (small inputs) re-deriving a
+        # KB-sized agg from it beats another materialization barrier; with
+        # lazy re-scans (big inputs) those caches are what hold each check
+        # to one scan
+        "distribution_drift": lambda: drift.check(
+            exploded, baseline_hist, cfg.drift, persist_counts=not persist_ex
+        ),
         "span_order": lambda: reassembly.check(
             docs, share_violations=cfg.persist_violations
         ),
-        "frequent_items": lambda: _maybe_persist(freqitems.check(exploded, cfg.freq)),
+        "frequent_items": lambda: _maybe_persist(
+            freqitems.check(exploded, cfg.freq, persist_counts=not persist_ex)
+        ),
         "pattern": lambda: _maybe_persist(patterns.pattern_check(exploded, cfg.pattern)),
         "cross_column": lambda: _maybe_persist(patterns.cross_column_check(exploded)),
     }
