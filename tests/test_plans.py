@@ -152,9 +152,13 @@ def test_suite_branches_prune_nested_leaves(spark, tmp_path):
     # pattern/cross_column share the contract: kind+media_ref leaves only
     from anomalydetection_spark.operators import patterns
 
+    fused = patterns.fused_check(exploded, persist=False)
     for verdicts in (
         patterns.pattern_check(exploded)[0],
         patterns.cross_column_check(exploded)[0],
+        # the fused single-scan path keeps the same pruning contract
+        fused["pattern"][1],
+        fused["cross_column"][0],
     ):
         plan = _formatted(spark, verdicts)
         for part in plan.split("ReadSchema: ")[1:]:
