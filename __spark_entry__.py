@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from anomalydetection_spark.plans import driver_queries, driver_queries_dedup
+from anomalydetection_spark.plans import (
+    driver_queries,
+    driver_queries_curation,
+    driver_queries_dedup,
+)
 from anomalydetection_spark.plans.flagship import (
     SUITE_VERDICTS_SQL,
     flagship_suite,
@@ -43,6 +47,9 @@ _PRIORITY = [
     "suite_verdicts",          # flagship product query (full DuckDB twin)
     "pca_anomaly_by_label",    # new model-literal oracle this round
     "ann_pq_topk",             # new PQ ADC oracle this round
+    "pii_scan_by_source",      # new: PII scan + redaction accounting
+    "pack_chunks_stats",       # new: concat-and-chunk sequence packing
+    "boilerplate_paragraphs",  # new: paragraph-level exact dedup
     "decontaminate_docs",      # new: benchmark n-gram decontamination
     "repetition_quality_by_lang",  # new: Gopher-rules repetition metrics
     "domain_mixture_weights",  # new: training-mix planning
@@ -69,17 +76,14 @@ _PRIORITY = [
     "pivot_event_counts",
     "grouping_sets_orders",
     "group_count_having",
-    "distinct_agg_customers",
     "set_ops_users",
     "asof_last_purchase",
     "range_join_windows",
-    "left_join_null_handling",
     "zorder_event_buckets",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q13_order_count_distribution",
-    "sql_api_revenue_by_status",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
@@ -92,6 +96,9 @@ _PRIORITY = [
     "quality_by_source",
 ]
 _TAIL = [
+    "distinct_agg_customers",  # A12 distinct family: stats_documents approx/exact distincts
+    "left_join_null_handling", # outer-join-null family: q13 left join + set_ops_users
+    "sql_api_revenue_by_status",  # SQL-API surface over the q1 scan-agg family
     "sample_deterministic",    # sampling family (R1): stratified_sample_langs (R2)
     "ntile_value_quartiles",   # window family: topk (rank) + running_total (frame)
     "histogram_n_chars",       # A11 histograms: drift_kl_psi_by_source builds them
@@ -107,6 +114,7 @@ _TAIL = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(driver_queries.QUERIES)
     q.update(driver_queries_dedup.QUERIES)
+    q.update(driver_queries_curation.QUERIES)
     # deterministic columns of the flagship suite — full DuckDB oracle twin
     q["suite_verdicts"] = suite_verdicts
     missing = set(q) - set(_PRIORITY) - set(_TAIL)
@@ -117,5 +125,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     sql = dict(driver_queries.ORACLE_SQL)
     sql.update(driver_queries_dedup.ORACLE_SQL)
+    sql.update(driver_queries_curation.ORACLE_SQL)
     sql["suite_verdicts"] = SUITE_VERDICTS_SQL
     return {name: sql[name] for name in _PRIORITY + _TAIL if name in sql}

@@ -242,6 +242,51 @@ def repetition_stats(
     )
 
 
+def paragraph_boilerplate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_dup: int = 2,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide boilerplate-paragraph detection (the paragraph-level
+    exact-dedup pass of CCNet/RefinedWeb-style curation): a paragraph is
+    boilerplate when its exact text occurs in ≥ ``min_dup`` documents.
+
+    Returns one row per doc: (id, n_paragraphs, n_boilerplate,
+    boilerplate_frac).
+
+    Scale: paragraphs are compared by 60-bit content hash, never by
+    string shuffle — split → posexplode → hash-agg on the hash
+    (map-side partials; the fat paragraph text is dropped before the
+    exchange). The duplicated-hash set is distinct-aggregated and joined
+    back; at corpus scale that set is the rare side (boilerplate is by
+    definition repeated, so its distinct count is corpus-sublinear) and
+    Spark/AQE broadcast it when small. One doc-id hash-agg re-assembles
+    per-doc fractions. Docs are counted per distinct (doc, hash) so a
+    paragraph repeated WITHIN one doc does not self-qualify."""
+    from anomalydetection_spark.operators.dedup import portable_hash60
+
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), sep, -1)).alias("_p"),
+    ).select("id", portable_hash60(F.col("_p")).alias("_h"))
+    dup_hashes = (
+        paras.select("id", "_h").distinct()
+        .groupBy("_h").agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= min_dup)
+        .select("_h")
+    )
+    marked = paras.join(dup_hashes.withColumn("_dup", F.lit(1)), "_h", "left")
+    n_para = F.count("*")
+    n_boiler = F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+    return marked.groupBy("id").agg(
+        n_para.cast("long").alias("n_paragraphs"),
+        n_boiler.cast("long").alias("n_boilerplate"),
+        F.round(n_boiler / n_para, 6).alias("boilerplate_frac"),
+    )
+
+
 def domain_mixture(
     docs: DataFrame,
     source_col: str,

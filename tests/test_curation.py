@@ -1,0 +1,147 @@
+"""Curation-batch operators: PII scan/redaction, sequence packing,
+boilerplate-paragraph detection.
+
+Each test pins the operator against a hand-computed or pandas-computed
+reference on a tiny corpus; packing additionally asserts partition
+invariance (the two-phase distributed prefix scan must give identical
+spans at any parallelism — the property that makes it safe at 10^12
+docs where a single-task `Window.orderBy` scan would be the bottleneck).
+"""
+
+from __future__ import annotations
+
+from anomalydetection_spark.operators import packing, pii, textops
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+def test_pii_scan_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.co.uk today"),
+            (2, "hosts 10.0.0.1 and 192.168.1.255"),
+            (3, "call 555-123-4567 or ssn 123-45-6789"),
+            (4, "clean text, no identifiers here"),
+            (5, "double a@b.io c@d.net"),
+        ],
+        "id int, text string",
+    )
+    got = {r["id"]: r for r in pii.pii_scan(df, "id", "text").collect()}
+    assert (got[1]["n_email"], got[1]["has_pii"]) == (1, True)
+    assert got[2]["n_ipv4"] == 2
+    # phone (ddd-ddd-dddd) and ssn (ddd-dd-dddd) are shape-disjoint
+    assert (got[3]["n_phone"], got[3]["n_ssn"]) == (1, 1)
+    assert (got[4]["has_pii"], got[4]["n_email"]) == (False, 0)
+    assert got[5]["n_email"] == 2
+
+
+def test_pii_redact_order_and_masking(spark):
+    df = spark.createDataFrame(
+        [(1, "x a@ex.io y 10.1.2.3 z 555-111-2222 w 111-22-3333")],
+        "id int, text string",
+    )
+    out = pii.pii_redact(df, "text").head()["redacted"]
+    assert out == "x <email> y <ipv4> z <phone> w <ssn>"
+    # an @ before an IP-shaped host is NOT an email (pattern requires an
+    # alphabetic TLD), so only the ipv4 pattern fires on it
+    df2 = spark.createDataFrame([(1, "a@10.1.2.3")], "id int, text string")
+    assert pii.pii_redact(df2, "text").head()["redacted"] == "a@<ipv4>"
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def _span_reference(rows):
+    """Exclusive prefix-sum reference in plain Python."""
+    acc, out = 0, {}
+    for doc_id, n in sorted(rows):
+        out[doc_id] = (n, acc, acc + n)
+        acc += n
+    return out
+
+
+def test_token_spans_match_reference_and_partition_invariant(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id int, n_tok int")
+    ref = _span_reference(rows)
+    for nparts in (1, 4, 7):
+        got = {
+            r["id"]: (r["n_tok"], r["start"], r["end"])
+            for r in packing.token_spans(df, "id", "n_tok", num_partitions=nparts).collect()
+        }
+        assert got == ref, f"num_partitions={nparts}"
+
+
+def test_pack_chunks_straddle_and_conservation(spark):
+    # docs of 6 tokens each, capacity 10: doc boundaries straddle chunks
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 6)) for i in range(1, 11)], "doc_id int, text string"
+    )
+    packed = packing.pack_chunks(docs, "doc_id", "text", capacity=10, num_partitions=3)
+    rows = _rows(packed, "chunk_id", "id")
+    # token conservation: every token lands in exactly one chunk
+    assert sum(r[2] for r in rows) == 60
+    by_doc = {}
+    for chunk_id, doc_id, tok, is_split in rows:
+        by_doc.setdefault(doc_id, []).append((chunk_id, tok, is_split))
+    # doc 1 occupies [0,6) -> chunk 0 only; doc 2 [6,12) straddles 0/1
+    assert by_doc[1] == [(0, 6, False)]
+    assert by_doc[2] == [(0, 4, True), (1, 2, True)]
+    stats = {r["chunk_id"]: r for r in packing.chunk_stats(packed).collect()}
+    # 60 tokens / capacity 10 = 6 chunks, every one exactly full
+    assert len(stats) == 6
+    assert all(s["n_tokens"] == 10 for s in stats.values())
+
+
+def test_pack_chunks_skips_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "d e")], "doc_id int, text string"
+    )
+    packed = packing.pack_chunks(docs, "doc_id", "text", capacity=4)
+    rows = _rows(packed, "chunk_id", "id")
+    assert [r[1] for r in rows] == [1, 3, 3]  # doc 2 contributes nothing
+    assert sum(r[2] for r in rows) == 5
+
+
+# ---------------------------------------------------------------------------
+# boilerplate paragraphs
+# ---------------------------------------------------------------------------
+
+def test_paragraph_boilerplate_cross_doc_only(spark):
+    boiler = "subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha body\n\n" + boiler),
+            (2, "beta body\n\n" + boiler),
+            (3, "gamma solo\n\ngamma solo"),  # repeated WITHIN one doc only
+            (4, "delta unique"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["n_paragraphs"], r["n_boilerplate"], r["boilerplate_frac"])
+        for r in textops.paragraph_boilerplate(docs, "id", "text").collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    # within-doc repetition must not self-qualify as boilerplate
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_paragraph_boilerplate_min_dup_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "x\n\nshared"), (2, "y\n\nshared"), (3, "z\n\nshared")],
+        "id int, text string",
+    )
+    strict = textops.paragraph_boilerplate(docs, "id", "text", min_dup=4)
+    assert all(r["n_boilerplate"] == 0 for r in strict.collect())
+    loose = textops.paragraph_boilerplate(docs, "id", "text", min_dup=3)
+    assert all(r["n_boilerplate"] == 1 for r in loose.collect())
