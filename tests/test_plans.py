@@ -231,3 +231,50 @@ def test_resume_scan_prunes_hive_partitions(spark, tmp_path):
     n_rows = resumed.count()
     expected = docs.filter(F.col("partition_id").isin(pending)).count()
     assert n_rows == expected > 0
+
+
+def test_pii_scan_is_map_only(spark):
+    """The PII scan reads every byte of the corpus — it must compile to a
+    single map-only stage: no Exchange, no Python evaluation, all regex
+    work inside whole-stage codegen."""
+    from anomalydetection_spark.operators import pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(spark, pii.pii_scan(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_packing_no_single_task_global_sort(spark):
+    """token_spans' global prefix-sum must be the two-phase scan: a range
+    Exchange (ordered partitions at full parallelism) — never a global
+    Sort into one task and never a partition-less Window."""
+    from anomalydetection_spark.operators import packing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spans = packing.token_spans(
+        docs.selectExpr("doc_id", "n_chars as n_tok"), "doc_id", "n_tok"
+    )
+    plan = _formatted(spark, spans)
+    assert "rangepartitioning" in plan.lower()
+    assert "Window" not in plan
+    # the sort must sit above the range exchange (sortWithinPartitions →
+    # global=false), not re-shuffle into a single partition
+    assert "SinglePartition" not in plan
+    spans.unpersist() if hasattr(spans, "unpersist") else None
+
+
+def test_boilerplate_shuffle_carries_hashes_not_text(spark):
+    """paragraph_boilerplate compares paragraphs by 60-bit hash; the fat
+    paragraph string must be projected away before any Exchange."""
+    from anomalydetection_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = textops.paragraph_boilerplate(docs, "doc_id", "text")
+    plan = _formatted(spark, out)
+    # every Exchange's output schema: only ids/hashes/counters, no _p
+    # paragraph column and no raw text column
+    for chunk in plan.split("Exchange ")[1:]:
+        sig = chunk.splitlines()[0]
+        assert "_p#" not in sig and "text#" not in sig, sig
