@@ -50,6 +50,8 @@ _PRIORITY = [
     "pii_scan_by_source",      # new: PII scan + redaction accounting
     "pack_chunks_stats",       # new: concat-and-chunk sequence packing
     "boilerplate_paragraphs",  # new: paragraph-level exact dedup
+    "url_domain_stats_blocked",  # new: URL/domain blocklist accounting
+    "temperature_sample_sources",  # new: deterministic temperature sampling
     "decontaminate_docs",      # new: benchmark n-gram decontamination
     "repetition_quality_by_lang",  # new: Gopher-rules repetition metrics
     "domain_mixture_weights",  # new: training-mix planning
@@ -72,8 +74,6 @@ _PRIORITY = [
     "confusion_matrix_embeddings",
     "eval_metrics_embeddings",
     "topk_users_by_type",
-    "running_total_user",
-    "pivot_event_counts",
     "grouping_sets_orders",
     "group_count_having",
     "set_ops_users",
@@ -96,6 +96,8 @@ _PRIORITY = [
     "quality_by_source",
 ]
 _TAIL = [
+    "running_total_user",      # beyond-§2 frame specs; window family checked by topk (rank) + ntile
+    "pivot_event_counts",      # beyond-§2 pivot; event-type agg family checked by topk_users_by_type
     "distinct_agg_customers",  # A12 distinct family: stats_documents approx/exact distincts
     "left_join_null_handling", # outer-join-null family: q13 left join + set_ops_users
     "sql_api_revenue_by_status",  # SQL-API surface over the q1 scan-agg family

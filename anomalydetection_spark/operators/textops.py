@@ -325,3 +325,111 @@ def domain_mixture(
         F.round(target, 6).alias("target_share"),
         F.round(target / observed, 6).alias("sampling_weight"),
     )
+
+
+# URL / domain analysis ------------------------------------------------------
+
+# engine-portable (no lookaround/backrefs): scheme://host[/path] up to
+# whitespace; host captured by the same sub-expression in Spark and RE2
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)[^\s]*"
+
+
+def url_domain_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Per-domain corpus accounting (the C4-style host-blocklist pass):
+    (domain, n_urls, n_docs, blocked) for every hostname appearing in any
+    ``text_col`` URL.
+
+    Scale: one projection pass extracts all URLs per doc
+    (`regexp_extract_all`, JVM), hostnames explode and hash-agg — the
+    only shuffle carries (domain, doc-distinct flags), never document
+    text. The blocklist is a literal `isin` (Catalyst folds it into the
+    scan's predicate space); a million-entry blocklist would swap to a
+    broadcast join without changing the output contract."""
+    # NB: F.regexp_extract_all with a lit() pattern, NOT F.expr — a SQL
+    # string literal would eat the backslash in [^\s] and silently turn it
+    # into [^s], which swallows every URL after the first in a doc
+    urls = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(1))
+        ).alias("domain"),
+    )
+    per_domain = urls.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("id").cast("long").alias("n_docs"),
+    )
+    blocked = (
+        F.col("domain").isin(*blocklist) if blocklist else F.lit(False)
+    )
+    return per_domain.withColumn("blocked", blocked)
+
+
+def doc_url_filter(
+    docs: DataFrame, id_col: str, text_col: str, blocklist: list[str]
+) -> DataFrame:
+    """Adds (n_urls, has_blocked_domain) per doc — the doc-level verdict
+    the curation pipeline filters on. Map-only: per-doc URL extraction and
+    a literal-array intersection, no shuffle."""
+    doms = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(1))
+    blocked_arr = F.array(*[F.lit(b) for b in blocklist])
+    return docs.select(
+        F.col(id_col),
+        F.size(doms).cast("long").alias("n_urls"),
+        (F.size(F.array_intersect(doms, blocked_arr)) > 0).alias("has_blocked_domain"),
+    )
+
+
+# deterministic temperature sampling ----------------------------------------
+
+def temperature_sample(
+    docs: DataFrame,
+    source_col: str,
+    text_col: str,
+    id_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the multilingual-corpus
+    rebalancing rule: p_s ∝ share_s^(1/T), keep-probability scaled so the
+    largest source keeps everything). Returns per-source
+    (n_docs, n_kept, keep_prob) under a DETERMINISTIC per-doc Bernoulli:
+    a doc is kept iff hash60(id) % 1e6 < keep_prob * 1e6 — reproducible
+    across runs/engines, no rand().
+
+    Scale: per-source token shares are one tiny hash-agg (|sources| rows,
+    broadcast back); the keep decision is a map-side hash compare. The
+    doc stream shuffles once (the share join is broadcast) and only for
+    the final per-source rollup."""
+    per_src = docs.groupBy(source_col).agg(
+        F.sum(F.size(_tokens(text_col))).alias("_n_tok")
+    )
+    tot = per_src.agg(F.sum("_n_tok").alias("_tot"))
+    # share^(1/T), normalized so max keep_prob = 1.0 (largest source is
+    # never upsampled — sampling can only drop). T=2 (the common default)
+    # uses sqrt, which IEEE 754 requires to be correctly rounded — so the
+    # whole keep_prob computation is bit-identical across engines; pow()
+    # is libm-dependent in its last ulp and only cross-engine-stable away
+    # from rounding boundaries.
+    share = F.col("_n_tok") / F.col("_tot")
+    flat = F.sqrt(share) if temperature == 2.0 else F.pow(share, 1.0 / temperature)
+    shares = per_src.crossJoin(F.broadcast(tot)).select(
+        source_col, flat.alias("_flat")
+    )
+    mx = shares.agg(F.max("_flat").alias("_mx"))
+    probs = shares.crossJoin(F.broadcast(mx)).select(
+        source_col, (F.col("_flat") / F.col("_mx")).alias("keep_prob")
+    )
+    marked = docs.join(F.broadcast(probs), source_col).withColumn(
+        "_keep",
+        (portable_hash60(F.col(id_col).cast("string")) % 1_000_000)
+        < F.col("keep_prob") * 1_000_000,
+    )
+    return marked.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.round(F.first("keep_prob"), 6).alias("keep_prob"),
+    )

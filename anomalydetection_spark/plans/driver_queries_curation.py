@@ -228,3 +228,108 @@ ORACLE_SQL: dict[str, str] = {
     "pack_chunks_stats": PACK_CHUNKS_SQL,
     "boilerplate_paragraphs": BOILERPLATE_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# URL / domain blocklist accounting
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ["spam.example.net", "ads.example.org"]
+
+
+def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically injected URLs: every 3rd doc (by
+    n_chars) gains a site URL on one of 7 hosts, every 10th a blocked
+    spam-host URL — re-derivable by the oracle in plain SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.col("n_chars")
+    txt = F.col("text")
+    txt = F.when(
+        n % 3 == 0,
+        F.concat(txt, F.lit(" see http://site"), (n % 7).cast("string"),
+                 F.lit(".example.org/p/"), F.col("doc_id")),
+    ).otherwise(txt)
+    txt = F.when(
+        n % 10 == 0,
+        F.concat(txt, F.lit(" via https://spam.example.net/x"), F.col("doc_id")),
+    ).otherwise(txt)
+    return d.select("doc_id", txt.alias("text"))
+
+
+def url_domain_stats_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL/doc counts with blocklist verdicts over the injected
+    corpus (operators/textops.url_domain_stats)."""
+    corpus = _url_corpus(spark, sf_dir)
+    return textops.url_domain_stats(corpus, "doc_id", "text", blocklist=_BLOCKLIST)
+
+
+_URL_CORPUS_SQL = """
+url_corpus AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN n_chars % 3 = 0
+         THEN ' see http://site' || (n_chars % 7) || '.example.org/p/' || doc_id
+         ELSE '' END
+    || CASE WHEN n_chars % 10 = 0
+         THEN ' via https://spam.example.net/x' || doc_id ELSE '' END
+    AS text
+  FROM documents
+)
+"""
+
+URL_DOMAIN_SQL = f"""
+WITH {_URL_CORPUS_SQL},
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{textops.URL_PATTERN}', 1)) AS domain
+  FROM url_corpus
+)
+SELECT domain, count(*)::bigint AS n_urls,
+  count(DISTINCT doc_id)::bigint AS n_docs,
+  domain IN ('spam.example.net', 'ads.example.org') AS blocked
+FROM u GROUP BY domain
+"""
+
+# ---------------------------------------------------------------------------
+# deterministic temperature sampling
+# ---------------------------------------------------------------------------
+
+def temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source kept-doc counts under T=2 temperature-flattened mixture
+    sampling with a deterministic md5-hash Bernoulli
+    (operators/textops.temperature_sample) — bit-reproducible across
+    engines because T=2 takes the IEEE-correctly-rounded sqrt path."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.temperature_sample(d, "source", "text", "doc_id", temperature=2.0)
+
+
+TEMPERATURE_SAMPLE_SQL = r"""
+WITH per_src AS (
+  SELECT source,
+    sum(CASE WHEN trim(text) = '' THEN 0
+        ELSE len(string_split_regex(trim(text), '\s+')) END)::bigint AS n_tok,
+    count(*)::bigint AS n_docs
+  FROM documents GROUP BY source
+),
+flat AS (
+  SELECT source, n_docs, sqrt(n_tok / (SELECT sum(n_tok)::double FROM per_src)) AS f
+  FROM per_src
+),
+probs AS (
+  SELECT source, n_docs, f / (SELECT max(f) FROM flat) AS keep_prob FROM flat
+)
+SELECT p.source, p.n_docs,
+  sum(CASE WHEN ('0x' || substr(md5(d.doc_id::varchar), 1, 15))::bigint % 1000000
+           < p.keep_prob * 1000000 THEN 1 ELSE 0 END)::bigint AS n_kept,
+  round(p.keep_prob, 6) AS keep_prob
+FROM documents d JOIN probs p ON d.source = p.source
+GROUP BY p.source, p.n_docs, p.keep_prob
+"""
+
+QUERIES.update({
+    "url_domain_stats_blocked": url_domain_stats_blocked,
+    "temperature_sample_sources": temperature_sample_sources,
+})
+
+ORACLE_SQL.update({
+    "url_domain_stats_blocked": URL_DOMAIN_SQL,
+    "temperature_sample_sources": TEMPERATURE_SAMPLE_SQL,
+})

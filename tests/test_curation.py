@@ -145,3 +145,79 @@ def test_paragraph_boilerplate_min_dup_threshold(spark):
     assert all(r["n_boilerplate"] == 0 for r in strict.collect())
     loose = textops.paragraph_boilerplate(docs, "id", "text", min_dup=3)
     assert all(r["n_boilerplate"] == 1 for r in loose.collect())
+
+
+# ---------------------------------------------------------------------------
+# URL / domain ops
+# ---------------------------------------------------------------------------
+
+def test_url_domain_stats_counts_and_blocklist(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "see http://a.example.org/x and https://b.example.net/y?q=1"),
+            (2, "again http://a.example.org/z"),
+            (3, "no urls here"),
+            (4, "dup http://a.example.org/1 http://a.example.org/2"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["domain"]: (r["n_urls"], r["n_docs"], r["blocked"])
+        for r in textops.url_domain_stats(
+            docs, "id", "text", blocklist=["b.example.net"]
+        ).collect()
+    }
+    # two urls in one doc must BOTH extract (regression: F.expr SQL-literal
+    # escaping turned [^\s] into [^s] and swallowed the second URL)
+    assert got["a.example.org"] == (4, 3, False)
+    assert got["b.example.net"] == (1, 1, True)
+
+
+def test_doc_url_filter_verdicts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x https://bad.example.com/p y http://ok.example.org/q"),
+            (2, "only http://ok.example.org/r"),
+            (3, "plain text"),
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["n_urls"], r["has_blocked_domain"])
+        for r in textops.doc_url_filter(
+            docs, "id", "text", blocklist=["bad.example.com"]
+        ).collect()
+    }
+    assert got == {1: (2, True), 2: (1, False), 3: (0, False)}
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+def test_temperature_sample_flattens_mixture(spark):
+    # heavily skewed: src a has 9x the tokens of src b
+    rows = [(i, "a", "w " * 9) for i in range(90)] + [
+        (i, "b", "w") for i in range(90, 100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = {
+        r["source"]: r
+        for r in textops.temperature_sample(
+            docs, "source", "text", "doc_id", temperature=2.0
+        ).collect()
+    }
+    # largest source keeps everything (keep_prob 1.0); smaller source keeps
+    # sqrt-flattened share: sqrt(10/820)/sqrt(810/820)
+    assert got["a"]["keep_prob"] == 1.0
+    expected_b = (10 / 820) ** 0.5 / (810 / 820) ** 0.5
+    assert abs(got["b"]["keep_prob"] - expected_b) < 1e-6
+    assert got["a"]["n_kept"] == 90  # prob 1.0 keeps every doc
+    assert 0 <= got["b"]["n_kept"] <= 10
+
+
+def test_temperature_sample_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = textops.temperature_sample(docs, "source", "text", "doc_id").collect()
+    b = textops.temperature_sample(docs, "source", "text", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
