@@ -21,6 +21,7 @@ from anomalydetection_spark.plans import (
     driver_queries,
     driver_queries_curation,
     driver_queries_dedup,
+    driver_queries_quality,
 )
 from anomalydetection_spark.plans.flagship import (
     SUITE_VERDICTS_SQL,
@@ -55,9 +56,11 @@ _PRIORITY = [
     "decontaminate_docs",      # new: benchmark n-gram decontamination
     "repetition_quality_by_lang",  # new: Gopher-rules repetition metrics
     "domain_mixture_weights",  # new: training-mix planning
+    "normalize_text_stats",    # new: markup strip + Unicode NFC (Arrow UDF)
+    "c4_quality_filter_stats", # new: C4-style line filtering
+    "mad_outlier_hours",       # new: median/MAD robust outlier flags
     "tdigest_bounds_events",
     "pandas_udf_token_stats",
-    "token_count_bpe",
     "fingerprint_docs",
     "multimodal_decode_stats",
     "above_brand_avg_lineitems",
@@ -72,7 +75,6 @@ _PRIORITY = [
     "stratified_sample_langs",
     "roc_auc_embeddings",
     "confusion_matrix_embeddings",
-    "eval_metrics_embeddings",
     "topk_users_by_type",
     "grouping_sets_orders",
     "group_count_having",
@@ -82,7 +84,6 @@ _PRIORITY = [
     "zorder_event_buckets",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q13_order_count_distribution",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -96,6 +97,9 @@ _PRIORITY = [
     "quality_by_source",
 ]
 _TAIL = [
+    "q5_local_supplier_volume",   # multi-way equi-join family: q3 (3-way join+topk) + q13 (outer) stay in-window
+    "eval_metrics_embeddings",    # A8 derives from A9 confusion counts (confusion_matrix_embeddings) + A10 roc_auc in-window
+    "token_count_bpe",            # subword-count family: pandas_udf_token_stats hash-checks the same accounting via the Arrow path
     "running_total_user",      # beyond-§2 frame specs; window family checked by topk (rank) + ntile
     "pivot_event_counts",      # beyond-§2 pivot; event-type agg family checked by topk_users_by_type
     "distinct_agg_customers",  # A12 distinct family: stats_documents approx/exact distincts
@@ -117,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(driver_queries.QUERIES)
     q.update(driver_queries_dedup.QUERIES)
     q.update(driver_queries_curation.QUERIES)
+    q.update(driver_queries_quality.QUERIES)
     # deterministic columns of the flagship suite — full DuckDB oracle twin
     q["suite_verdicts"] = suite_verdicts
     missing = set(q) - set(_PRIORITY) - set(_TAIL)
@@ -128,5 +133,6 @@ def oracle_sql() -> dict[str, str]:
     sql = dict(driver_queries.ORACLE_SQL)
     sql.update(driver_queries_dedup.ORACLE_SQL)
     sql.update(driver_queries_curation.ORACLE_SQL)
+    sql.update(driver_queries_quality.ORACLE_SQL)
     sql["suite_verdicts"] = SUITE_VERDICTS_SQL
     return {name: sql[name] for name in _PRIORITY + _TAIL if name in sql}

@@ -149,3 +149,43 @@ def check(
     )
 
     return verdicts, violations
+
+
+def mad_outliers(
+    agg: DataFrame,
+    value_col: str,
+    *,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust (median/MAD) outlier flags over an already-aggregated frame.
+
+    The reference thresholds anomaly scores at a fixed quantile
+    (end_to_end_prediction.py:447); the robust-z variant is the standard
+    batch analog when the score distribution has heavy tails: median and
+    MAD = median(|x - median|) resist the outliers themselves.
+
+    Plan shape (scale-safe): ``agg`` is small (one row per group/bucket —
+    the *input* corpus was already reduced by a hash agg), so the two
+    exact-percentile passes aggregate it to single-row scalars that
+    broadcast back via crossJoin — the same scalar-agg pattern as the
+    drift checks (drift.py:103), no partition-less window anywhere.
+
+    Returns ``agg`` + (rz, is_outlier); rz is NULL when MAD = 0 (constant
+    series — every deviation infinite; flag only exact non-equality).
+    """
+    v = F.col(value_col).cast("double")
+    med = agg.agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+    with_med = agg.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    scored = with_med.crossJoin(F.broadcast(mad))
+    rz = F.when(F.col("_mad") > 0, F.round(F.abs(v - F.col("_med")) / F.col("_mad"), 6))
+    is_out = F.when(F.col("_mad") > 0, F.abs(v - F.col("_med")) / F.col("_mad") > z_threshold).otherwise(
+        v != F.col("_med")
+    )
+    return scored.select(
+        *[F.col(c) for c in agg.columns],
+        rz.alias("rz"),
+        is_out.alias("is_outlier"),
+    )

@@ -1,0 +1,228 @@
+r"""Driver-contract queries, batch 4: cleaning / filtering / robust outliers.
+
+Text normalization (markup strip + Unicode NFC), C4-style line filtering,
+and median/MAD robust outlier flags — the cleaning passes that run before
+dedup in a web-corpus pipeline, plus the robust-statistics variant of the
+reference's quantile thresholding (end_to_end_prediction.py:447).
+
+Same corpus-injection pattern as the dedup/curation batches: the fixture
+text has no markup / combining characters / multi-line structure, so each
+query derives a corpus with deterministic injected snippets that the
+DuckDB oracle re-derives in plain SQL. All patterns are engine-portable
+(Java regex and RE2 agree on every string used here; the control-char
+strip runs BEFORE the whitespace collapse so RE2's ASCII-only ``\s`` and
+Java's ``\x0B``-including ``\s`` can never disagree).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators import normalize, stats
+
+# ---------------------------------------------------------------------------
+# text normalization: markup strip (JVM) + NFC canonicalization (Arrow UDF)
+# ---------------------------------------------------------------------------
+
+
+def _norm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with injected markup, entities, a combining-accent NFC
+    case, a control char, and double spacing — every transform the
+    normalizer handles, keyed off n_chars so the oracle re-derives it."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.col("n_chars")
+    txt = F.col("text")
+    txt = F.when(
+        n % 6 == 0, F.concat(txt, F.lit(" <b>Bold</b> &amp; cafe\u0301"))
+    ).otherwise(txt)
+    txt = F.when(n % 9 == 0, F.concat(txt, F.lit(" x\x07y"))).otherwise(txt)
+    txt = F.when(n % 4 == 0, F.concat(txt, F.lit("  double  spaced."))).otherwise(txt)
+    return d.select("doc_id", "source", txt.alias("text"))
+
+
+def normalize_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source normalization accounting over the injected corpus:
+    docs touched by markup/whitespace stripping, chars removed, docs whose
+    text was not NFC (combining sequences composed), and the final
+    normalized char volume. Map-only until the final hash agg."""
+    corpus = _norm_corpus(spark, sf_dir)
+    normed = normalize.normalize_docs(corpus, "doc_id", "text")
+    joined = normed.join(corpus.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("chars_removed") > 0).cast("long")).alias("docs_markup"),
+        F.sum("chars_removed").cast("long").alias("chars_removed"),
+        F.sum(F.col("nfc_changed").cast("long")).alias("docs_nfc_changed"),
+        F.sum(F.length("normalized")).cast("long").alias("norm_chars"),
+    )
+
+
+_NORM_CORPUS_SQL = """
+norm_corpus AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN n_chars % 6 = 0
+         THEN ' <b>Bold</b> &amp; cafe' || chr(769) ELSE '' END
+    || CASE WHEN n_chars % 9 = 0 THEN ' x' || chr(7) || 'y' ELSE '' END
+    || CASE WHEN n_chars % 4 = 0 THEN '  double  spaced.' ELSE '' END
+    AS text
+  FROM documents
+)
+"""
+
+# replace() chain mirrors normalize.ENTITIES order ('&amp;' last); the
+# strip order tags → entities → control → whitespace → trim is the
+# operator's documented contract
+NORMALIZE_TEXT_SQL = f"""
+WITH {_NORM_CORPUS_SQL},
+n AS (
+  SELECT doc_id, source, text,
+    trim(regexp_replace(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(text, '{normalize.TAG_PATTERN}', '', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+      '{normalize.CONTROL_PATTERN}', '', 'g'), '\\s+', ' ', 'g')) AS stripped
+  FROM norm_corpus
+),
+m AS (
+  SELECT doc_id, source, text, stripped, nfc_normalize(stripped) AS normalized
+  FROM n
+)
+SELECT source, count(*)::bigint AS n_docs,
+  sum(CASE WHEN length(text) - length(stripped) > 0 THEN 1 ELSE 0 END)::bigint AS docs_markup,
+  sum(length(text) - length(stripped))::bigint AS chars_removed,
+  sum(CASE WHEN normalized <> stripped THEN 1 ELSE 0 END)::bigint AS docs_nfc_changed,
+  sum(length(normalized))::bigint AS norm_chars
+FROM m GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering
+# ---------------------------------------------------------------------------
+
+
+def _c4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with multi-line structure: two always-good lines, a third
+    good line for every 5th doc, a too-short line for every 2nd, a
+    ban-phrase line for every 17th, a code-brace line for every 19th."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.col("n_chars")
+    txt = F.concat(
+        F.col("text"),
+        F.lit("\nA good line with sufficient words here."),
+        F.lit("\nAnother solid line with many words inside."),
+    )
+    txt = F.when(
+        n % 5 == 0,
+        F.concat(txt, F.lit("\nA third good sentence with plenty of words too.")),
+    ).otherwise(txt)
+    txt = F.when(n % 2 == 0, F.concat(txt, F.lit("\nshort line"))).otherwise(txt)
+    txt = F.when(
+        n % 17 == 0, F.concat(txt, F.lit("\nincludes lorem ipsum dolor sit amet."))
+    ).otherwise(txt)
+    txt = F.when(
+        n % 19 == 0, F.concat(txt, F.lit("\nvar f = function() { return 1; }"))
+    ).otherwise(txt)
+    return d.select("doc_id", "source", txt.alias("text"))
+
+
+def c4_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, verdict-reason) accounting of C4 line filtering over
+    the injected corpus: docs, total lines, lines surviving the per-line
+    rule. One map-only pass (split + higher-order filter) + hash agg."""
+    corpus = _c4_corpus(spark, sf_dir)
+    filtered = normalize.c4_line_filter(corpus, "doc_id", "text")
+    joined = filtered.join(corpus.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source", "reason").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("total_lines"),
+        F.sum("n_kept_lines").cast("long").alias("kept_lines"),
+    )
+
+
+C4_FILTER_SQL = r"""
+WITH c4_corpus AS (
+  SELECT doc_id, source,
+    text
+    || chr(10) || 'A good line with sufficient words here.'
+    || chr(10) || 'Another solid line with many words inside.'
+    || CASE WHEN n_chars % 5 = 0
+         THEN chr(10) || 'A third good sentence with plenty of words too.' ELSE '' END
+    || CASE WHEN n_chars % 2 = 0 THEN chr(10) || 'short line' ELSE '' END
+    || CASE WHEN n_chars % 17 = 0
+         THEN chr(10) || 'includes lorem ipsum dolor sit amet.' ELSE '' END
+    || CASE WHEN n_chars % 19 = 0
+         THEN chr(10) || 'var f = function() { return 1; }' ELSE '' END
+    AS text
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source,
+    len(string_split(text, chr(10))) AS n_lines,
+    len(list_filter(string_split(text, chr(10)), x ->
+      length(trim(x)) > 0
+      AND (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+           OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+      AND len(string_split_regex(trim(x), '\s+')) >= 5)) AS n_kept,
+    (contains(lower(text), 'lorem ipsum') OR contains(lower(text), 'javascript')) AS ban,
+    contains(text, '{') AS brace
+  FROM c4_corpus
+),
+v AS (
+  SELECT source, n_lines, n_kept,
+    CASE WHEN ban THEN 'ban_phrase' WHEN brace THEN 'brace'
+         WHEN n_kept < 3 THEN 'too_few_lines' ELSE 'kept' END AS reason
+  FROM per_doc
+)
+SELECT source, reason, count(*)::bigint AS n_docs,
+  sum(n_lines)::bigint AS total_lines,
+  sum(n_kept)::bigint AS kept_lines
+FROM v GROUP BY source, reason
+"""
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) outlier flags over hourly event counts
+# ---------------------------------------------------------------------------
+
+
+def mad_outlier_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event volumes flagged by robust z-score (|x−median|/MAD >
+    3.5) — the heavy-tail-safe variant of the reference's quantile
+    threshold. The hourly agg reduces the corpus first; median/MAD are
+    scalar-agg crossJoins over that small frame (operators/stats.py)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    return stats.mad_outliers(hours, "n_events", z_threshold=3.5)
+
+
+MAD_OUTLIER_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*)::bigint AS n_events
+  FROM events GROUP BY 1
+),
+m AS (SELECT quantile_cont(n_events, 0.5) AS med FROM h),
+d AS (SELECT h.*, abs(n_events - med) AS dev FROM h, m),
+md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+SELECT hour, n_events,
+  CASE WHEN mad > 0 THEN round(dev / mad, 6) END AS rz,
+  CASE WHEN mad > 0 THEN dev / mad > 3.5 ELSE n_events <> med END AS is_outlier
+FROM d, m, md
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "normalize_text_stats": normalize_text_stats,
+    "c4_quality_filter_stats": c4_quality_filter_stats,
+    "mad_outlier_hours": mad_outlier_hours,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "normalize_text_stats": NORMALIZE_TEXT_SQL,
+    "c4_quality_filter_stats": C4_FILTER_SQL,
+    "mad_outlier_hours": MAD_OUTLIER_SQL,
+}
