@@ -67,18 +67,27 @@ def nfc_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 
 def normalize_docs(
-    df: DataFrame, id_col: str, text_col: str, *, nfc: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    nfc: bool = True,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, normalized, chars_removed, nfc_changed): the standard cleaning
-    pass — markup strip (JVM) then NFC canonicalization (Arrow UDF).
+    """(id, *keep_cols, normalized, chars_removed, nfc_changed): the
+    standard cleaning pass — markup strip (JVM) then NFC canonicalization
+    (Arrow UDF).
 
     ``chars_removed`` counts the markup/whitespace bytes dropped;
     ``nfc_changed`` flags docs whose text was not already NFC (combining
-    sequences composed). NFC never changes length-0 semantics, so the two
-    metrics factor cleanly."""
+    sequences composed). ``keep_cols`` ride through the map-only plan —
+    never join the output back to the corpus to recover a column (that is
+    a corpus-wide shuffle at real scale)."""
+    keep = keep_cols or []
     stripped = strip_markup(F.col(text_col))
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.col(text_col).alias("_raw"),
         stripped.alias("_stripped"),
     )
@@ -88,6 +97,7 @@ def normalize_docs(
         out = out.withColumn("normalized", F.col("_stripped"))
     return out.select(
         id_col,
+        *keep,
         "normalized",
         (F.length("_raw") - F.length("_stripped")).cast("long").alias("chars_removed"),
         (F.col("normalized") != F.col("_stripped")).alias("nfc_changed"),
@@ -114,8 +124,11 @@ def _line_ok(line: Column) -> Column:
     return (F.length(F.trim(line)) > 0) & ends_ok & (words >= MIN_WORDS_PER_LINE)
 
 
-def c4_line_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_lines, n_kept_lines, keep, reason): line-level C4 filtering.
+def c4_line_filter(
+    df: DataFrame, id_col: str, text_col: str, *, keep_cols: list[str] | None = None
+) -> DataFrame:
+    """(id, *keep_cols, n_lines, n_kept_lines, keep, reason): line-level
+    C4 filtering.
 
     Per-line rule: non-empty, ends in terminal punctuation, ≥5 words.
     Doc verdicts (first matching reason wins, fixed order):
@@ -138,6 +151,7 @@ def c4_line_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept_lines"),
         (reason == "kept").alias("keep"),

@@ -49,9 +49,8 @@ def normalize_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text was not NFC (combining sequences composed), and the final
     normalized char volume. Map-only until the final hash agg."""
     corpus = _norm_corpus(spark, sf_dir)
-    normed = normalize.normalize_docs(corpus, "doc_id", "text")
-    joined = normed.join(corpus.select("doc_id", "source"), "doc_id")
-    return joined.groupBy("source").agg(
+    normed = normalize.normalize_docs(corpus, "doc_id", "text", keep_cols=["source"])
+    return normed.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum((F.col("chars_removed") > 0).cast("long")).alias("docs_markup"),
         F.sum("chars_removed").cast("long").alias("chars_removed"),
@@ -134,9 +133,8 @@ def c4_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the injected corpus: docs, total lines, lines surviving the per-line
     rule. One map-only pass (split + higher-order filter) + hash agg."""
     corpus = _c4_corpus(spark, sf_dir)
-    filtered = normalize.c4_line_filter(corpus, "doc_id", "text")
-    joined = filtered.join(corpus.select("doc_id", "source"), "doc_id")
-    return joined.groupBy("source", "reason").agg(
+    filtered = normalize.c4_line_filter(corpus, "doc_id", "text", keep_cols=["source"])
+    return filtered.groupBy("source", "reason").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_lines").cast("long").alias("total_lines"),
         F.sum("n_kept_lines").cast("long").alias("kept_lines"),
