@@ -70,12 +70,35 @@ def current_version(table_dir: str) -> int:
         return 0
 
 
-def load_manifest(table_dir: str) -> dict:
-    v = current_version(table_dir)
-    if v == 0:
+def load_manifest(table_dir: str, version: int | None = None) -> dict:
+    """Manifest of the current snapshot, or of an explicit committed
+    ``version`` (time travel — the Iceberg ``VERSION AS OF`` analog).
+    Requesting a version newer than the hint fails: files may exist on
+    disk for an in-flight write, but only the hint swap commits them."""
+    head = current_version(table_dir)
+    if head == 0:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    v = head if version is None else int(version)
+    if not (1 <= v <= head):
+        raise ValueError(f"snapshot v{v} not committed (table at v{head})")
     with open(os.path.join(table_dir, f"manifest-v{v}.json")) as f:
         return json.load(f)
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """Committed snapshot history, oldest first: (version, n_files, rows)
+    per manifest — the `.snapshots` metadata-table analog."""
+    out = []
+    for v in range(1, current_version(table_dir) + 1):
+        m = load_manifest(table_dir, v)
+        out.append(
+            {
+                "version": v,
+                "n_files": len(m["files"]),
+                "rows": sum(f["rows"] for f in m["files"]),
+            }
+        )
+    return out
 
 
 def commit_snapshot(table_dir: str, files: list[dict], schema_json: str) -> int:
@@ -111,7 +134,8 @@ class DocStoreReader(DataSourceReader):
         # optional side-channel recording which files were actually opened
         # (the pruning-evidence hook for tests; no-op unless set)
         self.journal_dir = options.get("journal") or None
-        self.manifest = load_manifest(self.table_dir)
+        v = options.get("version")
+        self.manifest = load_manifest(self.table_dir, int(v) if v is not None else None)
         self._bounds: tuple[float | None, float | None] = (None, None)
         self._in_set: set | None = None
 
@@ -256,7 +280,8 @@ class DocStoreDataSource(DataSource):
         return "docstore"
 
     def schema(self) -> StructType:
-        manifest = load_manifest(self.options["path"])
+        v = self.options.get("version")
+        manifest = load_manifest(self.options["path"], int(v) if v is not None else None)
         return StructType.fromJson(json.loads(manifest["schema"]))
 
     def reader(self, schema: StructType) -> DocStoreReader:

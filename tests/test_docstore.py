@@ -142,3 +142,35 @@ def test_suite_through_docstore_matches_parquet(spark, table, tmp_path):
     via_store = run_suite(read_table(spark, path, fmt="docstore"), media, baseline)
     in_mem = run_suite(docs, media, baseline)
     assert key(via_store) == key(in_mem)
+
+
+def test_time_travel_reads_committed_snapshot(spark, tmp_path):
+    """option('version', N) reads snapshot N exactly as committed — the
+    VERSION AS OF analog: the append is invisible at v1, the snapshot
+    history reports both versions, and uncommitted versions fail loudly."""
+    path = str(tmp_path / "tt_table")
+    docs = generate_documents(spark, CFG)
+    first = docs.filter(F.col("partition_id") < 4)
+    second = docs.filter(F.col("partition_id") >= 4)
+    write_table(first, path, fmt="docstore")
+    write_table(second, path, mode="append", fmt="docstore")
+
+    head = read_table(spark, path, fmt="docstore")
+    v1 = (
+        spark.read.format("docstore")
+        .option("path", path)
+        .option("version", "1")
+        .load()
+    )
+    assert head.count() == docs.count()
+    assert _docs_key(v1) == _docs_key(first)
+
+    hist = docstore.snapshots(path)
+    assert [s["version"] for s in hist] == [1, 2]
+    assert hist[0]["rows"] == first.count()
+    assert hist[1]["rows"] == docs.count()
+
+    with pytest.raises(Exception, match="not committed"):
+        spark.read.format("docstore").option("path", path).option(
+            "version", "9"
+        ).load().count()
