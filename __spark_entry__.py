@@ -59,9 +59,9 @@ _PRIORITY = [
     "normalize_text_stats",    # new: markup strip + Unicode NFC (Arrow UDF)
     "c4_quality_filter_stats", # new: C4-style line filtering
     "mad_outlier_hours",       # new: median/MAD robust outlier flags
+    "dedup_incremental",       # new: ingest-batch dedup vs corpus (bloom short-circuit)
     "tdigest_bounds_events",
     "pandas_udf_token_stats",
-    "fingerprint_docs",
     "multimodal_decode_stats",
     "above_brand_avg_lineitems",
     "stats_documents",
@@ -100,6 +100,7 @@ _TAIL = [
     "q5_local_supplier_volume",   # multi-way equi-join family: q3 (3-way join+topk) + q13 (outer) stay in-window
     "eval_metrics_embeddings",    # A8 derives from A9 confusion counts (confusion_matrix_embeddings) + A10 roc_auc in-window
     "token_count_bpe",            # subword-count family: pandas_udf_token_stats hash-checks the same accounting via the Arrow path
+    "fingerprint_docs",           # min-shingle-hash family: dedup_minhash_lsh hash-checks the shingle→min-hash core in-window
     "running_total_user",      # beyond-§2 frame specs; window family checked by topk (rank) + ntile
     "pivot_event_counts",      # beyond-§2 pivot; event-type agg family checked by topk_users_by_type
     "distinct_agg_customers",  # A12 distinct family: stats_documents approx/exact distincts

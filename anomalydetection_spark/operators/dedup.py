@@ -374,3 +374,61 @@ def simhash_near_pairs(
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    normalize: bool = True,
+    use_bloom: bool = True,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Classify an ingest batch against an existing corpus by exact
+    (normalized) text identity: (id, text_hash, status) with status
+    'dup_vs_corpus' (hash already in the corpus), 'dup_in_batch' (repeat
+    within the batch, first id is the keeper), or 'unique'.
+
+    Scale shape (the continuous-ingestion dedup a growing corpus runs on
+    every batch): the corpus contributes only DISTINCT text hashes and is
+    NEVER shuffled against the batch — a Bloom filter over corpus hashes
+    (bounded blob, operators/bloom.py) prefilters batch hashes JVM-side,
+    and only the bloom-positive hashes (≤ batch-distinct, typically ≪)
+    are verified with a semi-join whose left side streams the corpus
+    once. False positives die in the verify; false negatives are
+    impossible, so output is hash-identical to the plain-join twin
+    (``use_bloom=False``)."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.trim(t))
+    batch = new_docs.select(F.col(id_col), F.md5(t).alias("text_hash"))
+    ct = F.col(text_col)
+    if normalize:
+        ct = F.lower(F.trim(ct))
+    corpus_hashes = corpus.select(F.md5(ct).alias("text_hash")).distinct()
+
+    batch_stats = batch.groupBy("text_hash").agg(
+        F.min(id_col).alias("_keep_id"), F.count("*").alias("_n")
+    )
+    if use_bloom:
+        from anomalydetection_spark.operators import bloom
+
+        blob = bloom.blob_from_df(corpus_hashes, "text_hash", m_bits=m_bits)
+        candidates = batch_stats.select("text_hash").filter(
+            bloom.might_contain(F.col("text_hash"), blob)
+        )
+    else:
+        candidates = batch_stats.select("text_hash")
+    # verify: corpus streams once against the (batch-bounded) candidate set
+    verified = corpus_hashes.join(candidates, "text_hash", "left_semi").withColumn(
+        "_in_corpus", F.lit(True)
+    )
+    enriched = batch.join(verified, "text_hash", "left").join(batch_stats, "text_hash")
+    status = (
+        F.when(F.col("_in_corpus"), F.lit("dup_vs_corpus"))
+        .when((F.col("_n") > 1) & (F.col(id_col) != F.col("_keep_id")), F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+    )
+    return enriched.select(id_col, "text_hash", status.alias("status"))

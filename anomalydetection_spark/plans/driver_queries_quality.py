@@ -224,3 +224,73 @@ ORACLE_SQL: dict[str, str] = {
     "c4_quality_filter_stats": C4_FILTER_SQL,
     "mad_outlier_hours": MAD_OUTLIER_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# incremental ingest dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def _inc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with injected cross-set and within-batch exact duplicates:
+    every 5th doc (by n_chars, both sides of the doc_id%3 split) collapses
+    to one of 9 shared passages; every batch doc with n_chars%7==3
+    collapses to one of 11 batch-local snippets. CASE order (shared wins)
+    is part of the contract and mirrored in the oracle."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.col("n_chars")
+    txt = (
+        F.when(n % 5 == 0, F.concat(F.lit("shared boilerplate passage "), (n % 9).cast("string")))
+        .when(
+            (F.col("doc_id") % 3 == 0) & (n % 7 == 3),
+            F.concat(F.lit("batch repeated snippet "), (n % 11).cast("string")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", "source", txt.alias("text"))
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, status) counts of classifying the doc_id%3==0 batch
+    against the doc_id%3!=0 corpus by exact normalized-text identity
+    (dedup.incremental_exact_dedup, bloom short-circuit on): the
+    continuous-ingestion dedup pass, corpus hashes never shuffled."""
+    inc = _inc_corpus(spark, sf_dir)
+    corpus = inc.filter(F.col("doc_id") % 3 != 0)
+    batch = inc.filter(F.col("doc_id") % 3 == 0)
+    from anomalydetection_spark.operators import dedup
+
+    # smaller filter at gate scale: the verify join removes false
+    # positives, so m_bits trades plan-literal size against FP rate only
+    labeled = dedup.incremental_exact_dedup(batch, corpus, "doc_id", "text", m_bits=1 << 17)
+    joined = labeled.join(batch.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source", "status").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH inc AS (
+  SELECT doc_id, source,
+    CASE WHEN n_chars % 5 = 0 THEN 'shared boilerplate passage ' || (n_chars % 9)
+         WHEN doc_id % 3 = 0 AND n_chars % 7 = 3
+           THEN 'batch repeated snippet ' || (n_chars % 11)
+         ELSE text END AS text
+  FROM documents
+),
+corpus AS (
+  SELECT md5(lower(trim(text))) AS h FROM inc WHERE doc_id % 3 <> 0 GROUP BY 1
+),
+batch AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS h FROM inc WHERE doc_id % 3 = 0
+),
+bs AS (SELECT h, min(doc_id) AS keep_id, count(*) AS n FROM batch GROUP BY h),
+j AS (
+  SELECT b.source,
+    CASE WHEN c.h IS NOT NULL THEN 'dup_vs_corpus'
+         WHEN bs.n > 1 AND b.doc_id <> bs.keep_id THEN 'dup_in_batch'
+         ELSE 'unique' END AS status
+  FROM batch b LEFT JOIN corpus c ON b.h = c.h JOIN bs ON b.h = bs.h
+)
+SELECT source, status, count(*)::bigint AS n_docs FROM j GROUP BY source, status
+"""
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLE_SQL["dedup_incremental"] = DEDUP_INCREMENTAL_SQL

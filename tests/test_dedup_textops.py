@@ -240,3 +240,35 @@ def test_domain_mixture_weights_rebalance(spark):
                                    target_shares={"a": 0.25, "b": 0.75}).collect()}
     assert got2["a"]["target_share"] == 0.25
     assert got2["b"]["sampling_weight"] == pytest.approx(0.75 / 0.2, abs=1e-6)
+
+
+def test_incremental_exact_dedup_statuses_and_bloom_parity(spark):
+    corpus = spark.createDataFrame(
+        [(1, "old text one"), (2, "Old Text One  "), (3, "old text two")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old text one"),    # dup vs corpus (normalized)
+            (11, "fresh text a"),    # unique
+            (12, "fresh text b"),    # first of in-batch pair → unique
+            (13, "FRESH TEXT B"),    # in-batch dup of 12 (normalized)
+            (14, "old text two"),    # dup vs corpus AND would pair in batch? no — corpus wins
+        ],
+        "doc_id long, text string",
+    )
+    from anomalydetection_spark.operators import dedup
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup.incremental_exact_dedup(batch, corpus, "doc_id", "text").collect()
+    }
+    assert got == {
+        10: "dup_vs_corpus",
+        11: "unique",
+        12: "unique",
+        13: "dup_in_batch",
+        14: "dup_vs_corpus",
+    }
+    plain = dedup.incremental_exact_dedup(batch, corpus, "doc_id", "text", use_bloom=False)
+    assert {(r["doc_id"], r["status"]) for r in plain.collect()} == set(got.items())
