@@ -297,3 +297,53 @@ def register(spark) -> None:
     refuses to plan a reader that implements pushFilters."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DocStoreDataSource)
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: the expireSnapshots / rewriteDataFiles analogs
+# ---------------------------------------------------------------------------
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots and delete data
+    files no surviving snapshot references (Iceberg expireSnapshots +
+    orphan cleanup). The current snapshot is never expired; time travel
+    to expired versions fails loudly afterwards.
+
+    Deletion order is crash-safe: manifests of expired versions are
+    removed FIRST (making those versions unreadable), then data files
+    referenced only by them — a crash mid-way leaves extra unreferenced
+    files (invisible to manifest-driven scans), never a readable snapshot
+    with missing data."""
+    head = current_version(table_dir)
+    keep = set(range(max(1, head - keep_last + 1), head + 1))
+    expired = [v for v in range(1, head + 1) if v not in keep]
+    live_files: set[str] = set()
+    for v in keep:
+        live_files.update(f["path"] for f in load_manifest(table_dir, v)["files"])
+    dead_files: set[str] = set()
+    for v in expired:
+        dead_files.update(f["path"] for f in load_manifest(table_dir, v)["files"])
+    dead_files -= live_files
+    for v in expired:
+        os.remove(os.path.join(table_dir, f"manifest-v{v}.json"))
+    removed = 0
+    for path in dead_files:
+        try:
+            os.remove(os.path.join(table_dir, path))
+            removed += 1
+        except OSError:
+            pass
+    return {"expired_versions": expired, "removed_files": removed}
+
+
+def compact_snapshot(spark, table_dir: str, n_files: int = 1) -> int:
+    """Rewrite the current snapshot's data into ``n_files`` files and
+    commit the result as a NEW snapshot (Iceberg rewriteDataFiles): same
+    rows, fewer files; prior snapshots stay time-travel-readable until
+    expire_snapshots reclaims them. Returns the new version."""
+    df = (
+        spark.read.format("docstore").option("path", table_dir).load()
+        .repartition(int(n_files))
+    )
+    df.write.format("docstore").option("path", table_dir).mode("overwrite").save()
+    return current_version(table_dir)

@@ -174,3 +174,33 @@ def test_time_travel_reads_committed_snapshot(spark, tmp_path):
         spark.read.format("docstore").option("path", path).option(
             "version", "9"
         ).load().count()
+
+
+def test_compact_and_expire_snapshots(spark, tmp_path):
+    """compact_snapshot rewrites the current snapshot into fewer files as
+    a NEW version (rows identical, old version still time-travel-readable);
+    expire_snapshots then reclaims expired manifests + data files no
+    surviving snapshot references, and expired versions fail loudly."""
+    path = str(tmp_path / "maint_table")
+    docs = generate_documents(spark, CFG).repartitionByRange(8, "partition_id")
+    write_table(docs, path, fmt="docstore")
+    v1_files = len(docstore.load_manifest(path)["files"])
+    assert v1_files > 1
+    key_before = _docs_key(read_table(spark, path, fmt="docstore"))
+
+    v2 = docstore.compact_snapshot(spark, path, n_files=1)
+    assert v2 == 2
+    assert len(docstore.load_manifest(path)["files"]) == 1
+    assert _docs_key(read_table(spark, path, fmt="docstore")) == key_before
+    # pre-compaction snapshot still readable (until expired)
+    old = spark.read.format("docstore").option("path", path).option("version", "1").load()
+    assert old.count() == len(key_before)
+
+    report = docstore.expire_snapshots(path, keep_last=1)
+    assert report["expired_versions"] == [1]
+    assert report["removed_files"] == v1_files  # v1-only data reclaimed
+    assert _docs_key(read_table(spark, path, fmt="docstore")) == key_before
+    with pytest.raises(Exception):
+        spark.read.format("docstore").option("path", path).option(
+            "version", "1"
+        ).load().count()
