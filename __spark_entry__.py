@@ -22,6 +22,7 @@ from anomalydetection_spark.plans import (
     driver_queries_curation,
     driver_queries_dedup,
     driver_queries_quality,
+    driver_queries_training,
 )
 from anomalydetection_spark.plans.flagship import (
     SUITE_VERDICTS_SQL,
@@ -60,6 +61,10 @@ _PRIORITY = [
     "c4_quality_filter_stats", # new: C4-style line filtering
     "mad_outlier_hours",       # new: median/MAD robust outlier flags
     "dedup_incremental",       # new: ingest-batch dedup vs corpus (bloom short-circuit)
+    "dup_ngram_coverage",      # new: substring-level duplicate-window coverage
+    "semdedup_clusters",       # new: cluster-blocked semantic dedup (SemDeDup)
+    "quality_classifier_stats",  # new: hashed linear quality classifier filter
+    "q18_large_orders",        # new: group-filter-then-join-back (TPC-H Q18 shape)
     "tdigest_bounds_events",
     "pandas_udf_token_stats",
     "multimodal_decode_stats",
@@ -74,18 +79,14 @@ _PRIORITY = [
     "sessionize_events",
     "stratified_sample_langs",
     "roc_auc_embeddings",
-    "confusion_matrix_embeddings",
     "topk_users_by_type",
     "grouping_sets_orders",
-    "group_count_having",
     "set_ops_users",
     "asof_last_purchase",
     "range_join_windows",
     "zorder_event_buckets",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q13_order_count_distribution",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_simhash",
@@ -97,8 +98,12 @@ _PRIORITY = [
     "quality_by_source",
 ]
 _TAIL = [
-    "q5_local_supplier_volume",   # multi-way equi-join family: q3 (3-way join+topk) + q13 (outer) stay in-window
-    "eval_metrics_embeddings",    # A8 derives from A9 confusion counts (confusion_matrix_embeddings) + A10 roc_auc in-window
+    "group_count_having",         # A2/A3 group-count+HAVING family: uniqueness_partkey (same VERDICT row) + q18_large_orders (HAVING>250) in-window
+    "confusion_matrix_embeddings",  # A9 2-D group-count family: grouping_sets_orders (cube margins) in-window; A8 derivation covered with eval_metrics below
+    "q3_shipping_priority",       # 3-way-join+topk family: q18_large_orders (join-back+topk) + q13 (outer) in-window
+    "dedup_exact",                # exact-hash dedup family: dedup_incremental (same md5-identity core + bloom) in-window
+    "q5_local_supplier_volume",   # multi-way equi-join family: q18 (join-back) + q13 (outer) stay in-window
+    "eval_metrics_embeddings",    # A8 derives from A9 confusion counts (confusion_matrix_embeddings, tail) + A10 roc_auc in-window
     "token_count_bpe",            # subword-count family: pandas_udf_token_stats hash-checks the same accounting via the Arrow path
     "fingerprint_docs",           # min-shingle-hash family: dedup_minhash_lsh hash-checks the shingle→min-hash core in-window
     "running_total_user",      # beyond-§2 frame specs; window family checked by topk (rank) + ntile
@@ -123,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(driver_queries_dedup.QUERIES)
     q.update(driver_queries_curation.QUERIES)
     q.update(driver_queries_quality.QUERIES)
+    q.update(driver_queries_training.QUERIES)
     # deterministic columns of the flagship suite — full DuckDB oracle twin
     q["suite_verdicts"] = suite_verdicts
     missing = set(q) - set(_PRIORITY) - set(_TAIL)
@@ -135,5 +141,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(driver_queries_dedup.ORACLE_SQL)
     sql.update(driver_queries_curation.ORACLE_SQL)
     sql.update(driver_queries_quality.ORACLE_SQL)
+    sql.update(driver_queries_training.ORACLE_SQL)
     sql["suite_verdicts"] = SUITE_VERDICTS_SQL
     return {name: sql[name] for name in _PRIORITY + _TAIL if name in sql}

@@ -432,3 +432,80 @@ def incremental_exact_dedup(
         .otherwise(F.lit("unique"))
     )
     return enriched.select(id_col, "text_hash", status.alias("status"))
+
+
+def window_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Every k-token window per doc, hashed: (id, wpos, whash).
+
+    Unlike ``shingle_rows`` this keeps per-position rows (coverage
+    accounting needs positional attribution, and a window repeated inside
+    one doc counts once per occurrence) and hashes the window text to a
+    60-bit int map-side, so nothing wider than (id, int, bigint) ever
+    reaches a shuffle.
+    """
+    toked = tokenize(df, id_col, text_col)
+    parts = [F.element_at(F.col("tokens"), F.col("wpos") + j) for j in range(k)]
+    idx = F.when(
+        F.size("tokens") >= k, F.sequence(F.lit(1), F.size("tokens") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return toked.select(id_col, F.explode(idx).alias("wpos"), "tokens").select(
+        id_col, "wpos", portable_hash60(F.concat_ws(" ", *parts)).alias("whash")
+    )
+
+
+def duplicate_window_coverage(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Substring-level duplication accounting — the window-granularity
+    relaxation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    k-token window is *duplicated* when it occurs in ≥ 2 distinct docs;
+    per doc we report total windows, duplicated windows, and the
+    duplicated fraction (the signal substring dedup trims on).
+
+    Returns one row per input doc: (id, n_windows, n_dup_windows,
+    dup_frac) — docs shorter than k tokens get n_windows = 0 and a NULL
+    fraction, never a silent drop.
+
+    Scale shape: window text dies map-side (60-bit hashes only);
+    ``n_windows`` is derived from the token count (map-only, no agg);
+    the cross-doc window set is distinct(id, whash) → hash-agg on whash
+    (both partial-aggregated map-side, so a boilerplate window appearing
+    a million times in one doc contributes one row to the count agg);
+    attribution back to docs is a semi-join of the narrow window stream
+    against that set, shuffling only (whash) keys. The text column is
+    scanned twice (set-build + attribution) — against columnar storage
+    with leaf pruning that is cheaper at 100 TB than persisting the
+    exploded window stream.
+    """
+    toked = tokenize(df, id_col, text_col)
+    base = toked.select(
+        id_col,
+        F.greatest(F.size("tokens") - (k - 1), F.lit(0)).cast("long").alias("n_windows"),
+    )
+    w = window_hashes(df, id_col, text_col, k)
+    dup_set = (
+        w.select(id_col, "whash")
+        .distinct()
+        .groupBy("whash")
+        .agg(F.count("*").alias("_n_docs"))
+        .filter(F.col("_n_docs") >= 2)
+        .select("whash")
+    )
+    dup_per_doc = (
+        w.join(dup_set, "whash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_dup_windows"))
+    )
+    out = base.join(dup_per_doc, id_col, "left").select(
+        id_col,
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias("n_dup_windows"),
+    )
+    return out.withColumn(
+        "dup_frac",
+        F.when(
+            F.col("n_windows") > 0,
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        ),
+    )

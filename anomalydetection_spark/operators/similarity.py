@@ -612,3 +612,54 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space, then inside each cluster mark a vector as a *semantic
+    duplicate* when its cosine to some lower-id cluster-mate reaches
+    ``threshold``. The lower id is the deterministic keeper, matching the
+    exact-dedup keep-min convention.
+
+    Returns (id, cell, is_dup) — one row per corpus vector.
+
+    Scale shape: clustering bounds the candidate pairs (never all-pairs
+    — the within-cell self-join shuffles on ``cell`` only and each cell
+    is |cell|² local work); assignment is one broadcast-centroid pass
+    (``ivf_assign``). At 10^12 vectors the cell count is chosen so cells
+    fit an executor (k ≈ n / target_cell); a skewed hot cell is split by
+    AQE or by re-clustering that cell with a finer codebook. Cosine is
+    rounded to 6 decimals before the threshold compare (cross-engine
+    determinism contract shared with the dedup/ANN operators).
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(id_col, "cell")
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_vec")
+    ).join(assigned, id_col)
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), "cell"
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), "cell"
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    dup_ids = (
+        pairs.select("id_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        vecs.select(id_col, "cell")
+        .join(dup_ids, id_col, "left")
+        .select(id_col, "cell", F.coalesce("_dup", F.lit(False)).alias("is_dup"))
+    )

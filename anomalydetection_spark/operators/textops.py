@@ -433,3 +433,73 @@ def temperature_sample(
         F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
         F.round(F.first("keep_prob"), 6).alias("keep_prob"),
     )
+
+
+# hashed linear quality classifier -------------------------------------------
+
+CLASSIFIER_BUCKETS = 1 << 20
+# fixed-point weight scale: weights live in {-501_001 … +501_001} / 1e6-ish,
+# integer-summed so cross-engine float summation order can never matter
+CLASSIFIER_MOD = 1_000_003
+CLASSIFIER_LCG_A = 1_103_515_245
+CLASSIFIER_LCG_C = 12_345
+
+
+def _bucket(token: Column) -> Column:
+    """Portable 20-bit feature bucket: md5-derived 60-bit hash mod B
+    (same engine-portable hash family as dedup.portable_hash60)."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long") % CLASSIFIER_BUCKETS
+
+
+def _weight_int(bucket: Column) -> Column:
+    """Deterministic integer weight in [-(M-1)/2, (M-1)/2] for a feature
+    bucket — an LCG over the bucket id standing in for trained fastText /
+    logistic-regression weights. The loader-swap contract (pipeline.embed's
+    pattern) applies: a real model replaces this formula with a broadcast
+    weight array, nothing else changes."""
+    return (bucket * CLASSIFIER_LCG_A + CLASSIFIER_LCG_C) % CLASSIFIER_MOD - (
+        CLASSIFIER_MOD - 1
+    ) // 2
+
+
+def classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """FastText-style hashed-bag-of-words linear scorer (the quality- /
+    toxicity-classifier filtering pass of web-corpus pipelines, e.g.
+    CCNet / FineWeb-Edu): tokens → hash buckets → weight lookup → mean
+    weight → sigmoid score → keep verdict at 0.5.
+
+    Returns (id, n_tokens, sum_weight, score, keep) where ``sum_weight``
+    is the EXACT integer sum of fixed-point weights (order-independent —
+    the cross-engine determinism anchor), ``score`` =
+    round(sigmoid(sum_weight / (M · n_tokens)), 6), and ``keep`` ⇔
+    sum_weight > 0 (sigmoid > ½ exactly, no float compare).
+
+    Scale shape: entirely map-side JVM expressions (split → transform →
+    aggregate over the token array); no shuffle, no Python. At 10^12 docs
+    this pipelines into whatever agg consumes it.
+    """
+    extra = list(keep_cols or [])
+    toks = _tokens(text_col)
+    weights = F.transform(toks, lambda t: _weight_int(_bucket(t)))
+    sum_w = F.aggregate(weights, F.lit(0).cast("long"), lambda acc, w: acc + w)
+    n_tok = F.size(toks).cast("long")
+    scored = df.select(
+        F.col(id_col),
+        *extra,
+        n_tok.alias("n_tokens"),
+        sum_w.alias("sum_weight"),
+    )
+    s = F.col("sum_weight") / (F.lit(float(CLASSIFIER_MOD)) * F.col("n_tokens"))
+    return scored.select(
+        id_col,
+        *extra,
+        "n_tokens",
+        "sum_weight",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 6).alias("score"),
+        (F.col("sum_weight") > 0).alias("keep"),
+    )

@@ -1,0 +1,263 @@
+r"""Driver-contract queries, batch 5: training-corpus scale operators.
+
+Substring-level duplicate-window coverage (the window-granularity
+relaxation of suffix-array substring dedup), SemDeDup semantic
+deduplication over the embedding table, a fastText-style hashed linear
+quality classifier, and the TPC-H Q18 group-filter-then-join-back shape.
+
+Same determinism contract as the other batches: every float that crosses
+the oracle boundary is either derived from exact integer sums or rounded
+to 6 decimals after an identical sequential computation; md5-based
+60-bit hashes are the shared portable hash family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators import dedup, similarity, textops
+
+# ---------------------------------------------------------------------------
+# duplicate k-token window coverage (substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+_DUPWIN_TAIL = " shared boilerplate tail alpha beta gamma delta epsilon zeta"
+
+
+def _dupwin_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with a 9-token boilerplate tail appended to every 4th doc
+    (by n_chars) — the 5 windows fully inside the tail are duplicated
+    across ~25% of the corpus; bridge windows stay doc-unique."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    txt = F.when(
+        F.col("n_chars") % 4 == 0, F.concat(F.col("text"), F.lit(_DUPWIN_TAIL))
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", "source", txt.alias("text"))
+
+
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-window accounting over the injected corpus:
+    docs, docs containing any cross-doc duplicated 5-token window, total
+    and duplicated window counts, and the corpus-level duplicated
+    fraction (exact long division, rounded to 6). The signal substring
+    dedup (Lee et al. 2022) trims on, at window granularity."""
+    corpus = _dupwin_corpus(spark, sf_dir)
+    cov = dedup.duplicate_window_coverage(corpus, "doc_id", "text", k=5)
+    joined = cov.join(corpus.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_dup_windows") > 0).cast("long")).alias("docs_with_dup"),
+            F.sum("n_dup_windows").alias("dup_windows"),
+            F.sum("n_windows").alias("total_windows"),
+        )
+        .withColumn(
+            "dup_ratio", F.round(F.col("dup_windows") / F.col("total_windows"), 6)
+        )
+    )
+
+
+DUP_NGRAM_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, source,
+    text || CASE WHEN n_chars % 4 = 0 THEN '{_DUPWIN_TAIL}' ELSE '' END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM corpus),
+w AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 5 THEN generate_series(1, len(t) - 4)
+           ELSE [] END) AS i, t
+  FROM toks
+),
+wh AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::bigint AS whash
+  FROM w
+),
+dupset AS (
+  SELECT whash FROM (SELECT DISTINCT doc_id, whash FROM wh)
+  GROUP BY whash HAVING count(*) >= 2
+),
+perdoc AS (
+  SELECT doc_id, count(*)::bigint AS n_dup
+  FROM wh WHERE whash IN (SELECT whash FROM dupset) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, source, greatest(len(t) - 4, 0)::bigint AS n_windows FROM toks
+)
+SELECT source, count(*)::bigint AS n_docs,
+  sum(CASE WHEN coalesce(n_dup, 0) > 0 THEN 1 ELSE 0 END)::bigint AS docs_with_dup,
+  sum(coalesce(n_dup, 0))::bigint AS dup_windows,
+  sum(n_windows)::bigint AS total_windows,
+  round(sum(coalesce(n_dup, 0)) / sum(n_windows), 6) AS dup_ratio
+FROM base LEFT JOIN perdoc USING (doc_id)
+GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-blocked semantic dedup over embeddings
+# ---------------------------------------------------------------------------
+
+
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup accounting: the embedding corpus (plus exact
+    copies injected for every 7th vector) is coarse-clustered to 8 fixed
+    deterministic centroids, then within-cluster cosine ≥ 0.95 marks
+    semantic duplicates (lower vec_id keeps). Fixed centroids keep the
+    DuckDB twin exact; `similarity.kmeans_fit` trains real centroids
+    (recall measured in tests/test_similarity_recall.py)."""
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    extra = em.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 200_000).alias("vec_id"), "embedding"
+    )
+    corpus = em.unionByName(extra)
+    centroids = em.filter(F.col("vec_id") < 8)
+    marked = similarity.semdedup(
+        corpus, centroids, "vec_id", "embedding", threshold=0.95
+    )
+    return marked.groupBy("cell").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+    )
+
+
+SEMDEDUP_SQL = """
+WITH ecorpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+),
+cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, ct.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> (cast(e.embedding[i] AS double) - cast(ct.cv[i] AS double))
+             * (cast(e.embedding[i] AS double) - cast(ct.cv[i] AS double)))), 6),
+          ct.cid) AS rn
+    FROM ecorpus e CROSS JOIN cents ct)
+  WHERE rn = 1),
+v AS (SELECT e.vec_id, e.embedding, a.cell
+      FROM ecorpus e JOIN assigned a USING (vec_id)),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(
+      list_sum(list_transform(generate_series(1, len(a.embedding)),
+        i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS double) * cast(x AS double))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS double) * cast(x AS double))))),
+      6) >= 0.95
+)
+SELECT cell, count(*)::bigint AS n_vecs,
+  sum(CASE WHEN v.vec_id IN (SELECT vec_id FROM dups) THEN 1 ELSE 0 END)::bigint AS n_dups
+FROM v GROUP BY cell
+"""
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def quality_classifier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source classifier-filter accounting: docs, docs kept by the
+    hashed-bag-of-words linear scorer (sigmoid > ½ ⇔ integer weight sum
+    > 0), and the exact fixed-point weight / token totals. Map-only into
+    one hash agg — no join, no Python."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = textops.classifier_scores(d, "doc_id", "text", keep_cols=["source"])
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("sum_weight").alias("total_weight"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_HALF = (textops.CLASSIFIER_MOD - 1) // 2
+
+QUALITY_CLASSIFIER_SQL = rf"""
+WITH s AS (
+  SELECT source,
+    list_sum(list_transform(string_split_regex(trim(text), '\s+'), t ->
+      ((('0x' || substr(md5(t), 1, 15))::bigint % {textops.CLASSIFIER_BUCKETS})
+        * {textops.CLASSIFIER_LCG_A} + {textops.CLASSIFIER_LCG_C})
+      % {textops.CLASSIFIER_MOD} - {_HALF}
+    ))::bigint AS sum_w,
+    len(string_split_regex(trim(text), '\s+'))::bigint AS n_tok
+  FROM documents
+)
+SELECT source, count(*)::bigint AS n_docs,
+  sum(CASE WHEN sum_w > 0 THEN 1 ELSE 0 END)::bigint AS n_keep,
+  sum(sum_w)::bigint AS total_weight,
+  sum(n_tok)::bigint AS total_tokens
+FROM s GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: group-filter then join back
+# ---------------------------------------------------------------------------
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): orders whose lineitem
+    quantity sum exceeds 250, joined back to orders + customer, top 100
+    by total price. The group-filter (partial-aggregated hash agg on
+    l_orderkey) reduces the fact table before any join; at scale the
+    filtered key set is usually small enough for AQE to pick a broadcast
+    join back, and the final top-k plans as TakeOrderedAndProject (no
+    global sort). Quantities are integral — summed as longs, exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    j = orders.join(big, orders["o_orderkey"] == big["l_orderkey"]).join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    )
+    return (
+        j.select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(cast(l_quantity AS bigint))::bigint AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(cast(l_quantity AS bigint)) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dup_ngram_coverage": dup_ngram_coverage,
+    "semdedup_clusters": semdedup_clusters,
+    "quality_classifier_stats": quality_classifier_stats,
+    "q18_large_orders": q18_large_orders,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "dup_ngram_coverage": DUP_NGRAM_SQL,
+    "semdedup_clusters": SEMDEDUP_SQL,
+    "quality_classifier_stats": QUALITY_CLASSIFIER_SQL,
+    "q18_large_orders": Q18_SQL,
+}

@@ -1,0 +1,131 @@
+"""Unit tests: batch-5 training-corpus operators — duplicate-window
+coverage, SemDeDup, hashed linear quality classifier."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators import dedup, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon completely different tail here"),
+        (3, "totally unrelated words that no other document shares at all"),
+        (4, "short doc"),  # < k tokens → zero windows
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_window_hashes_positions(corpus):
+    w = dedup.window_hashes(corpus, "doc_id", "text", k=5)
+    got = {r["doc_id"]: r["n"] for r in w.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    # doc1: 8 tokens → 4 windows; doc2: 9 → 5; doc3: 10 → 6; doc4: absent
+    assert got == {1: 4, 2: 5, 3: 6}
+
+
+def test_duplicate_window_coverage(corpus):
+    cov = {r["doc_id"]: r for r in dedup.duplicate_window_coverage(
+        corpus, "doc_id", "text", k=5).collect()}
+    assert set(cov) == {1, 2, 3, 4}
+    # docs 1 and 2 share exactly one 5-token window: "alpha beta gamma delta epsilon"
+    assert cov[1]["n_dup_windows"] == 1 and cov[1]["n_windows"] == 4
+    assert cov[2]["n_dup_windows"] == 1 and cov[2]["n_windows"] == 5
+    assert cov[3]["n_dup_windows"] == 0
+    # zero-window doc is reported, not dropped; fraction is NULL not 0/0
+    assert cov[4]["n_windows"] == 0 and cov[4]["dup_frac"] is None
+    assert cov[1]["dup_frac"] == 0.25
+    assert cov[2]["dup_frac"] == 0.2
+
+
+def test_duplicate_window_within_doc_repeat(spark):
+    # a window repeated inside ONE doc is not cross-doc duplicated...
+    solo = spark.createDataFrame(
+        [(1, "x y z w v x y z w v")], "doc_id long, text string"
+    )
+    got = dedup.duplicate_window_coverage(solo, "doc_id", "text", k=5).collect()[0]
+    assert got["n_dup_windows"] == 0
+    # ...but once a second doc shares it, every occurrence in both docs counts
+    both = spark.createDataFrame(
+        [(1, "x y z w v x y z w v"), (2, "x y z w v")],
+        "doc_id long, text string",
+    )
+    cov = {r["doc_id"]: r for r in dedup.duplicate_window_coverage(
+        both, "doc_id", "text", k=5).collect()}
+    assert cov[1]["n_dup_windows"] == 2  # positions 1 and 6
+    assert cov[2]["n_dup_windows"] == 1
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # two tight clusters on orthogonal axes + one exact copy + one near-copy
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (11, [0.9, 0.1, 0.0, 0.0]),      # exact copy of 10 → dup
+        (12, [0.88, 0.12, 0.01, 0.0]),   # near 10 (cos > 0.95) → dup
+        (20, [0.1, 0.95, 0.0, 0.0]),
+        (21, [0.0, 0.0, 1.0, 0.0]),      # closer to cell 1 but far from all → kept
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_semdedup_marks_cluster_local_dups(vectors):
+    centroids = vectors.filter(F.col("vec_id") < 2)
+    got = {r["vec_id"]: r for r in similarity.semdedup(
+        vectors.filter(F.col("vec_id") >= 10), centroids,
+        "vec_id", "embedding", threshold=0.95).collect()}
+    assert set(got) == {10, 11, 12, 20, 21}
+    # lower id keeps; higher-id copies are the duplicates
+    assert not got[10]["is_dup"]
+    assert got[11]["is_dup"] and got[12]["is_dup"]
+    assert not got[20]["is_dup"] and not got[21]["is_dup"]
+    # assignment is the real coarse quantizer: x-axis docs in cell 0
+    assert got[10]["cell"] == 0 and got[20]["cell"] == 1
+
+
+def test_semdedup_cross_cluster_pairs_invisible(spark):
+    # identical vectors forced into different cells are NOT compared —
+    # the documented clustering trade-off (recall bounded by the quantizer)
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0]),
+            (10, [1.0, 0.0]), (11, [-1.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = vecs.filter(F.col("vec_id") < 2)
+    got = {r["vec_id"]: r["is_dup"] for r in similarity.semdedup(
+        vecs.filter(F.col("vec_id") >= 10), cents, "vec_id", "embedding").collect()}
+    assert got == {10: False, 11: False}
+
+
+def test_classifier_scores_contract(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.classifier_scores(docs, "doc_id", "text").collect()}
+    # deterministic: identical text → identical score
+    assert got[1]["sum_weight"] == got[2]["sum_weight"]
+    assert got[1]["score"] == got[2]["score"]
+    # keep ⇔ sum_weight > 0 ⇔ sigmoid > 0.5 (exact integer predicate)
+    for r in got.values():
+        assert r["keep"] == (r["sum_weight"] > 0)
+        assert (r["score"] > 0.5) == r["keep"] or r["sum_weight"] == 0
+        # score matches sigmoid of the fixed-point mean
+        s = r["sum_weight"] / (textops.CLASSIFIER_MOD * r["n_tokens"])
+        assert abs(r["score"] - 1.0 / (1.0 + math.exp(-s))) < 1e-6
+    assert got[1]["n_tokens"] == 4
+
+
+def test_classifier_weight_range(spark):
+    # weights are bounded fixed-point integers (no overflow at any bucket)
+    half = (textops.CLASSIFIER_MOD - 1) // 2
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(1000)))], "doc_id long, text string"
+    )
+    r = textops.classifier_scores(docs, "doc_id", "text").collect()[0]
+    assert abs(r["sum_weight"]) <= half * r["n_tokens"]
