@@ -278,3 +278,64 @@ def test_boilerplate_shuffle_carries_hashes_not_text(spark):
     for chunk in plan.split("Exchange ")[1:]:
         sig = chunk.splitlines()[0]
         assert "_p#" not in sig and "text#" not in sig, sig
+
+
+def test_quality_classifier_map_only_into_agg(spark):
+    from anomalydetection_spark.plans import driver_queries_training as dqt
+
+    plan = _formatted(spark, dqt.quality_classifier_stats(spark, SF))
+    # the whole scorer is JVM expressions: no join, no Python, one agg pair
+    assert "Join" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" in read_schema and "n_chars" not in read_schema
+
+
+def test_q18_partial_agg_before_join_and_topk(spark):
+    from anomalydetection_spark.plans import driver_queries_training as dqt
+
+    plan = _formatted(spark, dqt.q18_large_orders(spark, SF))
+    # the fact table is reduced by a partial-aggregated group-filter
+    # BEFORE any join; the final top-100 never global-sorts
+    assert "partial_sum(cast(l_quantity" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # both joins broadcastable at this scale
+    li_schema = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "l_orderkey" in seg.splitlines()[0]
+    ]
+    assert li_schema and all("l_extendedprice" not in s for s in li_schema)
+
+
+def test_dup_window_shuffles_hashes_not_text(spark):
+    from anomalydetection_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    cov = dedup.duplicate_window_coverage(docs, "doc_id", "text", k=5)
+    plan = _formatted(spark, cov)
+    # every Exchange moves only ids/positions/60-bit hashes — the window
+    # text dies map-side before any shuffle
+    for seg in plan.split("Exchange")[1:]:
+        first = seg.splitlines()[0:2]
+        assert "shingle" not in str(first) and "text" not in str(first)
+    assert "whash" in plan and "conv(substring(md5" in plan
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark):
+    from anomalydetection_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = vecs.filter("vec_id < 2")
+    marked = similarity.semdedup(vecs, cents, "vec_id", "embedding")
+    plan = _formatted(spark, marked)
+    # centroid assignment is a broadcast crossJoin (k rows), never shuffled;
+    # the only non-broadcast join key is the cluster cell
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
