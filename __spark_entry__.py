@@ -65,6 +65,7 @@ _PRIORITY = [
     "semdedup_clusters",       # new: cluster-blocked semantic dedup (SemDeDup)
     "quality_classifier_stats",  # new: hashed linear quality classifier filter
     "q18_large_orders",        # new: group-filter-then-join-back (TPC-H Q18 shape)
+    "bm25_topk_docs",          # new: BM25 lexical retrieval top-k
     "tdigest_bounds_events",
     "pandas_udf_token_stats",
     "multimodal_decode_stats",
@@ -95,9 +96,9 @@ _PRIORITY = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "lang_id_confusion",
-    "quality_by_source",
 ]
 _TAIL = [
+    "quality_by_source",          # quality-scoring family: quality_classifier_stats + repetition_quality_by_lang in-window
     "group_count_having",         # A2/A3 group-count+HAVING family: uniqueness_partkey (same VERDICT row) + q18_large_orders (HAVING>250) in-window
     "confusion_matrix_embeddings",  # A9 2-D group-count family: grouping_sets_orders (cube margins) in-window; A8 derivation covered with eval_metrics below
     "q3_shipping_priority",       # 3-way-join+topk family: q18_large_orders (join-back+topk) + q13 (outer) in-window

@@ -261,3 +261,68 @@ ORACLE_SQL: dict[str, str] = {
     "quality_classifier_stats": QUALITY_CLASSIFIER_SQL,
     "q18_large_orders": Q18_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval top-k
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (1, "spark join merge"),
+    (2, "window agg stream"),
+    (3, "customer query filter"),
+]
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per lexical query by BM25 (operators/retrieval.py):
+    query vocabulary broadcast into the token stream before the tf agg,
+    fixed-point integer score sums, deterministic (score desc, doc_id)
+    ranks."""
+    from anomalydetection_spark.operators import retrieval
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, qtext string")
+    return retrieval.bm25_topk(d, q, "doc_id", "text", k=5)
+
+
+_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+
+BM25_SQL = rf"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qterms AS (
+  SELECT DISTINCT query_id,
+    unnest(string_split_regex(trim(qtext), '\s+')) AS term
+  FROM q),
+toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::bigint AS dl,
+         unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents),
+corpus AS (
+  SELECT count(*)::bigint AS n_docs, sum(dl)::bigint AS total_len
+  FROM (SELECT len(string_split_regex(trim(text), '\s+'))::bigint AS dl
+        FROM documents)),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::bigint AS tf
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+    cast(round(
+      ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * ((tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (c.total_len / c.n_docs))))
+      * 1000000000.0, 0) AS bigint) AS fp
+  FROM tf JOIN dft USING (term) JOIN qterms qt USING (term) CROSS JOIN corpus c),
+s AS (
+  SELECT query_id, doc_id, round(sum(fp) / 1000000000.0, 6) AS score
+  FROM contrib GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, score, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM s)
+WHERE rk <= 5
+"""
+
+QUERIES["bm25_topk_docs"] = bm25_topk_docs
+ORACLE_SQL["bm25_topk_docs"] = BM25_SQL

@@ -339,3 +339,18 @@ def test_semdedup_assignment_broadcasts_centroids(spark):
     # the only non-broadcast join key is the cluster cell
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_vocab_broadcast_no_full_posting_shuffle(spark):
+    from anomalydetection_spark.operators import retrieval
+
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(1, "b d")], "query_id long, qtext string")
+    plan = _formatted(spark, retrieval.bm25_topk(d, q, "doc_id", "text"))
+    # the query vocabulary / df / corpus stats all broadcast — the token
+    # stream is filtered before the tf agg, never shuffled raw
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -129,3 +129,57 @@ def test_classifier_weight_range(spark):
     )
     r = textops.classifier_scores(docs, "doc_id", "text").collect()[0]
     assert abs(r["sum_weight"]) <= half * r["n_tokens"]
+
+
+def test_bm25_manual_reference(spark):
+    import math
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    qset = {1: "apple cherry", 2: "banana missingterm", 3: "durian"}
+    q = spark.createDataFrame(list(qset.items()), "query_id long, qtext string")
+    from anomalydetection_spark.operators import retrieval
+
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in retrieval.bm25_scores(d, q, "doc_id", "text").collect()
+    }
+
+    # single-node reference (same formula, float math)
+    toks = {i: t.split() for i, t in docs}
+    n, avgdl = 3, sum(len(v) for v in toks.values()) / 3
+    dfreq = {"apple": 1, "banana": 2, "cherry": 2, "durian": 1}
+
+    def bm25(qterms, did):
+        s = 0.0
+        for t in qterms:
+            tf = toks[did].count(t)
+            if tf == 0 or t not in dfreq:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[did]) / avgdl))
+        return s
+
+    for (qid, did), score in got.items():
+        assert abs(score - bm25(qset[qid].split(), did)) < 1e-5
+    # only docs sharing ≥1 query term appear: 'durian' matches doc 3 alone
+    assert {(qid, did) for (qid, did) in got if qid == 3} == {(3, 3)}
+    # a query term absent from the corpus contributes nothing but doesn't
+    # block the other terms
+    assert (2, 1) in got and (2, 2) in got and (2, 3) not in got
+
+
+def test_bm25_topk_rank_determinism(spark):
+    from anomalydetection_spark.operators import retrieval
+
+    # identical docs → identical scores → ties broken by ascending id
+    d = spark.createDataFrame(
+        [(i, "same words here") for i in range(5)], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(1, "same words")], "query_id long, qtext string")
+    got = retrieval.bm25_topk(d, q, "doc_id", "text", k=3).orderBy("rk").collect()
+    assert [r["doc_id"] for r in got] == [0, 1, 2]
