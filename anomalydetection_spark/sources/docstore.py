@@ -183,6 +183,7 @@ class DocStoreReader(DataSourceReader):
         return splits or [_FileSplit("", None)]
 
     def read(self, part: _FileSplit):  # -> Iterator[pa.RecordBatch]
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         if not part.path:
@@ -196,12 +197,66 @@ class DocStoreReader(DataSourceReader):
                 "w",
             ).close()
         pf = pq.ParquetFile(part.path)
-        yield from pf.iter_batches()
+        expected = self._arrow_schema()
+        for batch in pf.iter_batches():
+            if expected is None or batch.schema.names == expected.names:
+                yield batch
+                continue
+            # schema evolution: files written before a column was added
+            # NULL-fill it; columns since dropped are projected away; order
+            # follows the snapshot schema (the Iceberg name-based mapping)
+            cols = []
+            for field in expected:
+                if field.name in batch.schema.names:
+                    cols.append(batch.column(field.name))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, type=field.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=expected)
+
+    def _arrow_schema(self):
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            return to_arrow_schema(
+                StructType.fromJson(json.loads(self.manifest["schema"]))
+            )
+        except Exception:  # pragma: no cover - conversion gap → no evolution
+            return None
 
 
 # ---------------------------------------------------------------------------
 # write path
 # ---------------------------------------------------------------------------
+
+def _merge_schemas(old_json: str, new_json: str) -> StructType:
+    """Name-based schema evolution on append (the Iceberg add-column
+    rule): established columns keep their position and type (a type
+    conflict fails loudly — no silent promotion); columns present on only
+    one side become NULLABLE, because some committed data files will lack
+    them and read back NULL-filled. Added columns append at the end in
+    write order."""
+    from pyspark.sql.types import StructField
+
+    old = StructType.fromJson(json.loads(old_json))
+    new = StructType.fromJson(json.loads(new_json))
+    new_by_name = {f.name: f for f in new.fields}
+    fields = []
+    for f in old.fields:
+        nf = new_by_name.pop(f.name, None)
+        if nf is None:
+            fields.append(StructField(f.name, f.dataType, True))
+        elif nf.dataType != f.dataType:
+            raise TypeError(
+                f"schema evolution cannot change column '{f.name}' from "
+                f"{f.dataType.simpleString()} to {nf.dataType.simpleString()}"
+            )
+        else:
+            fields.append(StructField(f.name, f.dataType, f.nullable or nf.nullable))
+    for f in new.fields:  # preserve the incoming order of added columns
+        if f.name in new_by_name:
+            fields.append(StructField(f.name, f.dataType, True))
+    return StructType(fields)
+
 
 @dataclass
 class _FilesWritten(WriterCommitMessage):
@@ -253,11 +308,16 @@ class DocStoreWriter(DataSourceArrowWriter):
         files: list[dict] = []
         for m in messages:
             files.extend(m.files)
+        schema_json = self.schema_json
         if not self.overwrite:
             v = current_version(self.table_dir)
             if v:
-                files = load_manifest(self.table_dir)["files"] + files
-        commit_snapshot(self.table_dir, files, self.schema_json)
+                prior = load_manifest(self.table_dir)
+                files = prior["files"] + files
+                schema_json = _merge_schemas(
+                    prior["schema"], self.schema_json
+                ).json()
+        commit_snapshot(self.table_dir, files, schema_json)
 
     def abort(self, messages: list[_FilesWritten]) -> None:
         # uncommitted data files are invisible (manifest-driven planning);
@@ -347,3 +407,82 @@ def compact_snapshot(spark, table_dir: str, n_files: int = 1) -> int:
     )
     df.write.format("docstore").option("path", table_dir).mode("overwrite").save()
     return current_version(table_dir)
+
+
+def _footer_stats(path: str) -> tuple[int, dict]:
+    """(rows, stats) for a data file from its parquet FOOTER only — no
+    data pages read; the rewrite path builds manifest entries from this."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if STATS_COLUMN not in idx:
+        return rows, {}
+    cmin = cmax = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx[STATS_COLUMN]).statistics
+        if st is None or not st.has_min_max:
+            return rows, {}
+        cmin = st.min if cmin is None else min(cmin, st.min)
+        cmax = st.max if cmax is None else max(cmax, st.max)
+    return rows, ({STATS_COLUMN: [cmin, cmax]} if cmin is not None else {})
+
+
+def delete_where(spark, table_dir: str, condition: str) -> dict:
+    """Copy-on-write row-level delete (the Iceberg ``DELETE FROM`` in COW
+    mode): ONLY data files containing matching rows are rewritten without
+    them; untouched files carry forward into the new snapshot by
+    reference — at 100 TB a delete touching one partition rewrites that
+    partition's files, not the table. Prior snapshots stay
+    time-travel-readable until expire_snapshots reclaims them.
+
+    Two bounded passes: (1) a probe scan marking which files contain
+    matches (filter pushdown + footer-pruned), (2) a rewrite scan of ONLY
+    the affected files. Returns {new_version, rewritten_files,
+    deleted_rows}; a no-match delete commits nothing.
+    """
+    from pyspark.sql import functions as F
+
+    manifest = load_manifest(table_dir)
+    by_name = {f["path"]: f for f in manifest["files"]}
+    paths = [os.path.join(table_dir, p) for p in by_name]
+    if not paths:
+        return {"new_version": manifest["version"], "rewritten_files": 0, "deleted_rows": 0}
+    cond = F.expr(condition)
+    probe = (
+        spark.read.parquet(*paths)
+        .withColumn("_file", F.input_file_name())
+        .filter(cond)
+        .groupBy("_file")
+        .count()
+        .collect()
+    )
+    affected = {os.path.basename(r["_file"]): r["count"] for r in probe}
+    if not affected:
+        return {"new_version": manifest["version"], "rewritten_files": 0, "deleted_rows": 0}
+    deleted_rows = int(sum(affected.values()))
+    kept_entries = [f for f in manifest["files"] if f["path"] not in affected]
+    rewrite_paths = [os.path.join(table_dir, p) for p in affected]
+    tmpdir = os.path.join(table_dir, f"._rewrite.{uuid.uuid4().hex}")
+    spark.read.parquet(*rewrite_paths).filter(~cond).write.parquet(tmpdir)
+    new_entries = []
+    for fn in sorted(os.listdir(tmpdir)):
+        if not fn.endswith(".parquet"):
+            continue
+        name = f"data-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(tmpdir, fn), os.path.join(table_dir, name))
+        rows, stats = _footer_stats(os.path.join(table_dir, name))
+        if rows:
+            new_entries.append({"path": name, "rows": rows, "stats": stats})
+        else:
+            os.remove(os.path.join(table_dir, name))
+    import shutil
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    v = commit_snapshot(table_dir, kept_entries + new_entries, manifest["schema"])
+    return {
+        "new_version": v,
+        "rewritten_files": len(affected),
+        "deleted_rows": deleted_rows,
+    }

@@ -204,3 +204,70 @@ def test_compact_and_expire_snapshots(spark, tmp_path):
         spark.read.format("docstore").option("path", path).option(
             "version", "1"
         ).load().count()
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """delete_where rewrites ONLY the files containing matches: untouched
+    files carry forward by reference (same path in the new manifest), the
+    matching rows are gone, and the pre-delete snapshot still time-travels
+    to the full data."""
+    path = str(tmp_path / "del_table")
+    docs = generate_documents(spark, CFG).repartitionByRange(8, "partition_id")
+    write_table(docs, path, fmt="docstore")
+    before = docstore.load_manifest(path)
+    n_before = read_table(spark, path, fmt="docstore").count()
+    n_match = (
+        read_table(spark, path, fmt="docstore").filter("partition_id = 3").count()
+    )
+    assert n_match > 0
+
+    report = docstore.delete_where(spark, path, "partition_id = 3")
+    assert report["deleted_rows"] == n_match
+    assert report["new_version"] == before["version"] + 1
+
+    after = docstore.load_manifest(path)
+    kept_paths = {f["path"] for f in before["files"]} & {f["path"] for f in after["files"]}
+    # files with no partition_id=3 rows were NOT rewritten
+    assert len(kept_paths) == len(before["files"]) - report["rewritten_files"]
+    head = read_table(spark, path, fmt="docstore")
+    assert head.count() == n_before - n_match
+    assert head.filter("partition_id = 3").count() == 0
+    # time travel still sees the deleted rows
+    old = spark.read.format("docstore").option("path", path).option("version", str(before["version"])).load()
+    assert old.count() == n_before
+
+    # no-match delete commits nothing
+    noop = docstore.delete_where(spark, path, "partition_id = 999")
+    assert noop == {"new_version": report["new_version"], "rewritten_files": 0, "deleted_rows": 0}
+
+
+def test_schema_evolution_null_fills_old_files(spark, tmp_path):
+    """Appending with an added column evolves the table schema: rows from
+    pre-evolution files read back with NULL in the new column (Iceberg
+    name-based mapping), and time travel to the old version still presents
+    the old schema."""
+    path = str(tmp_path / "evo_table")
+    base = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("partition_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    write_table(base, path, fmt="docstore")
+    widened = spark.range(50, 80).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("partition_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    write_table(widened, path, mode="append", fmt="docstore")
+
+    head = read_table(spark, path, fmt="docstore")
+    assert head.columns == ["doc_id", "partition_id", "text", "lang"]
+    assert head.count() == 80
+    got = {r["doc_id"]: r["lang"] for r in head.collect()}
+    assert all(got[i] is None for i in range(50))
+    assert all(got[i] == "en" for i in range(50, 80))
+
+    v1 = spark.read.format("docstore").option("path", path).option("version", "1").load()
+    assert v1.columns == ["doc_id", "partition_id", "text"]
+    assert v1.count() == 50
