@@ -66,6 +66,7 @@ _PRIORITY = [
     "quality_classifier_stats",  # new: hashed linear quality classifier filter
     "q18_large_orders",        # new: group-filter-then-join-back (TPC-H Q18 shape)
     "bm25_topk_docs",          # new: BM25 lexical retrieval top-k
+    "unigram_nll_by_source",   # new: self-trained unigram LM scoring (perplexity-filter analog)
     "tdigest_bounds_events",
     "pandas_udf_token_stats",
     "multimodal_decode_stats",
@@ -93,11 +94,11 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "ann_cosine_topk",
     "ann_ivf_topk",
     "lang_id_confusion",
 ]
 _TAIL = [
+    "ann_cosine_topk",            # ANN family: ann_ivf_topk + ann_pq_topk in-window share the exact-cosine scoring core (parity-tested)
     "quality_by_source",          # quality-scoring family: quality_classifier_stats + repetition_quality_by_lang in-window
     "group_count_having",         # A2/A3 group-count+HAVING family: uniqueness_partkey (same VERDICT row) + q18_large_orders (HAVING>250) in-window
     "confusion_matrix_embeddings",  # A9 2-D group-count family: grouping_sets_orders (cube margins) in-window; A8 derivation covered with eval_metrics below

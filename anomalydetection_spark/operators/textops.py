@@ -503,3 +503,56 @@ def classifier_scores(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-s)), 6).alias("score"),
         (F.col("sum_weight") > 0).alias("keep"),
     )
+
+
+# self-trained unigram LM scoring (perplexity-filter analog) -----------------
+
+LM_SCALE = 1_000_000_000  # fixed-point quantum for log-prob sums
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: list[str] | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-doc negative log-likelihood under a unigram LM trained on the
+    corpus ITSELF — the self-supervised stand-in for the KenLM perplexity
+    filter of CCNet-style pipelines: gibberish / off-distribution docs
+    score high, boilerplate scores low. No external model, no OOV (every
+    token is in the vocabulary by construction).
+
+    Returns (id, *keep_cols, n_tokens, nll_fp, nll): ``nll_fp`` is the
+    EXACT integer sum of per-token round(-ln(p)·1e9) fixed-point values
+    (summation-order-proof), ``nll`` = round(nll_fp / (1e9·n_tokens), 6).
+
+    Scale shape: pass 1 is one hash agg over the exploded token stream
+    (map-side partials absorb hot tokens); the total is a scalar
+    crossJoin. Pass 2 re-joins tokens to the vocabulary — broadcast while
+    the vocab fits (the common case: vocab ≪ corpus), shuffle join with
+    AQE skew handling above (``broadcast_vocab=False``). Both passes
+    stream the token column once each; all arithmetic is JVM-side.
+    """
+    extra = list(keep_cols or [])
+    toks = df.select(F.col(id_col), *extra, F.explode(_tokens(text_col)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").cast("long").alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_total"))
+    lp_fp = F.round(
+        -F.log(F.col("_cnt") / F.col("_total")) * F.lit(float(LM_SCALE)), 0
+    ).cast("long")
+    vocab_p = vocab.crossJoin(F.broadcast(total)).select("term", lp_fp.alias("_lp_fp"))
+    if broadcast_vocab:
+        vocab_p = F.broadcast(vocab_p)
+    scored = (
+        toks.join(vocab_p, "term")
+        .groupBy(id_col, *extra)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_lp_fp").alias("nll_fp"),
+        )
+    )
+    return scored.withColumn(
+        "nll",
+        F.round(F.col("nll_fp") / (F.lit(float(LM_SCALE)) * F.col("n_tokens")), 6),
+    )

@@ -326,3 +326,55 @@ WHERE rk <= 5
 
 QUERIES["bm25_topk_docs"] = bm25_topk_docs
 ORACLE_SQL["bm25_topk_docs"] = BM25_SQL
+
+# ---------------------------------------------------------------------------
+# self-trained unigram LM scoring (perplexity-filter analog)
+# ---------------------------------------------------------------------------
+
+# 3.45 nats/token in fixed-point units — flag ⇔ nll_fp > THRESH·n_tokens,
+# a pure bigint predicate (never a float boundary)
+_NLL_THRESH_FP = 3_450_000_000
+
+
+def unigram_nll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-LM accounting: docs, tokens, exact fixed-point
+    NLL totals, and docs flagged above 3.45 nats/token (the off-
+    distribution tail — the corpus-self-trained stand-in for KenLM
+    perplexity filtering). Two token-stream passes (train + score), vocab
+    broadcast, all flags integer-exact."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = textops.unigram_logprob_scores(d, "doc_id", "text", keep_cols=["source"])
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("nll_fp").alias("total_nll_fp"),
+        F.sum(
+            (F.col("nll_fp") > F.lit(_NLL_THRESH_FP) * F.col("n_tokens")).cast("long")
+        ).alias("n_flagged"),
+    )
+
+
+UNIGRAM_NLL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+    unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents),
+vocab AS (SELECT term, count(*)::bigint AS cnt FROM toks GROUP BY term),
+tot AS (SELECT sum(cnt)::bigint AS total FROM vocab),
+vp AS (
+  SELECT term,
+    cast(round(-ln(cnt / total) * 1000000000.0, 0) AS bigint) AS lp_fp
+  FROM vocab, tot),
+per_doc AS (
+  SELECT doc_id, source, count(*)::bigint AS n_tok, sum(lp_fp)::bigint AS nll_fp
+  FROM toks JOIN vp USING (term) GROUP BY doc_id, source)
+SELECT source, count(*)::bigint AS n_docs,
+  sum(n_tok)::bigint AS total_tokens,
+  sum(nll_fp)::bigint AS total_nll_fp,
+  sum(CASE WHEN nll_fp > {_NLL_THRESH_FP} * n_tok THEN 1 ELSE 0 END)::bigint
+    AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+QUERIES["unigram_nll_by_source"] = unigram_nll_by_source
+ORACLE_SQL["unigram_nll_by_source"] = UNIGRAM_NLL_SQL

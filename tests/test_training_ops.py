@@ -183,3 +183,33 @@ def test_bm25_topk_rank_determinism(spark):
     q = spark.createDataFrame([(1, "same words")], "query_id long, qtext string")
     got = retrieval.bm25_topk(d, q, "doc_id", "text", k=3).orderBy("rk").collect()
     assert [r["doc_id"] for r in got] == [0, 1, 2]
+
+
+def test_unigram_logprob_scores(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textops.unigram_logprob_scores(docs, "doc_id", "text").collect()
+    }
+    # corpus counts: a=6, b=1, c=1, total=8
+    lp = {"a": -math.log(6 / 8), "b": -math.log(1 / 8), "c": -math.log(1 / 8)}
+    exp1 = round(4 * round(lp["a"] * 1e9) / (1e9 * 4), 6)
+    exp2_fp = 2 * round(lp["a"] * 1e9) + round(lp["b"] * 1e9) + round(lp["c"] * 1e9)
+    assert got[1]["nll"] == exp1
+    assert got[2]["nll_fp"] == exp2_fp
+    # the common-token-only doc scores LOWER than the rare-token doc
+    assert got[1]["nll"] < got[2]["nll"]
+
+
+def test_unigram_broadcast_vs_shuffle_identical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = textops.unigram_logprob_scores(docs, "doc_id", "text", broadcast_vocab=True)
+    b = textops.unigram_logprob_scores(docs, "doc_id", "text", broadcast_vocab=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
