@@ -51,3 +51,46 @@ def test_roundtrip_preserves_span_sequence(spark, docs):
         f"d{i}": sorted(spans, key=lambda s: s[3]) for i, spans in enumerate(docs)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# duplicate-window coverage vs a single-node Python mirror
+# ---------------------------------------------------------------------------
+
+def test_duplicate_window_coverage_matches_python_mirror(spark):
+    """Randomized corpora (short docs, repeats, shared fragments): the
+    distributed window-coverage accounting must equal a dict-based
+    single-node mirror of the same definition."""
+    import itertools
+    import random
+
+    from anomalydetection_spark.operators import dedup
+
+    rng = random.Random(20260818)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    k = 3
+    for trial in range(5):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in dedup.duplicate_window_coverage(df, "doc_id", "text", k=k).collect()
+        }
+
+        def windows(t):
+            toks = t.split() if t.strip() else [""]
+            return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+        owners = {}
+        for i, t in docs:
+            for w in set(windows(t)):
+                owners.setdefault(w, set()).add(i)
+        dup = {w for w, o in owners.items() if len(o) >= 2}
+        exp = {
+            i: (len(windows(t)), sum(1 for w in windows(t) if w in dup))
+            for i, t in docs
+        }
+        assert got == exp, f"trial {trial}"
