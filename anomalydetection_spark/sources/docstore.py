@@ -396,15 +396,30 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     return {"expired_versions": expired, "removed_files": removed}
 
 
-def compact_snapshot(spark, table_dir: str, n_files: int = 1) -> int:
+def compact_snapshot(
+    spark, table_dir: str, n_files: int = 1, zorder_by: list[str] | None = None
+) -> int:
     """Rewrite the current snapshot's data into ``n_files`` files and
     commit the result as a NEW snapshot (Iceberg rewriteDataFiles): same
     rows, fewer files; prior snapshots stay time-travel-readable until
-    expire_snapshots reclaims them. Returns the new version."""
-    df = (
-        spark.read.format("docstore").option("path", table_dir).load()
-        .repartition(int(n_files))
-    )
+    expire_snapshots reclaims them. Returns the new version.
+
+    ``zorder_by`` selects the rewriteDataFiles *zorder strategy*: rows
+    are re-laid-out on the Morton-interleaved key
+    (operators/layout.cluster_by_zorder) so per-file min/max stats are
+    tight on EVERY named dimension — compaction and scan-skipping
+    clustering in one pass."""
+    df = spark.read.format("docstore").option("path", table_dir).load()
+    if zorder_by:
+        from pyspark.sql import functions as F
+
+        from anomalydetection_spark.operators import layout
+
+        df = layout.cluster_by_zorder(
+            df, [F.col(c) for c in zorder_by], n_files=int(n_files)
+        )
+    else:
+        df = df.repartition(int(n_files))
     df.write.format("docstore").option("path", table_dir).mode("overwrite").save()
     return current_version(table_dir)
 
@@ -485,4 +500,69 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
         "new_version": v,
         "rewritten_files": len(affected),
         "deleted_rows": deleted_rows,
+    }
+
+
+def merge_into(spark, table_dir: str, updates, key_col: str) -> dict:
+    """Copy-on-write upsert (the Iceberg ``MERGE INTO ... WHEN MATCHED
+    UPDATE WHEN NOT MATCHED INSERT``, COW mode): rows of ``updates``
+    replace same-key table rows; new keys append. ONE atomic snapshot:
+    only data files containing matched keys are rewritten (minus their
+    matched rows), untouched files carry forward by reference, and the
+    update rows land as new files — readers see the pre-merge or
+    post-merge table, never a mix.
+
+    The matched-key probe broadcasts the update key set while it is small
+    (updates are batch-sized next to the table); at larger batches swap
+    the isin-literal for a broadcast semi-join — the file-granular rewrite
+    shape is unchanged. Returns {new_version, rewritten_files,
+    replaced_rows, upserted_rows}.
+    """
+    from pyspark.sql import functions as F
+
+    manifest = load_manifest(table_dir)
+    paths = [os.path.join(table_dir, f["path"]) for f in manifest["files"]]
+    keys = [r[0] for r in updates.select(key_col).distinct().collect()]
+    probe = (
+        spark.read.parquet(*paths)
+        .withColumn("_file", F.input_file_name())
+        .filter(F.col(key_col).isin(keys))
+        .groupBy("_file")
+        .count()
+        .collect()
+    ) if paths else []
+    affected = {os.path.basename(r["_file"]): r["count"] for r in probe}
+    kept_entries = [f for f in manifest["files"] if f["path"] not in affected]
+    new_entries: list[dict] = []
+    tmpdir = os.path.join(table_dir, f"._merge.{uuid.uuid4().hex}")
+    if affected:
+        rewrite_paths = [os.path.join(table_dir, p) for p in affected]
+        spark.read.parquet(*rewrite_paths).filter(
+            ~F.col(key_col).isin(keys)
+        ).write.parquet(os.path.join(tmpdir, "kept"))
+    updates.write.parquet(os.path.join(tmpdir, "new"))
+    for sub in ("kept", "new"):
+        subdir = os.path.join(tmpdir, sub)
+        if not os.path.isdir(subdir):
+            continue
+        for fn in sorted(os.listdir(subdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            name = f"data-{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(subdir, fn), os.path.join(table_dir, name))
+            rows, stats = _footer_stats(os.path.join(table_dir, name))
+            if rows:
+                new_entries.append({"path": name, "rows": rows, "stats": stats})
+            else:
+                os.remove(os.path.join(table_dir, name))
+    import shutil
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    schema_json = _merge_schemas(manifest["schema"], updates.schema.json()).json()
+    v = commit_snapshot(table_dir, kept_entries + new_entries, schema_json)
+    return {
+        "new_version": v,
+        "rewritten_files": len(affected),
+        "replaced_rows": int(sum(affected.values())),
+        "upserted_rows": updates.count(),
     }
