@@ -122,6 +122,7 @@ _TAIL = [
     "template_mining_events",  # template family: template_merge_events masks + merges
     "multimodal_frame_stats",  # multimodal family: multimodal_decode_stats
     "q6_revenue_filter",       # scan+filter+agg family: q1_pricing_summary
+    "retention_cohorts",       # beyond-§2 cohort matrix; join-back (q18) + distinct-agg (stats_documents) families in-window
 ]
 
 

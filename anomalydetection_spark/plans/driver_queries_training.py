@@ -378,3 +378,42 @@ FROM per_doc GROUP BY source
 
 QUERIES["unigram_nll_by_source"] = unigram_nll_by_source
 ORACLE_SQL["unigram_nll_by_source"] = UNIGRAM_NLL_SQL
+
+# ---------------------------------------------------------------------------
+# retention cohort matrix over events
+# ---------------------------------------------------------------------------
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, distinct
+    active users per (cohort_day, day_offset ≤ 6). First-seen is one hash
+    agg on user_id; the join back is user-keyed (AQE broadcasts the
+    cohort side while it fits); the cell counts are a distinct aggregate.
+    All values integer/date-exact — no float boundary anywhere."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = e.join(first, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day")
+    )
+    return (
+        j.filter(F.col("day_offset") <= 6)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+j AS (
+  SELECT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, e.day) AS day_offset
+  FROM e JOIN f USING (user_id))
+SELECT cohort_day, day_offset, count(DISTINCT user_id)::bigint AS n_users
+FROM j WHERE day_offset <= 6 GROUP BY cohort_day, day_offset
+"""
+
+QUERIES["retention_cohorts"] = retention_cohorts
+ORACLE_SQL["retention_cohorts"] = RETENTION_SQL
