@@ -186,3 +186,41 @@ def test_pq_topk_recall_and_true_cosines(spark):
     b1 = similarity.pq_train_codebooks(corpus, "vec_id", "embedding", m=8, ksub=16)
     b2 = similarity.pq_train_codebooks(corpus, "vec_id", "embedding", m=8, ksub=16)
     assert np.array_equal(b1, b2)
+
+
+def test_semdedup_recall_with_trained_centroids(spark):
+    """SemDeDup with kmeans_fit-trained centroids on a clustered corpus
+    (the production config; the driver query fixes centroids only for the
+    DuckDB twin): every injected near-duplicate must be caught — a
+    perturbed copy lands in its original's cluster by construction — and
+    the dup count stays a small fraction of the corpus (no all-pairs
+    degeneracy marking everything duplicated)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n_clusters, per, d = 8, 50, 32
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(scale=0.15, size=(per, d))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        for j, p in enumerate(pts):
+            rows.append((c * 1000 + j, [float(x) for x in p]))
+    # 16 injected near-dups (cos > 0.999 to their originals)
+    originals = [c * 1000 for c in range(n_clusters)] + [c * 1000 + 1 for c in range(n_clusters)]
+    by_id = dict(rows)
+    for k, oid in enumerate(originals):
+        v = np.array(by_id[oid])
+        w = v + rng.normal(scale=1e-4, size=d)
+        w /= np.linalg.norm(w)
+        rows.append((50_000 + k, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = similarity.kmeans_fit(df, "vec_id", "embedding", k=n_clusters, n_iters=5)
+    marked = similarity.semdedup(df, cents, "vec_id", "embedding", threshold=0.999)
+    dups = {r["vec_id"] for r in marked.filter("is_dup").collect()}
+    # every injected copy has a higher id than its original → must be marked
+    assert {50_000 + k for k in range(len(originals))} <= dups
+    # and the threshold keeps ordinary cluster-mates (cos ≪ 0.999) apart
+    assert len(dups) <= len(originals) + 5
