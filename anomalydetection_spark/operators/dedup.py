@@ -474,9 +474,10 @@ def duplicate_window_coverage(
     a million times in one doc contributes one row to the count agg);
     attribution back to docs is a semi-join of the narrow window stream
     against that set, shuffling only (whash) keys. The text column is
-    scanned twice (set-build + attribution) — against columnar storage
-    with leaf pruning that is cheaper at 100 TB than persisting the
-    exploded window stream.
+    read three times (token-count base, window-set build, attribution),
+    each a map-only pass over the pruned text leaf — against columnar
+    storage that is cheaper at 100 TB than persisting the exploded
+    window stream, which is ~|tokens| rows wide.
     """
     toked = tokenize(df, id_col, text_col)
     base = toked.select(
