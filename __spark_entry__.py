@@ -22,6 +22,7 @@ from anomalydetection_spark.plans import (
     driver_queries_curation,
     driver_queries_dedup,
     driver_queries_quality,
+    driver_queries_relational,
     driver_queries_training,
 )
 from anomalydetection_spark.plans.flagship import (
@@ -67,10 +68,14 @@ _PRIORITY = [
     "q18_large_orders",        # new: group-filter-then-join-back (TPC-H Q18 shape)
     "bm25_topk_docs",          # new: BM25 lexical retrieval top-k
     "unigram_nll_by_source",   # new: self-trained unigram LM scoring (perplexity-filter analog)
+    "q4_priority_late_exists", # new: EXISTS decorrelated to a conditioned semi-join (TPC-H Q4 shape)
+    "q17_small_quantity_share",  # new: correlated scalar-avg predicate, integer cross-multiplied (Q17 shape)
+    "q21_sole_blame_suppliers",  # new: EXISTS + NOT EXISTS self-join chain (Q21 shape)
+    "shard_assignment_stats",  # new: deterministic hash-mod training shards
+    "dedup_keep_best_quality", # new: quality-argmax cluster canonicalization (components in-plan)
     "tdigest_bounds_events",
     "pandas_udf_token_stats",
     "multimodal_decode_stats",
-    "above_brand_avg_lineitems",
     "stats_documents",
     "uniqueness_partkey",
     "referential_orphans",
@@ -90,14 +95,18 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q13_order_count_distribution",
     "dedup_minhash_lsh",
-    "dedup_components",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
     "lang_id_confusion",
 ]
 _TAIL = [
+    "ann_ivf_topk",            # cell-pruned ANN family: ann_pq_topk (same coarse quantization + exact-cosine rerank) and semdedup_clusters (broadcast-centroid assignment) in-window; recall floored in tests
+    "dedup_components",        # min-label-propagation family: dedup_keep_best_quality runs the same connected_components in-window (plus the quality argmax)
+    "dedup_ngram_jaccard",     # shingle→exact-Jaccard family: dedup_minhash_lsh in-window shares the df-capped shingle + jaccard_verify core
+    "dedup_embedding_cosine",  # embedding near-dup family: semdedup_clusters in-window shares the cosine≥τ within-block core (SRP banding parity-tested in tests)
+    "above_brand_avg_lineitems",  # decorrelated scalar-avg family: q17_small_quantity_share in-window is the same two-scan rewrite (per-group avg joined back)
+    "q16_supplier_variety",    # NOT-IN anti + grouped distinct-agg: referential_orphans (anti) + stats_documents (distinct) families in-window
+    "q22_idle_rich_customers", # scalar-avg + anti-join composition: q17 (cross-multiplied scalar avg) + referential_orphans (anti) in-window
+    "ppl_buckets_by_source",   # unigram-LM scoring family: unigram_nll_by_source in-window shares the fixed-point NLL core
     "ann_cosine_topk",            # ANN family: ann_ivf_topk + ann_pq_topk in-window share the exact-cosine scoring core (parity-tested)
     "quality_by_source",          # quality-scoring family: quality_classifier_stats + repetition_quality_by_lang in-window
     "group_count_having",         # A2/A3 group-count+HAVING family: uniqueness_partkey (same VERDICT row) + q18_large_orders (HAVING>250) in-window
@@ -132,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(driver_queries_curation.QUERIES)
     q.update(driver_queries_quality.QUERIES)
     q.update(driver_queries_training.QUERIES)
+    q.update(driver_queries_relational.QUERIES)
     # deterministic columns of the flagship suite — full DuckDB oracle twin
     q["suite_verdicts"] = suite_verdicts
     missing = set(q) - set(_PRIORITY) - set(_TAIL)
@@ -145,5 +155,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(driver_queries_curation.ORACLE_SQL)
     sql.update(driver_queries_quality.ORACLE_SQL)
     sql.update(driver_queries_training.ORACLE_SQL)
+    sql.update(driver_queries_relational.ORACLE_SQL)
     sql["suite_verdicts"] = SUITE_VERDICTS_SQL
     return {name: sql[name] for name in _PRIORITY + _TAIL if name in sql}

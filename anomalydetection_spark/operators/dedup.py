@@ -434,6 +434,43 @@ def incremental_exact_dedup(
     return enriched.select(id_col, "text_hash", status.alias("status"))
 
 
+def keep_best(
+    components: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware canonicalization of duplicate clusters: for each
+    component from ``connected_components`` pick the member with the
+    highest ``score_col`` (ties broken by lowest id) instead of the lowest
+    id — the policy real curation pipelines want, since the canonical
+    survivor should be the best-written copy, not an arbitrary one.
+
+    ``components`` is (node, comp); ``scored`` carries (id_col, score_col)
+    for at least every node. One equi-join on the doc id plus one hash agg
+    on the component: the argmax is a struct max (score asc, id desc via
+    negation), so partial aggregation applies — no window, no sort. Nodes
+    missing from ``scored`` would null-propagate; callers pass a full
+    scoring frame (an inner join drops them loudly in tests).
+
+    Returns (cluster_id, keep_id, n_members, best_score).
+    """
+    m = components.join(
+        scored.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
+        "node",
+    )
+    best = m.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.max(F.struct(F.col("_s").alias("s"), (-F.col("node")).alias("neg_id"))).alias("b"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("b.neg_id")).cast("long").alias("keep_id"),
+        "n_members",
+        F.col("b.s").alias("best_score"),
+    )
+
+
 def window_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """Every k-token window per doc, hashed: (id, wpos, whash).
 

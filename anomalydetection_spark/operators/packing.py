@@ -120,6 +120,26 @@ def pack_chunks(
     )
 
 
+def shard_assign(docs: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Adds a deterministic ``shard`` column: the engine-portable 60-bit
+    md5 hash of the document id modulo ``n_shards``. This is the
+    shard-writer primitive for training-data exports — the actual write is
+    ``df.write.partitionBy('shard')`` (or ``repartition(n, 'shard')`` for
+    one file per shard), both of which shuffle once on the shard key.
+
+    Hash-mod sharding keeps shard sizes balanced regardless of id
+    distribution (sequential ids, hot prefixes) and makes the assignment
+    reproducible across engines and runs — a rerun or a different engine
+    lands every doc in the same shard, so downstream training jobs can
+    resume per-shard. Map-only: no shuffle happens until the write."""
+    from anomalydetection_spark.operators.dedup import portable_hash60
+
+    return docs.withColumn(
+        "shard",
+        F.pmod(portable_hash60(F.col(id_col).cast("string")), F.lit(int(n_shards))),
+    )
+
+
 def chunk_stats(packed: DataFrame) -> DataFrame:
     """Per-chunk rollup of ``pack_chunks`` output: docs per chunk, packed
     tokens, straddling docs, fill ratio vs the dominant (full) chunk size —

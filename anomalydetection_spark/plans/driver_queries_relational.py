@@ -1,0 +1,314 @@
+"""Driver-contract queries, batch 6: decorrelated-subquery relational shapes.
+
+The reference never issues SQL (SURVEY.md §0), but a drop-in engine needs
+the classic correlated-subquery shapes its users would run for data
+validation: EXISTS / NOT EXISTS semi- and anti-joins, scalar-average
+correlated predicates, and NOT IN subquery exclusion. Each query here is a
+TPC-H shape (Q4 / Q16 / Q17 / Q21 / Q22) adapted to the fixture schema
+(no l_commitdate/l_receiptdate/partsupp columns exist, so "late" is
+derived from l_shipdate vs o_orderdate and the part-supplier relation from
+distinct lineitem keys).
+
+Determinism contract (shared with the other batches): every value that
+crosses the DuckDB oracle boundary is an integer, a date, or a fixed-point
+bigint; scalar-average predicates are evaluated by integer
+cross-multiplication (``k * x * n < sum``) so no float division ever sits
+on a comparison boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS semi-join + group count
+# ---------------------------------------------------------------------------
+
+
+def q4_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one lineitem shipped > 90 days after the order
+    date, counted per order priority (TPC-H Q4 shape: EXISTS decorrelated
+    into a left-semi join). The semi-join carries the correlated predicate
+    (l_shipdate > o_orderdate + 90 days) in the join condition, so Spark
+    plans one hash semi-join on o_orderkey — the fact table is never
+    duplicated and each order emits at most once regardless of how many of
+    its lines are late. At scale the join key is the orders PK: no skew,
+    and AQE picks the build side."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*)::bigint AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# Q17 shape: correlated scalar-average predicate (decorrelated join-back)
+# ---------------------------------------------------------------------------
+
+
+def q17_small_quantity_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems whose quantity is below 20% of their part's average
+    quantity, accounted per brand (TPC-H Q17 shape). The correlated scalar
+    subquery ``avg(l_quantity) where l_partkey = ...`` is decorrelated
+    into one partial-aggregated hash agg on l_partkey (sum + count) joined
+    back to the fact table — the classic two-scan rewrite Catalyst also
+    produces for correlated scalar aggregates. The average predicate is
+    evaluated as ``5 * qty * n < sum`` (quantities are integral, cast to
+    long): an exact integer cross-multiplication with no float division on
+    the comparison boundary."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("n_lines")
+    )
+    small = (
+        li.join(per_part.withColumnRenamed("l_partkey", "pk"),
+                F.col("l_partkey") == F.col("pk"))
+        .filter(5 * F.col("qty") * F.col("n_lines") < F.col("sum_qty"))
+    )
+    return (
+        small.join(part, small["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum("qty").alias("sum_small_qty"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(cast(l_quantity AS bigint))::bigint AS sum_qty,
+         count(*)::bigint AS n_lines
+  FROM lineitem GROUP BY l_partkey),
+small AS (
+  SELECT l.l_partkey, cast(l.l_quantity AS bigint) AS qty
+  FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+  WHERE 5 * cast(l.l_quantity AS bigint) * p.n_lines < p.sum_qty)
+SELECT p_brand, count(*)::bigint AS n_small,
+       sum(qty)::bigint AS sum_small_qty
+FROM small JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# Q21 shape: EXISTS + NOT EXISTS chain on the same fact table
+# ---------------------------------------------------------------------------
+
+_LATE_DAYS = 1400
+
+
+def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on multi-supplier orders
+    (TPC-H Q21 shape: a semi-join plus an anti-join of the fact table
+    against itself). "Late" = shipped > 1400 days after the order date.
+    For each late (order, supplier) pair: EXISTS another supplier on the
+    order (left-semi), NOT EXISTS another *late* supplier on the order
+    (left-anti) — both self-joins hash on l_orderkey, so the three passes
+    over lineitem co-partition on the same key and AQE reuses the
+    exchange. Counts are distinct (order, supplier) pairs; top 20 by
+    (numwait desc, s_name) — s_name is unique so the limit boundary is
+    total-ordered."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    lines = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    pairs = lines.select("l_orderkey", "l_suppkey", "late").distinct()
+    l1 = pairs.filter("late").select("l_orderkey", "l_suppkey")
+    l2 = pairs.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = pairs.filter("late").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = l1.join(
+        l2, (l1["l_orderkey"] == F.col("o2")) & (l1["l_suppkey"] != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3, (l1["l_orderkey"] == F.col("o3")) & (l1["l_suppkey"] != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole.join(sup, sole["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+    l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+l1 AS (SELECT l_orderkey, l_suppkey FROM pairs WHERE late)
+SELECT s_name, count(*)::bigint AS numwait
+FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM pairs p2
+    WHERE p2.l_orderkey = l1.l_orderkey AND p2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p3
+    WHERE p3.l_orderkey = l1.l_orderkey AND p3.l_suppkey <> l1.l_suppkey
+      AND p3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# Q16 shape: NOT IN subquery exclusion + grouped distinct aggregate
+# ---------------------------------------------------------------------------
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size) over the part-supplier relation
+    derived from lineitem, excluding suppliers in the NOT IN subquery
+    (negative account balance) — TPC-H Q16 shape. The part-supplier
+    relation is a distinct projection of the fact table (one hash agg);
+    the exclusion is a left-anti join against a tiny dimension subquery
+    (broadcast); the result is a grouped count-distinct (Expand plan).
+    All counts exact integers."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bad = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.distinct()
+    kept = ps.join(bad, ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+    return (
+        kept.join(part, kept["l_partkey"] == part["p_partkey"])
+        .filter(F.col("p_size") <= 25)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_size, count(DISTINCT l_suppkey)::bigint AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+# ---------------------------------------------------------------------------
+# Q22 shape: scalar-average subquery + NOT EXISTS anti-join
+# ---------------------------------------------------------------------------
+
+_IDLE_CUTOFF = "2000-01-01"
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balances and no recent orders
+    (TPC-H Q22 shape), per nation: the global scalar average is one
+    scalar aggregate broadcast via crossJoin (never a partition-less
+    window); "above average" is the integer cross-multiplication
+    ``acctbal_fp * n_pos > sum_pos_fp`` over cent-exact fixed-point
+    balances; "no order since 2000-01-01" is a left-anti join against the
+    distinct recent-customer keys. Output sums are fixed-point bigints —
+    no float crosses the oracle boundary."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_fp"),
+    )
+    recent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit(_IDLE_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    pos_stats = cust.filter(F.col("acctbal_fp") > 0).agg(
+        F.sum("acctbal_fp").alias("sum_pos"), F.count("*").alias("n_pos")
+    )
+    rich = cust.crossJoin(F.broadcast(pos_stats)).filter(
+        F.col("acctbal_fp") * F.col("n_pos") > F.col("sum_pos")
+    )
+    idle = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("acctbal_fp").alias("total_acctbal_fp"),
+    )
+
+
+Q22_SQL = f"""
+WITH fp AS (
+  SELECT c_custkey, c_nationkey,
+         cast(round(c_acctbal * 100, 0) AS bigint) AS acctbal_fp
+  FROM customer),
+pos AS (
+  SELECT sum(acctbal_fp)::bigint AS sum_pos, count(*)::bigint AS n_pos
+  FROM fp WHERE acctbal_fp > 0),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_IDLE_CUTOFF}')
+SELECT c_nationkey, count(*)::bigint AS n_cust,
+       sum(acctbal_fp)::bigint AS total_acctbal_fp
+FROM fp CROSS JOIN pos
+WHERE acctbal_fp * n_pos > sum_pos
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c_nationkey
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q4_priority_late_exists": q4_priority_late_exists,
+    "q17_small_quantity_share": q17_small_quantity_share,
+    "q21_sole_blame_suppliers": q21_sole_blame_suppliers,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q4_priority_late_exists": Q4_SQL,
+    "q17_small_quantity_share": Q17_SQL,
+    "q21_sole_blame_suppliers": Q21_SQL,
+    "q16_supplier_variety": Q16_SQL,
+    "q22_idle_rich_customers": Q22_SQL,
+}

@@ -417,3 +417,166 @@ FROM j WHERE day_offset <= 6 GROUP BY cohort_day, day_offset
 
 QUERIES["retention_cohorts"] = retention_cohorts
 ORACLE_SQL["retention_cohorts"] = RETENTION_SQL
+
+# ---------------------------------------------------------------------------
+# deterministic training-shard assignment
+# ---------------------------------------------------------------------------
+
+
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance accounting for deterministic hash-mod training shards
+    (packing.shard_assign, 64 shards): per-shard doc, token, and char
+    totals. The assignment is the engine-portable md5 hash of the doc id —
+    reproducible across engines/runs so training jobs can resume
+    per-shard — and the query is map-only into one hash agg; the real
+    export writes with partitionBy('shard'), one shuffle on the shard
+    key."""
+    from anomalydetection_spark.operators import packing
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sharded = packing.shard_assign(d, "doc_id", 64)
+    trimmed = F.trim(F.col("text"))
+    n_tok = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok.cast("long")).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+
+
+SHARD_ASSIGNMENT_SQL = r"""
+SELECT ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint % 64 AS shard,
+  count(*)::bigint AS n_docs,
+  sum(CASE WHEN trim(text) = '' THEN 0
+      ELSE len(string_split_regex(trim(text), '\s+')) END)::bigint AS n_tokens,
+  sum(n_chars)::bigint AS n_chars_total
+FROM documents GROUP BY 1
+"""
+
+QUERIES["shard_assignment_stats"] = shard_assignment_stats
+ORACLE_SQL["shard_assignment_stats"] = SHARD_ASSIGNMENT_SQL
+
+# ---------------------------------------------------------------------------
+# quality-aware duplicate-cluster canonicalization
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best canonicalization of near-dup clusters: MinHash-verified
+    pairs → connected components → per cluster, keep the member with the
+    highest deterministic quality score (ties → lowest id) instead of the
+    lowest id — the survivor policy real curation pipelines want. The
+    argmax is a struct-max hash agg (partial-aggregated, no window); the
+    DuckDB twin re-derives components with a recursive CTE and ranks by
+    (quality desc, id)."""
+    from anomalydetection_spark.plans.driver_queries_dedup import _dup_corpus
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    q = textops.quality_score(corpus, "doc_id", "text").select("doc_id", "quality")
+    return dedup.keep_best(comp, q, "doc_id", "quality")
+
+
+def _keep_best_sql() -> str:
+    from anomalydetection_spark.plans.driver_queries_dedup import _MINHASH_VP_CTES
+
+    return (
+        "WITH RECURSIVE "
+        + _MINHASH_VP_CTES
+        + r""",
+sym AS (SELECT id_a AS src, id_b AS dst FROM vp
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM vp),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach(node, comp) AS (
+  SELECT node, node AS comp FROM nodes
+  UNION
+  SELECT s.dst AS node, r.comp FROM reach r JOIN sym s ON s.src = r.node
+),
+components AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+qtok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+qq AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_types,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS n_stop
+  FROM qtok),
+scored AS (
+  SELECT doc_id,
+    round(0.4 * least(n_tokens / 64.0, 1.0)
+        + 0.4 * (CASE WHEN n_tokens > 0 THEN cast(n_types AS double)/n_tokens ELSE 0 END)
+        + 0.2 * (1.0 - (CASE WHEN n_tokens > 0 THEN cast(n_stop AS double)/n_tokens ELSE 0 END)),
+      6) AS quality
+  FROM qq),
+ranked AS (
+  SELECT c.comp AS cluster_id, c.node, s.quality,
+    row_number() OVER (PARTITION BY c.comp ORDER BY s.quality DESC, c.node ASC) AS rk,
+    count(*) OVER (PARTITION BY c.comp) AS n_members
+  FROM components c JOIN scored s ON s.doc_id = c.node)
+SELECT cluster_id, node AS keep_id, n_members::bigint AS n_members,
+       quality AS best_score
+FROM ranked WHERE rk = 1
+"""
+    )
+
+
+QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
+ORACLE_SQL["dedup_keep_best_quality"] = _keep_best_sql()
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def ppl_buckets_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing by per-doc nats/token vs the
+    corpus mean: head ≤ 0.8×mean, tail > 1.2×mean. Every comparison is an
+    integer one — per-doc and corpus mean NLL are fixed-point integer
+    divisions (DIV), and the 0.8/1.2 factors become ×10 vs ×8/×12 cross
+    multiplications — so no float ever sits on a bucket boundary. The
+    corpus mean is one scalar agg broadcast via crossJoin (never a
+    partition-less window)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = textops.unigram_logprob_scores(d, "doc_id", "text", keep_cols=["source"])
+    tot = s.agg(F.sum("nll_fp").alias("tnll"), F.sum("n_tokens").alias("ttok"))
+    j = s.filter(F.col("n_tokens") > 0).crossJoin(F.broadcast(tot))
+    doc_mean = F.expr("nll_fp DIV n_tokens")
+    corp_mean = F.expr("tnll DIV ttok")
+    bucket = (
+        F.when(doc_mean * 10 <= corp_mean * 8, F.lit("head"))
+        .when(doc_mean * 10 > corp_mean * 12, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return j.groupBy("source", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+
+
+PPL_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+    unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents),
+vocab AS (SELECT term, count(*)::bigint AS cnt FROM toks GROUP BY term),
+tot AS (SELECT sum(cnt)::bigint AS total FROM vocab),
+vp AS (
+  SELECT term,
+    cast(round(-ln(cnt / total) * 1000000000.0, 0) AS bigint) AS lp_fp
+  FROM vocab, tot),
+per_doc AS (
+  SELECT doc_id, source, count(*)::bigint AS n_tok, sum(lp_fp)::bigint AS nll_fp
+  FROM toks JOIN vp USING (term) GROUP BY doc_id, source),
+corp AS (SELECT sum(nll_fp)::bigint AS tnll, sum(n_tok)::bigint AS ttok FROM per_doc),
+b AS (
+  SELECT source,
+    CASE WHEN (nll_fp // n_tok) * 10 <= (tnll // ttok) * 8 THEN 'head'
+         WHEN (nll_fp // n_tok) * 10 > (tnll // ttok) * 12 THEN 'tail'
+         ELSE 'middle' END AS bucket,
+    n_tok
+  FROM per_doc CROSS JOIN corp WHERE n_tok > 0)
+SELECT source, bucket, count(*)::bigint AS n_docs, sum(n_tok)::bigint AS n_tokens
+FROM b GROUP BY source, bucket
+"""
+
+QUERIES["ppl_buckets_by_source"] = ppl_buckets_by_source
+ORACLE_SQL["ppl_buckets_by_source"] = PPL_BUCKETS_SQL

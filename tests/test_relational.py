@@ -1,0 +1,151 @@
+"""Batch-6 operators: decorrelated-subquery shapes, training shards,
+quality-aware canonicalization.
+
+Value correctness vs DuckDB is pinned by the oracle gate
+(tools/check_correctness.py); these tests pin the semantics on hand-made
+edge inputs and the physical-plan properties that matter at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.operators import dedup, packing
+from anomalydetection_spark.plans import driver_queries_relational as dqr
+from anomalydetection_spark.plans import driver_queries_training as dqt
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_assign
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assign_deterministic_and_bounded(spark):
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shard"] for r in packing.shard_assign(docs, "doc_id", 16).collect()}
+    b = {r["doc_id"]: r["shard"] for r in packing.shard_assign(docs, "doc_id", 16).collect()}
+    assert a == b  # reproducible run to run
+    assert all(0 <= s < 16 for s in a.values())
+
+
+def test_shard_assign_balances_sequential_ids(spark):
+    # hash-mod must spread sequential ids (the adversarial case for
+    # range/modulo sharding) roughly evenly: no shard > 2x the mean
+    docs = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    counts = (
+        packing.shard_assign(docs, "doc_id", 16)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert len(counts) == 16
+    sizes = [r["count"] for r in counts]
+    assert max(sizes) < 2 * (4000 / 16)
+    assert min(sizes) > 0.5 * (4000 / 16)
+
+
+def test_shard_assignment_stats_map_only_single_agg(spark):
+    plan = _formatted(spark, dqt.shard_assignment_stats(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") == 1  # one shuffle: the final hash agg
+    assert "ReadSchema" in plan
+
+
+# ---------------------------------------------------------------------------
+# keep_best canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_picks_highest_quality(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "node long, comp long"
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.4), (11, 0.4)],
+        "doc_id long, quality double",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in dedup.keep_best(comp, scored, "doc_id", "quality").collect()
+    }
+    assert out[1]["keep_id"] == 2 and out[1]["n_members"] == 3
+    assert abs(out[1]["best_score"] - 0.9) < 1e-12
+    # tie on quality → lowest id survives
+    assert out[10]["keep_id"] == 10 and out[10]["n_members"] == 2
+
+
+def test_keep_best_is_agg_not_window(spark):
+    comp = spark.createDataFrame([(1, 1), (2, 1)], "node long, comp long")
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9)], "doc_id long, quality double"
+    )
+    plan = _formatted(spark, dedup.keep_best(comp, scored, "doc_id", "quality"))
+    assert "Window" not in plan  # struct-max hash agg, partial-aggregated
+    assert "partial_max" in plan or "partial_count" in plan
+
+
+# ---------------------------------------------------------------------------
+# decorrelated-subquery shapes
+# ---------------------------------------------------------------------------
+
+
+def test_q4_plans_hash_semi_join(spark):
+    plan = _formatted(spark, dqr.q4_priority_late_exists(spark, SF))
+    assert "LeftSemi" in plan
+    # the correlated date predicate rides the hash join condition — never
+    # a nested-loop or cartesian plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # lineitem scan reads only the two referenced columns
+    li_schema = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "l_orderkey" in seg.splitlines()[0]
+    ]
+    assert li_schema and all("l_quantity" not in s for s in li_schema)
+
+
+def test_q17_partial_agg_before_join_back(spark):
+    plan = _formatted(spark, dqr.q17_small_quantity_share(spark, SF))
+    # the per-part average is ONE partial-aggregated hash agg on the fact
+    # table, joined back — never a per-row correlated subquery
+    assert "partial_sum(qty" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_q21_self_joins_hash_on_orderkey(spark):
+    plan = _formatted(spark, dqr.q21_sole_blame_suppliers(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # the suppkey inequality is a residual condition on the l_orderkey
+    # hash joins — no nested loop over the fact table
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_q22_scalar_agg_no_window(spark):
+    df = dqr.q22_idle_rich_customers(spark, SF)
+    plan = _formatted(spark, df)
+    assert "Window" not in plan  # global avg via scalar agg + broadcast
+    assert "LeftAnti" in plan
+    # fixed-point output: no float column crosses the boundary
+    kinds = dict(df.dtypes)
+    assert kinds["total_acctbal_fp"] == "bigint"
+
+
+def test_ppl_buckets_no_window_no_smj(spark):
+    plan = _formatted(spark, dqt.ppl_buckets_by_source(spark, SF))
+    assert "Window" not in plan
+    kinds = dict(dqt.ppl_buckets_by_source(spark, SF).dtypes)
+    assert kinds["n_docs"] == "bigint" and kinds["n_tokens"] == "bigint"
