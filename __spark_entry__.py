@@ -132,6 +132,9 @@ _TAIL = [
     "multimodal_frame_stats",  # multimodal family: multimodal_decode_stats
     "q6_revenue_filter",       # scan+filter+agg family: q1_pricing_summary
     "retention_cohorts",       # beyond-§2 cohort matrix; join-back (q18) + distinct-agg (stats_documents) families in-window
+    "q15_top_revenue_supplier",  # scalar-max argmax family: mad_outlier_hours (scalar-agg crossJoin) + topk_users_by_type (rk=1 argmax) in-window
+    "q19_branded_revenue",     # post-join disjunctive predicate over a hash equi-join: q18 (join+agg) + q6 (filter+agg) families in-window
+    "q20_heavy_suppliers",     # nested semi-join + grouped-HAVING subquery: q4 (conditioned semi-join) + q17 (integer cross-multiplied avg) in-window
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -297,12 +297,174 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q15 shape: aggregate view + scalar-max argmax
+# ---------------------------------------------------------------------------
+
+# per-row fixed-point revenue: both engines compute the identical double
+# product then round half-away-from-zero, so the integer SUM is
+# summation-order-proof (the BM25/NLL fixed-point pattern)
+
+
+def _rev_fp() -> Column:
+    return F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+    ).cast("long")
+
+_REV_FP_SQL = (
+    "cast(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS bigint)"
+)
+
+
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum total revenue (TPC-H Q15 shape: an
+    aggregate view joined against its own scalar max). Revenue is per-row
+    fixed-point (cents, rounded before summing) so the bigint totals and
+    the max comparison are summation-order-proof. The scalar max is one
+    tiny agg broadcast via crossJoin — never a global sort or a
+    partition-less window — and ties surface every argmax row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", _rev_fp().alias("rev_fp")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("rev_fp").alias("total_revenue_fp")
+    )
+    mx = per_supp.agg(F.max("total_revenue_fp").alias("mx"))
+    top = per_supp.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue_fp") == F.col("mx")
+    )
+    return top.join(sup, top["l_suppkey"] == sup["s_suppkey"]).select(
+        "s_suppkey", "s_name", "total_revenue_fp"
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_REV_FP_SQL})::bigint AS total_revenue_fp
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue_fp
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_fp = (SELECT max(total_revenue_fp) FROM rev)
+"""
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunction of per-branch conjunctions across the join
+# ---------------------------------------------------------------------------
+
+
+def q19_branded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three (brand, size-range, quantity-range) branches
+    OR-ed together (TPC-H Q19 shape). The disjunction spans both join
+    sides, so it evaluates as a post-join filter on a plain hash equi-join
+    on the part key — never a nested loop; the common part of each branch
+    (join key non-null) still pushes to the scans. One row out: exact
+    fixed-point revenue plus the matched line count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _rev_fp().alias("rev_fp"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("qty").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("qty").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("qty").between(20, 30))
+    )
+    return j.filter(branch).agg(
+        F.sum("rev_fp").alias("revenue_fp"), F.count("*").alias("n_lines")
+    )
+
+
+Q19_SQL = f"""
+SELECT sum({_REV_FP_SQL})::bigint AS revenue_fp, count(*)::bigint AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND cast(l_quantity AS bigint) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND cast(l_quantity AS bigint) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND cast(l_quantity AS bigint) BETWEEN 20 AND 30)
+"""
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested semi-joins (grouped-HAVING subquery inside an IN)
+# ---------------------------------------------------------------------------
+
+
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped > 1.5x the per-supplier average quantity of
+    any 'small *' part (TPC-H Q20 shape: a semi-join whose subquery is
+    itself a grouped HAVING over a semi-joined fact slice). The per-(part,
+    supplier) totals are one partial-aggregated hash agg; the 1.5x-average
+    predicate is the integer cross-multiplication ``2*sq*n > 3*tot``; the
+    part-name family filter is a broadcast semi-join BEFORE the heavy agg
+    so the fact table is pruned first. Output: the qualifying suppliers."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    target = part.filter(F.col("p_name").startswith("small ")).select("p_partkey")
+    sliced = li.join(
+        F.broadcast(target), li["l_partkey"] == target["p_partkey"], "left_semi"
+    )
+    per_pair = sliced.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("sq")
+    )
+    per_part = per_pair.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("sq").alias("tot"), F.count("*").alias("nsupp")
+    )
+    heavy = per_pair.join(per_part, F.col("l_partkey") == F.col("pk")).filter(
+        2 * F.col("sq") * F.col("nsupp") > 3 * F.col("tot")
+    )
+    keys = heavy.select("l_suppkey").distinct()
+    return sup.join(keys, sup["s_suppkey"] == keys["l_suppkey"], "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+Q20_SQL = """
+WITH sliced AS (
+  SELECT l_partkey, l_suppkey, cast(l_quantity AS bigint) AS qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')),
+per_pair AS (
+  SELECT l_partkey, l_suppkey, sum(qty)::bigint AS sq
+  FROM sliced GROUP BY l_partkey, l_suppkey),
+per_part AS (
+  SELECT l_partkey, sum(sq)::bigint AS tot, count(*)::bigint AS nsupp
+  FROM per_pair GROUP BY l_partkey)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT a.l_suppkey
+  FROM per_pair a JOIN per_part b ON a.l_partkey = b.l_partkey
+  WHERE 2 * a.sq * b.nsupp > 3 * b.tot)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_late_exists": q4_priority_late_exists,
     "q17_small_quantity_share": q17_small_quantity_share,
     "q21_sole_blame_suppliers": q21_sole_blame_suppliers,
     "q16_supplier_variety": q16_supplier_variety,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q15_top_revenue_supplier": q15_top_revenue_supplier,
+    "q19_branded_revenue": q19_branded_revenue,
+    "q20_heavy_suppliers": q20_heavy_suppliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -311,4 +473,7 @@ ORACLE_SQL: dict[str, str] = {
     "q21_sole_blame_suppliers": Q21_SQL,
     "q16_supplier_variety": Q16_SQL,
     "q22_idle_rich_customers": Q22_SQL,
+    "q15_top_revenue_supplier": Q15_SQL,
+    "q19_branded_revenue": Q19_SQL,
+    "q20_heavy_suppliers": Q20_SQL,
 }

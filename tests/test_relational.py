@@ -144,6 +144,57 @@ def test_q22_scalar_agg_no_window(spark):
     assert kinds["total_acctbal_fp"] == "bigint"
 
 
+def test_q15_scalar_max_no_window_no_sort(spark):
+    df = dqr.q15_top_revenue_supplier(spark, SF)
+    plan = _formatted(spark, df)
+    # the argmax is a scalar-max broadcast crossJoin over the aggregated
+    # per-supplier view — never a global sort or a partition-less window
+    assert "Window" not in plan
+    assert "Sort (" not in plan or "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert dict(df.dtypes)["total_revenue_fp"] == "bigint"
+
+
+def test_q15_ties_emit_every_argmax_row(spark):
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0), (2, 50.0, 0.0), (2, 50.0, 0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    sup = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "s_suppkey long, s_name string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(f"{d}/lineitem.parquet")
+        sup.write.parquet(f"{d}/supplier.parquet")
+        rows = sorted(
+            (r["s_suppkey"], r["total_revenue_fp"])
+            for r in dqr.q15_top_revenue_supplier(spark, d).collect()
+        )
+    assert rows == [(1, 10000), (2, 10000)]  # both maxima surface
+
+
+def test_q19_disjunction_is_post_filter_on_hash_join(spark):
+    plan = _formatted(spark, dqr.q19_branded_revenue(spark, SF))
+    # the OR spans both join sides → post-join filter on a plain hash
+    # equi-join on the part key, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q20_prunes_fact_before_heavy_agg(spark):
+    plan = _formatted(spark, dqr.q20_heavy_suppliers(spark, SF))
+    # the part-name family filter semi-joins the fact table BEFORE the
+    # per-(part,supplier) agg: the semi-join must appear below the partial agg
+    semi_pos = plan.find("LeftSemi")
+    agg_pos = plan.find("partial_sum")
+    assert semi_pos != -1 and agg_pos != -1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
 def test_ppl_buckets_no_window_no_smj(spark):
     plan = _formatted(spark, dqt.ppl_buckets_by_source(spark, SF))
     assert "Window" not in plan
