@@ -135,6 +135,12 @@ _TAIL = [
     "q15_top_revenue_supplier",  # scalar-max argmax family: mad_outlier_hours (scalar-agg crossJoin) + topk_users_by_type (rk=1 argmax) in-window
     "q19_branded_revenue",     # post-join disjunctive predicate over a hash equi-join: q18 (join+agg) + q6 (filter+agg) families in-window
     "q20_heavy_suppliers",     # nested semi-join + grouped-HAVING subquery: q4 (conditioned semi-join) + q17 (integer cross-multiplied avg) in-window
+    "q7_volume_shipping",      # two-dimension-path star + symmetric pair disjunction: q5 (6-way star) + q19 (post-join disjunction) families
+    "q8_market_share",         # conditional-agg ratio over a 5-way star: q5 (star) + q14-style case-sum; share derives from bigint sums
+    "q9_product_profit",       # semi-join-pruned star agg: q20 (name-family semi before agg) + q5 (star) families
+    "q10_returned_items",      # agg-then-join-back topk: q18 (join-back) + q3 (topk) families
+    "q12_late_priority_lines", # conditional-count classification on a hash join: q4 (late predicate rides join) + pivot-style case-sums
+    "q14_promo_share",         # conditional share over a broadcast join: q8 case-sum ratio family, single-row output
 ]
 
 

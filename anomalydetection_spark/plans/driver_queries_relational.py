@@ -456,6 +456,340 @@ WHERE s_suppkey IN (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q7 shape: two-dimension join with a symmetric nation-pair disjunction
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between two nations in both directions, by
+    (supplier nation, customer nation, ship year) — TPC-H Q7 shape. The
+    fact table joins two different dimension *paths* (supplier→nation and
+    orders→customer→nation); the symmetric pair predicate is a post-join
+    disjunction. Both nation dims broadcast; supplier and customer hash
+    on their PKs. Revenue is fixed-point bigint so group totals are
+    summation-order-proof."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", F.year("l_shipdate").alias("l_year"),
+        _rev_fp().alias("rev_fp"),
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_fp").alias("revenue_fp"), F.count("*").alias("n_lines"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       sum(rev_fp)::bigint AS revenue_fp, count(*)::bigint AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate)::bigint AS l_year, {_REV_FP_SQL} AS rev_fp
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+# ---------------------------------------------------------------------------
+# Q8 shape: conditional-aggregate market share (ratio of two sums)
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of PROMO-part revenue sold to ASIA customers, by
+    order year (TPC-H Q8 shape). The share is a conditional aggregate —
+    ``sum(case when supp_nation = X)`` over ``sum(all)`` — never a second
+    scan or self-join. Both sums are fixed-point bigints; the share is one
+    double division of identical integers on both engines, rounded to 6.
+    Part and the region-filtered customer-nation dims broadcast; the
+    5-way star hashes on PKs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _rev_fp().alias("rev_fp")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    asia_nations = (
+        nat.join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            nat["n_regionkey"] == reg["r_regionkey"],
+        ).select(F.col("n_nationkey").alias("cnk"))
+    )
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    j = (
+        li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"], "left_semi")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cnk"), "left_semi")
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("snk"))
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("rev_fp")).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_fp"),
+        F.sum("rev_fp").alias("total_fp"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_fp",
+        "total_fp",
+        F.round(F.col("nation_fp") / F.col("total_fp"), 6).alias("mkt_share"),
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year, nation_fp::bigint AS nation_fp, total_fp::bigint AS total_fp,
+       round(nation_fp / total_fp, 6) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate)::bigint AS o_year,
+    sum(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV_FP_SQL} ELSE 0 END) AS nation_fp,
+    sum({_REV_FP_SQL}) AS total_fp
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND c.c_nationkey IN (
+      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+  GROUP BY 1)
+"""
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-family profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from parts whose name contains 'widget', by supplier nation
+    and ship year (TPC-H Q9 shape, profit simplified to discounted revenue
+    — the fixture has no partsupp cost table). The name filter is a
+    broadcast semi-join applied to the fact table BEFORE the wide joins;
+    nation broadcasts; the group-by is a single hash agg on
+    (nation, year) with map-side partials."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", F.year("l_shipdate").alias("l_year"),
+        _rev_fp().alias("rev_fp"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    widgets = part.filter(F.col("p_name").contains("widget")).select("p_partkey")
+    return (
+        li.join(F.broadcast(widgets), li["l_partkey"] == widgets["p_partkey"], "left_semi")
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", "l_year")
+        .agg(F.sum("rev_fp").alias("profit_fp"), F.count("*").alias("n_lines"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n.n_name AS nation, year(l.l_shipdate)::bigint AS l_year,
+       sum({_REV_FP_SQL})::bigint AS profit_fp, count(*)::bigint AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-revenue top customers
+# ---------------------------------------------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returns (l_returnflag = 'R')
+    on orders placed in 1996H1 — TPC-H Q10 shape. The date filter prunes
+    orders before the fact join; the returnflag filter prunes lineitem at
+    the scan; customer/nation join AFTER the per-customer aggregate so
+    the wide name columns never ride the big shuffle. Total order is
+    (revenue desc, c_custkey) — the limit boundary is deterministic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", _rev_fp().alias("rev_fp"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_fp").alias("revenue_fp"))
+    )
+    return (
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "nation", "revenue_fp")
+        .orderBy(F.desc("revenue_fp"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+WITH per_cust AS (
+  SELECT o.o_custkey, sum({_REV_FP_SQL})::bigint AS revenue_fp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY o.o_custkey)
+SELECT c_custkey, c_name, n_name AS nation, revenue_fp
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_fp DESC, c_custkey
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# Q12 shape: conditional-count classification over a join
+# ---------------------------------------------------------------------------
+
+
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Among lineitems shipped > 90 days after their order date, count
+    urgent (priority 1-2) vs non-urgent orders per line status — TPC-H
+    Q12 shape (l_linestatus stands in for the fixture-absent l_shipmode).
+    The urgency split is a conditional aggregate on one hash join; the
+    lateness predicate rides the join output, and only 3 narrow columns
+    cross the exchange."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(urgent.cast("long")).alias("high_line_count"),
+        F.sum((~urgent).cast("long")).alias("low_line_count"),
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::bigint
+    AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::bigint
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share in a date window
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of 1997 revenue from PROMO-type parts (TPC-H Q14 shape): a
+    conditional sum over one broadcast join — the promo flag rides the
+    part dim; no second pass. Numerator/denominator are fixed-point
+    bigints; the share divides identical integers on both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_partkey", _rev_fp().alias("rev_fp"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    agg = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).agg(
+        F.sum(F.when(F.col("is_promo"), F.col("rev_fp")).otherwise(F.lit(0))).alias(
+            "promo_fp"
+        ),
+        F.sum("rev_fp").alias("total_fp"),
+    )
+    return agg.select(
+        "promo_fp",
+        "total_fp",
+        F.round(100.0 * F.col("promo_fp") / F.col("total_fp"), 6).alias("promo_pct"),
+    )
+
+
+Q14_SQL = f"""
+SELECT promo_fp::bigint AS promo_fp, total_fp::bigint AS total_fp,
+       round(100.0 * promo_fp / total_fp, 6) AS promo_pct
+FROM (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO' THEN {_REV_FP_SQL} ELSE 0 END) AS promo_fp,
+    sum({_REV_FP_SQL}) AS total_fp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01')
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_late_exists": q4_priority_late_exists,
     "q17_small_quantity_share": q17_small_quantity_share,
@@ -465,6 +799,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_top_revenue_supplier": q15_top_revenue_supplier,
     "q19_branded_revenue": q19_branded_revenue,
     "q20_heavy_suppliers": q20_heavy_suppliers,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q12_late_priority_lines": q12_late_priority_lines,
+    "q14_promo_share": q14_promo_share,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -476,4 +816,10 @@ ORACLE_SQL: dict[str, str] = {
     "q15_top_revenue_supplier": Q15_SQL,
     "q19_branded_revenue": Q19_SQL,
     "q20_heavy_suppliers": Q20_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_late_priority_lines": Q12_SQL,
+    "q14_promo_share": Q14_SQL,
 }

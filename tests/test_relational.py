@@ -195,6 +195,52 @@ def test_q20_prunes_fact_before_heavy_agg(spark):
     assert "Window" not in plan
 
 
+def test_q7_broadcasts_nations_no_nested_loop(spark):
+    plan = _formatted(spark, dqr.q7_volume_shipping(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # nation dims broadcast
+    # lineitem scan projects only the 4 referenced leaf columns
+    assert "l_returnflag" not in plan
+
+
+def test_q8_share_is_conditional_agg_single_pass(spark):
+    df = dqr.q8_market_share(spark, SF)
+    plan = _formatted(spark, df)
+    # numerator and denominator come from ONE agg — no self-join/union of
+    # two scans, no window
+    assert "Window" not in plan
+    assert "Union" not in plan
+    kinds = dict(df.dtypes)
+    assert kinds["nation_fp"] == "bigint" and kinds["total_fp"] == "bigint"
+
+
+def test_q9_semi_join_prunes_before_agg(spark):
+    plan = _formatted(spark, dqr.q9_product_profit(spark, SF))
+    semi_pos = plan.find("LeftSemi")
+    agg_pos = plan.find("partial_sum")
+    assert semi_pos != -1 and agg_pos != -1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_aggregates_before_customer_join(spark):
+    plan = _formatted(spark, dqr.q10_returned_items(spark, SF))
+    # per-customer revenue aggregates BEFORE the customer/nation joins so
+    # c_name never rides the big exchange; top-20 plans TakeOrdered
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter pushes to the lineitem scan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan \
+        or "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q12_q14_single_agg_no_window(spark):
+    for fn in (dqr.q12_late_priority_lines, dqr.q14_promo_share):
+        plan = _formatted(spark, fn(spark, SF))
+        assert "Window" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
 def test_ppl_buckets_no_window_no_smj(spark):
     plan = _formatted(spark, dqt.ppl_buckets_by_source(spark, SF))
     assert "Window" not in plan
