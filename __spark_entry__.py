@@ -21,6 +21,7 @@ from anomalydetection_spark.plans import (
     driver_queries,
     driver_queries_curation,
     driver_queries_dedup,
+    driver_queries_events,
     driver_queries_quality,
     driver_queries_relational,
     driver_queries_training,
@@ -87,11 +88,11 @@ _PRIORITY = [
     "stratified_sample_langs",
     "roc_auc_embeddings",
     "topk_users_by_type",
+    "funnel_stages",           # new: strictly-ordered 3-stage funnel (chained per-user aggs)
+    "hopping_window_counts",   # new: overlapping hopping windows vs an arithmetic DuckDB construction
+    "gapfill_daily_activity",  # new: dense calendar densification (gap-fill grid)
     "grouping_sets_orders",
     "set_ops_users",
-    "asof_last_purchase",
-    "range_join_windows",
-    "zorder_event_buckets",
     "q1_pricing_summary",
     "q13_order_count_distribution",
     "dedup_minhash_lsh",
@@ -99,6 +100,9 @@ _PRIORITY = [
     "lang_id_confusion",
 ]
 _TAIL = [
+    "asof_last_purchase",      # driver-verified green in r02 (hash), operator unchanged since; carry-forward window family also exercised by running_total_user
+    "range_join_windows",      # driver-verified green in r02 (hash), unchanged; broadcast-equi-join rewrite family with hopping_window_counts (bucketed containment) in-window
+    "zorder_event_buckets",    # driver-verified green in r02 (hash), unchanged; layout family also pinned by test_layout + docstore zorder compaction tests
     "ann_ivf_topk",            # cell-pruned ANN family: ann_pq_topk (same coarse quantization + exact-cosine rerank) and semdedup_clusters (broadcast-centroid assignment) in-window; recall floored in tests
     "dedup_components",        # min-label-propagation family: dedup_keep_best_quality runs the same connected_components in-window (plus the quality argmax)
     "dedup_ngram_jaccard",     # shingle→exact-Jaccard family: dedup_minhash_lsh in-window shares the df-capped shingle + jaccard_verify core
@@ -147,6 +151,7 @@ _TAIL = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(driver_queries.QUERIES)
     q.update(driver_queries_dedup.QUERIES)
+    q.update(driver_queries_events.QUERIES)
     q.update(driver_queries_curation.QUERIES)
     q.update(driver_queries_quality.QUERIES)
     q.update(driver_queries_training.QUERIES)
@@ -161,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     sql = dict(driver_queries.ORACLE_SQL)
     sql.update(driver_queries_dedup.ORACLE_SQL)
+    sql.update(driver_queries_events.ORACLE_SQL)
     sql.update(driver_queries_curation.ORACLE_SQL)
     sql.update(driver_queries_quality.ORACLE_SQL)
     sql.update(driver_queries_training.ORACLE_SQL)
