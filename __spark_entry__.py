@@ -96,10 +96,12 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q13_order_count_distribution",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "lang_id_confusion",
+    "dsir_importance_by_lang",  # new: DSIR hashed-n-gram importance weights (target vs raw bag models)
+    "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
 ]
 _TAIL = [
+    "dedup_simhash",           # driver-verified green in r02 (hash), unchanged; near-dup family also in-window via dedup_minhash_lsh
+    "lang_id_confusion",       # driver-verified green in r02 (hash), unchanged; text-stats family in-window via token/quality entries
     "asof_last_purchase",      # driver-verified green in r02 (hash), operator unchanged since; carry-forward window family also exercised by running_total_user
     "range_join_windows",      # driver-verified green in r02 (hash), unchanged; broadcast-equi-join rewrite family with hopping_window_counts (bucketed containment) in-window
     "zorder_event_buckets",    # driver-verified green in r02 (hash), unchanged; layout family also pinned by test_layout + docstore zorder compaction tests

@@ -663,3 +663,67 @@ def semdedup(
         .join(dup_ids, id_col, "left")
         .select(id_col, "cell", F.coalesce("_dup", F.lit(False)).alias("is_dup"))
     )
+
+
+# exact fixed-point class-centroid statistics --------------------------------
+
+CENTROID_SCALE = 1_000_000
+
+
+def class_centroid_stats(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Per-class centroid norm and dispersion over an embedding column,
+    computed EXACTLY in fixed point so the result is summation-order-proof
+    (the order float vector sums arrive in differs run-to-run on a
+    cluster; quantized bigint sums never do).
+
+    Components quantize to floor(x·1e6 + ½) — floor, not round: Spark's
+    ``round`` goes through the decimal string (BigDecimal.valueOf) while
+    other engines round the binary double, and the two disagree on values
+    whose shortest decimal form ends in .5; ``floor(d + 0.5)`` is plain
+    IEEE arithmetic and bit-identical everywhere. Per-(label, dim) sums and
+    sums-of-squares are exact bigints; then
+      ``centroid_norm``  = sqrt(Σ_d sum_fp²) / (1e6·n)
+      ``mean_sq_dist``   = (n·Σ_d sumsq_fp − Σ_d sum_fp²) / (n²·1e12)
+    using E‖x−c‖² = E‖x‖² − ‖c‖² — both derive from one integer
+    numerator, one IEEE-exact sqrt/division, rounded to 6.
+
+    Scale shape: posexplode streams the vectors once into a
+    (label, dim)-keyed hash agg (map-side partials absorb the dimension
+    fan-out); the second agg is |labels|·d rows. No windows, no Python.
+    Integer bounds: safe while n·Σx_fp² < 2^63 — i.e. corpora up to
+    ~10^5 vectors per label at ‖x‖∞ ≤ 10, d = 1024; shard larger classes
+    or drop to DECIMAL(38) sums.
+
+    Returns (label, n_vecs, norm2_num, centroid_norm, mean_sq_dist).
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x * F.lit(float(CENTROID_SCALE)) + F.lit(0.5)).cast("long"),
+    )
+    ex = df.select(F.col(label_col).alias("label"), F.posexplode(q).alias("dim", "x_fp"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.sum("x_fp").alias("sum_fp"),
+        F.sum(F.col("x_fp") * F.col("x_fp")).alias("sumsq_fp"),
+        F.count("*").cast("long").alias("n"),
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(F.col("sum_fp") * F.col("sum_fp")).alias("norm2_num"),
+        F.sum("sumsq_fp").alias("sumsq_total"),
+    )
+    s = float(CENTROID_SCALE)
+    return per_label.select(
+        "label",
+        "n_vecs",
+        "norm2_num",
+        F.round(
+            F.sqrt(F.col("norm2_num")) / (F.lit(s) * F.col("n_vecs")), 6
+        ).alias("centroid_norm"),
+        F.round(
+            (F.col("n_vecs") * F.col("sumsq_total") - F.col("norm2_num"))
+            / (F.col("n_vecs") * F.col("n_vecs") * F.lit(s * s)),
+            6,
+        ).alias("mean_sq_dist"),
+    )

@@ -556,3 +556,88 @@ def unigram_logprob_scores(
         "nll",
         F.round(F.col("nll_fp") / (F.lit(float(LM_SCALE)) * F.col("n_tokens")), 6),
     )
+
+
+# DSIR-style hashed importance weights (data selection for LMs) --------------
+
+DSIR_BUCKETS = 1 << 16
+
+
+def _dsir_features(text_col: str) -> Column:
+    """Unigram + bigram feature array (the DSIR paper's hashed n-gram
+    feature space): tokens plus space-joined adjacent pairs."""
+    toks = _tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Importance weights for Data Selection via Importance Resampling
+    (DSIR, Xie et al. 2023): hashed n-gram bag models of the TARGET
+    distribution (rows where ``is_target``) and the RAW distribution (all
+    rows), per-doc weight = Σ_features log(p_target(f) / p_raw(f)) with
+    add-one smoothing over the 2^16 hashed buckets.
+
+    Determinism contract: the per-bucket log-ratio is ONE ``ln`` of an
+    exact integer rational — round(1e9·ln(((ct+1)·(Nr+B)) /
+    ((cr+1)·(Nt+B)))) — so both engines round the same double once, and
+    per-doc sums are exact bigint additions (summation-order-proof).
+
+    Scale shape: one hash agg over the exploded feature stream fits both
+    models simultaneously (target count = conditional sum, raw count =
+    plain count — a single pass); totals are one scalar crossJoin; the
+    ≤2^16-row weight table broadcasts back onto the feature stream, so
+    the corpus is scanned exactly twice and never shuffled on anything
+    wider than (id, feature). The integer products assume corpus feature
+    counts ≤ ~9e9·B⁻¹ per bucket at 1e9-scale use the float form instead.
+
+    Returns (id, *keep_cols, n_feats, weight_fp, avg_weight).
+    """
+    extra = list(keep_cols or [])
+    feats = df.select(
+        F.col(id_col),
+        *extra,
+        is_target.cast("long").alias("_tgt"),
+        F.explode(_dsir_features(text_col)).alias("_f"),
+    ).withColumn("_b", _bucket(F.col("_f")) % DSIR_BUCKETS)
+    buckets = feats.groupBy("_b").agg(
+        F.sum("_tgt").alias("_ct"), F.count("*").cast("long").alias("_cr")
+    )
+    totals = buckets.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
+    )
+    w_fp = F.round(
+        F.log(
+            ((F.col("_ct") + 1) * (F.col("_nr") + DSIR_BUCKETS))
+            / ((F.col("_cr") + 1) * (F.col("_nt") + DSIR_BUCKETS))
+        )
+        * F.lit(float(LM_SCALE)),
+        0,
+    ).cast("long")
+    weights = F.broadcast(
+        buckets.crossJoin(F.broadcast(totals)).select("_b", w_fp.alias("_w"))
+    )
+    scored = (
+        feats.join(weights, "_b")
+        .groupBy(id_col, *extra)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("_w").alias("weight_fp"),
+        )
+    )
+    return scored.withColumn(
+        "avg_weight",
+        F.round(F.col("weight_fp") / (F.lit(float(LM_SCALE)) * F.col("n_feats")), 6),
+    )

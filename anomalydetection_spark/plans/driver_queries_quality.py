@@ -294,3 +294,111 @@ SELECT source, status, count(*)::bigint AS n_docs FROM j GROUP BY source, status
 
 QUERIES["dedup_incremental"] = dedup_incremental
 ORACLE_SQL["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# batch 9: DSIR importance weights + exact class-centroid statistics
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language DSIR importance accounting with English as the target
+    distribution: docs resembling the target's hashed-n-gram profile get
+    positive weights. 'en' must surface with the highest average weight —
+    a built-in sanity check the oracle hash also pins. One feature-stream
+    hash agg fits both bag models; the 2^16-bucket weight table
+    broadcasts back (see textops.dsir_importance for the scale shape)."""
+    from anomalydetection_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = textops.dsir_importance(
+        docs, "doc_id", "text", F.col("lang") == "en", keep_cols=["lang"]
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_feats").alias("n_feats"),
+            F.sum("weight_fp").alias("weight_fp"),
+        )
+        .withColumn(
+            "avg_weight",
+            F.round(F.col("weight_fp") / (F.lit(1e9) * F.col("n_feats")), 6),
+        )
+    )
+
+
+DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, (lang = 'en')::bigint AS tgt,
+         string_split_regex(trim(text), '\s+') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang, tgt, unnest(list_concat(
+    t,
+    CASE WHEN len(t) >= 2 THEN
+      [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]
+    ELSE [] END)) AS f
+  FROM toks),
+bucketed AS (
+  SELECT doc_id, lang, tgt,
+    (('0x' || substr(md5(f), 1, 15))::bigint % 1048576) % 65536 AS b
+  FROM feats),
+buckets AS (
+  SELECT b, sum(tgt)::bigint AS ct, count(*)::bigint AS cr
+  FROM bucketed GROUP BY b),
+totals AS (SELECT sum(ct)::bigint AS nt, sum(cr)::bigint AS nr FROM buckets),
+weights AS (
+  SELECT b, round(ln(((ct + 1) * (nr + 65536)) /
+                     ((cr + 1) * (nt + 65536))) * 1e9, 0)::bigint AS w
+  FROM buckets, totals),
+perdoc AS (
+  SELECT doc_id, lang, count(*)::bigint AS n_feats, sum(w)::bigint AS weight_fp
+  FROM bucketed JOIN weights USING (b)
+  GROUP BY doc_id, lang)
+SELECT lang, count(*)::bigint AS n_docs, sum(n_feats)::bigint AS n_feats,
+       sum(weight_fp)::bigint AS weight_fp,
+       round(sum(weight_fp) / (1e9 * sum(n_feats)), 6) AS avg_weight
+FROM perdoc
+GROUP BY lang
+"""
+
+
+def class_centroid_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point per-label centroid norms and dispersions over the
+    embedding table (see similarity.class_centroid_stats): the vector sums
+    a float implementation would make run-order-dependent are bigint-exact
+    here, so the hash matches DuckDB bit-for-bit."""
+    from anomalydetection_spark.operators import similarity
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.class_centroid_stats(em, "label", "embedding")
+
+
+CENTROID_SQL = """
+WITH ex AS (
+  SELECT label, i - 1 AS dim,
+         floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)::bigint AS x_fp
+  FROM (SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+per_dim AS (
+  SELECT label, dim, sum(x_fp)::bigint AS sum_fp,
+         sum(x_fp * x_fp)::bigint AS sumsq_fp, count(*)::bigint AS n
+  FROM ex GROUP BY 1, 2),
+per_label AS (
+  SELECT label, max(n)::bigint AS n_vecs,
+         sum(sum_fp * sum_fp)::bigint AS norm2_num,
+         sum(sumsq_fp)::bigint AS sumsq_total
+  FROM per_dim GROUP BY 1)
+SELECT label, n_vecs, norm2_num,
+  round(sqrt(norm2_num) / (1000000.0 * n_vecs), 6) AS centroid_norm,
+  round((n_vecs * sumsq_total - norm2_num)
+        / (n_vecs * n_vecs * 1000000000000.0), 6) AS mean_sq_dist
+FROM per_label
+"""
+
+QUERIES["dsir_importance_by_lang"] = dsir_importance_by_lang
+ORACLE_SQL["dsir_importance_by_lang"] = DSIR_SQL
+QUERIES["class_centroid_stats"] = class_centroid_stats_q
+ORACLE_SQL["class_centroid_stats"] = CENTROID_SQL
