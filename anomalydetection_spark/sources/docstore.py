@@ -21,6 +21,18 @@ DataSourceV2 (PySpark's Python DataSource API — planned as a real V2
    min/max for ``partition_id``; pushed filters (`pushFilters`) prune
    whole files before any read, the Iceberg manifest-stats skip.
 
+**Pruning is opt-in** (``.option("pruned_scan", "true")``), because Spark's
+Python-data-source pushdown caches mutable state per loaded relation:
+``PythonScanBuilder.pushFilters`` overwrites the provider-level read info
+(``PythonDataSourceV2.setReadInfo``), and a later **filterless** action on
+the same DataFrame reuses it via ``getOrCreateReadInfo`` — so a pruned
+partition list planned for ``df.filter(...)`` would silently drop rows
+from a subsequent ``df.count()``. With pruning off, planning is
+filter-independent and the cache reuse is harmless; with ``pruned_scan``
+on, the contract is one planned query per ``load()`` (exactly how a SQL
+engine resolves a table per statement). Filters left unsupported are
+re-applied by Spark post-scan, so correctness never depends on pruning.
+
 Everything inside a data file is plain parquet, written/read with
 pyarrow over Arrow record batches — no per-row Python on either path.
 """
@@ -126,6 +138,9 @@ def commit_snapshot(table_dir: str, files: list[dict], schema_json: str) -> int:
 class _FileSplit(InputPartition):
     path: str
     journal_dir: str | None
+    # merge-on-read: position-delete files (Iceberg V2 delete files) whose
+    # `pos` rows are skipped while streaming this data file
+    deletes: tuple = ()
 
 
 class DocStoreReader(DataSourceReader):
@@ -134,6 +149,7 @@ class DocStoreReader(DataSourceReader):
         # optional side-channel recording which files were actually opened
         # (the pruning-evidence hook for tests; no-op unless set)
         self.journal_dir = options.get("journal") or None
+        self.pruned_scan = str(options.get("pruned_scan", "")).lower() == "true"
         v = options.get("version")
         self.manifest = load_manifest(self.table_dir, int(v) if v is not None else None)
         self._bounds: tuple[float | None, float | None] = (None, None)
@@ -142,14 +158,27 @@ class DocStoreReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept range/equality/in filters on the stats column; everything
         else is returned as unsupported (Spark re-applies it post-scan, so
-        pruning is an optimization, never a correctness dependency)."""
+        pruning is an optimization, never a correctness dependency).
+
+        State discipline: accumulators reset here (pushFilters opens a
+        plan) and are consumed by partitions(). EVERY filter is returned
+        as unsupported — pruning is file-granular (manifest min/max), so a
+        kept file may still hold non-matching rows and Spark must re-apply
+        the predicate post-scan; the filters only STEER the file pruning,
+        and only under ``pruned_scan`` (see the module docstring: Spark
+        caches pushed-down read info per relation, so filter-dependent
+        planning is only safe when one query is planned per load())."""
+        self._bounds = (None, None)
+        self._in_set = None
+        if not self.pruned_scan:
+            return iter(filters)
         lo, hi = self._bounds
-        unsupported: list[Filter] = []
         for flt in filters:
-            col = flt.attribute[0] if len(flt.attribute) == 1 else None
+            attr = getattr(flt, "attribute", None)  # e.g. Not has none
+            col = attr[0] if attr is not None and len(attr) == 1 else None
             if col != STATS_COLUMN:
-                unsupported.append(flt)
-            elif isinstance(flt, (EqualTo, EqualNullSafe)):
+                continue
+            if isinstance(flt, (EqualTo, EqualNullSafe)):
                 lo = flt.value if lo is None else max(lo, flt.value)
                 hi = flt.value if hi is None else min(hi, flt.value)
             elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
@@ -159,13 +188,13 @@ class DocStoreReader(DataSourceReader):
             elif isinstance(flt, In):
                 s = set(flt.values)
                 self._in_set = s if self._in_set is None else (self._in_set & s)
-            else:
-                unsupported.append(flt)
         self._bounds = (lo, hi)
-        return iter(unsupported)
+        return iter(filters)  # all unsupported: Spark re-applies post-scan
 
     def partitions(self) -> Sequence[InputPartition]:
         lo, hi = self._bounds
+        in_set, self._in_set = self._in_set, None
+        self._bounds = (None, None)  # consumed: next scan starts clean
         splits = []
         for f in self.manifest["files"]:
             fmin, fmax = f["stats"].get(STATS_COLUMN, (None, None))
@@ -174,11 +203,20 @@ class DocStoreReader(DataSourceReader):
                     continue
                 if hi is not None and fmin > hi:
                     continue
-                if self._in_set is not None and not any(
-                    fmin <= v <= fmax for v in self._in_set
+                if in_set is not None and not any(
+                    fmin <= v <= fmax for v in in_set
                 ):
                     continue
-            splits.append(_FileSplit(os.path.join(self.table_dir, f["path"]), self.journal_dir))
+            splits.append(
+                _FileSplit(
+                    os.path.join(self.table_dir, f["path"]),
+                    self.journal_dir,
+                    tuple(
+                        os.path.join(self.table_dir, d)
+                        for d in f.get("deletes", ())
+                    ),
+                )
+            )
         # empty-scan guard: Spark requires >= 1 partition
         return splits or [_FileSplit("", None)]
 
@@ -198,7 +236,21 @@ class DocStoreReader(DataSourceReader):
             ).close()
         pf = pq.ParquetFile(part.path)
         expected = self._arrow_schema()
+        dropped: set[int] = set()
+        for dpath in part.deletes:
+            dropped.update(pq.read_table(dpath, columns=["pos"])["pos"].to_pylist())
+        offset = 0
         for batch in pf.iter_batches():
+            start, offset = offset, offset + batch.num_rows
+            if dropped:
+                # apply the position-delete bitmap for this batch's span
+                keep = [
+                    i for i in range(batch.num_rows) if start + i not in dropped
+                ]
+                if len(keep) < batch.num_rows:
+                    batch = batch.take(pa.array(keep, type=pa.int32()))
+                    if batch.num_rows == 0:
+                        continue
             if expected is None or batch.schema.names == expected.names:
                 yield batch
                 continue
@@ -377,12 +429,19 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     head = current_version(table_dir)
     keep = set(range(max(1, head - keep_last + 1), head + 1))
     expired = [v for v in range(1, head + 1) if v not in keep]
+    def _refs(v: int) -> set[str]:
+        refs: set[str] = set()
+        for f in load_manifest(table_dir, v)["files"]:
+            refs.add(f["path"])
+            refs.update(f.get("deletes", ()))  # MOR delete files are data too
+        return refs
+
     live_files: set[str] = set()
     for v in keep:
-        live_files.update(f["path"] for f in load_manifest(table_dir, v)["files"])
+        live_files.update(_refs(v))
     dead_files: set[str] = set()
     for v in expired:
-        dead_files.update(f["path"] for f in load_manifest(table_dir, v)["files"])
+        dead_files.update(_refs(v))
     dead_files -= live_files
     for v in expired:
         os.remove(os.path.join(table_dir, f"manifest-v{v}.json"))
@@ -444,6 +503,32 @@ def _footer_stats(path: str) -> tuple[int, dict]:
     return rows, ({STATS_COLUMN: [cmin, cmax]} if cmin is not None else {})
 
 
+def _read_files_visible(spark, table_dir: str, entries: list[dict]):
+    """The VISIBLE rows of the given manifest entries: raw parquet minus
+    each file's position-delete rows (merge-on-read bitmaps). Every
+    rewrite path must read through this — reading the raw files would
+    resurrect MOR-deleted rows into the rewritten snapshot."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(table_dir, e["path"]) for e in entries]
+    df = spark.read.parquet(*paths)
+    cond = None
+    for e in entries:
+        pos: list[int] = []
+        for d in e.get("deletes", ()):
+            pos.extend(
+                pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
+            )
+        if not pos:
+            continue
+        c = F.col("_metadata.file_path").endswith("/" + e["path"]) & F.col(
+            "_metadata.row_index"
+        ).isin(pos)
+        cond = c if cond is None else (cond | c)
+    return df if cond is None else df.filter(~cond)
+
+
 def delete_where(spark, table_dir: str, condition: str) -> dict:
     """Copy-on-write row-level delete (the Iceberg ``DELETE FROM`` in COW
     mode): ONLY data files containing matching rows are rewritten without
@@ -465,9 +550,9 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
     if not paths:
         return {"new_version": manifest["version"], "rewritten_files": 0, "deleted_rows": 0}
     cond = F.expr(condition)
+    visible = _read_files_visible(spark, table_dir, manifest["files"])
     probe = (
-        spark.read.parquet(*paths)
-        .withColumn("_file", F.input_file_name())
+        visible.withColumn("_file", F.col("_metadata.file_path"))
         .filter(cond)
         .groupBy("_file")
         .count()
@@ -478,9 +563,9 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
         return {"new_version": manifest["version"], "rewritten_files": 0, "deleted_rows": 0}
     deleted_rows = int(sum(affected.values()))
     kept_entries = [f for f in manifest["files"] if f["path"] not in affected]
-    rewrite_paths = [os.path.join(table_dir, p) for p in affected]
+    affected_entries = [f for f in manifest["files"] if f["path"] in affected]
     tmpdir = os.path.join(table_dir, f"._rewrite.{uuid.uuid4().hex}")
-    spark.read.parquet(*rewrite_paths).filter(~cond).write.parquet(tmpdir)
+    _read_files_visible(spark, table_dir, affected_entries).filter(~cond).write.parquet(tmpdir)
     new_entries = []
     for fn in sorted(os.listdir(tmpdir)):
         if not fn.endswith(".parquet"):
@@ -521,23 +606,22 @@ def merge_into(spark, table_dir: str, updates, key_col: str) -> dict:
     from pyspark.sql import functions as F
 
     manifest = load_manifest(table_dir)
-    paths = [os.path.join(table_dir, f["path"]) for f in manifest["files"]]
     keys = [r[0] for r in updates.select(key_col).distinct().collect()]
     probe = (
-        spark.read.parquet(*paths)
-        .withColumn("_file", F.input_file_name())
+        _read_files_visible(spark, table_dir, manifest["files"])
+        .withColumn("_file", F.col("_metadata.file_path"))
         .filter(F.col(key_col).isin(keys))
         .groupBy("_file")
         .count()
         .collect()
-    ) if paths else []
+    ) if manifest["files"] else []
     affected = {os.path.basename(r["_file"]): r["count"] for r in probe}
     kept_entries = [f for f in manifest["files"] if f["path"] not in affected]
+    affected_entries = [f for f in manifest["files"] if f["path"] in affected]
     new_entries: list[dict] = []
     tmpdir = os.path.join(table_dir, f"._merge.{uuid.uuid4().hex}")
     if affected:
-        rewrite_paths = [os.path.join(table_dir, p) for p in affected]
-        spark.read.parquet(*rewrite_paths).filter(
+        _read_files_visible(spark, table_dir, affected_entries).filter(
             ~F.col(key_col).isin(keys)
         ).write.parquet(os.path.join(tmpdir, "kept"))
     updates.write.parquet(os.path.join(tmpdir, "new"))
@@ -566,3 +650,171 @@ def merge_into(spark, table_dir: str, updates, key_col: str) -> dict:
         "replaced_rows": int(sum(affected.values())),
         "upserted_rows": updates.count(),
     }
+
+
+def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
+    """Merge-on-read row-level delete (the Iceberg V2 *position delete*
+    path, MOR mode): matching rows are recorded in per-data-file delete
+    files listing their row positions; NO data file is rewritten. The
+    reader applies the delete bitmap while streaming (read() skips listed
+    positions), and the next compact_snapshot purges them physically.
+
+    COW (`delete_where`) pays the rewrite at delete time and keeps reads
+    clean; MOR pays ~nothing at delete time and a bitmap filter per read —
+    the right trade for frequent small deletes (GDPR erasure, late
+    retractions) against huge files. Same snapshot atomicity: delete
+    files land first, then ONE manifest commit references them.
+
+    The probe scan finds (file, row_index) of matches via the parquet
+    ``_metadata.row_index`` hidden column — distributed, no Python row
+    loop; positions collect to the driver (bounded by rows deleted; a
+    mass delete should use COW or partition the delete-file write).
+    Returns {new_version, delete_files, deleted_rows}.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    manifest = load_manifest(table_dir)
+    if not manifest["files"]:
+        return {"new_version": manifest["version"], "delete_files": 0, "deleted_rows": 0}
+    # probe only VISIBLE rows: already-deleted positions must not be
+    # re-recorded (they would double-count deleted_rows and bloat bitmaps)
+    hits = (
+        _read_files_visible(spark, table_dir, manifest["files"])
+        .filter(F.expr(condition))
+        .select(
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        .collect()
+    )
+    if not hits:
+        return {"new_version": manifest["version"], "delete_files": 0, "deleted_rows": 0}
+    by_file: dict[str, list[int]] = {}
+    for r in hits:
+        by_file.setdefault(os.path.basename(r["_file"]), []).append(int(r["_pos"]))
+    new_files = []
+    n_delete_files = 0
+    for f in manifest["files"]:
+        entry = dict(f)
+        pos = by_file.get(f["path"])
+        if pos:
+            name = f"delete-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(table_dir, f"._tmp.{name}")
+            pq.write_table(
+                pa.table({"pos": pa.array(sorted(pos), type=pa.int64())}), tmp
+            )
+            os.replace(tmp, os.path.join(table_dir, name))
+            entry["deletes"] = list(f.get("deletes", ())) + [name]
+            n_delete_files += 1
+        new_files.append(entry)
+    v = commit_snapshot(table_dir, new_files, manifest["schema"])
+    return {
+        "new_version": v,
+        "delete_files": n_delete_files,
+        "deleted_rows": len(hits),
+    }
+
+
+def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
+    """Row-level change feed between two committed snapshots (the Iceberg
+    ``changelog`` / Delta CDF analog): returns the table columns plus
+    ``_change_type`` in ('insert', 'delete', 'update_preimage',
+    'update_postimage').
+
+    Scale shape — the diff reads only what CHANGED, never either full
+    snapshot: the old side scans files removed between the versions (plus,
+    for carried files, only rows at positions newly deleted by MOR delete
+    files, located via ``_metadata.row_index``); the new side scans files
+    added. Carried-by-reference files contribute nothing, so a
+    compaction-only snapshot diffs as empty after the content join. The
+    two sides full-outer-join on ``key_col``; identical-content pairs
+    (pure file rewrites) cancel out.
+    """
+    from pyspark.sql import functions as F
+
+    m0 = load_manifest(table_dir, v_from)
+    m1 = load_manifest(table_dir, v_to)
+    by0 = {f["path"]: f for f in m0["files"]}
+    by1 = {f["path"]: f for f in m1["files"]}
+    removed = [p for p in by0 if p not in by1]
+    added = [p for p in by1 if p not in by0]
+    schema = StructType.fromJson(json.loads(m1["schema"]))
+    cols = [f.name for f in schema.fields]
+
+    def _read(paths: list[str]):
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*[os.path.join(table_dir, p) for p in paths])
+
+    def _visible(entry: dict, version_files: dict):
+        """Rows of one data file minus its position deletes at a version."""
+        df = _read([entry["path"]])
+        dels = version_files.get(entry["path"], {}).get("deletes", ())
+        if not dels:
+            return df
+        import pyarrow.parquet as pq
+
+        dropped: list[int] = []
+        for d in dels:
+            dropped.extend(
+                pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
+            )
+        return df.withColumn("_pos", F.col("_metadata.row_index")).filter(
+            ~F.col("_pos").isin(dropped)
+        ).drop("_pos")
+
+    # old side: removed files as visible at v_from, plus carried files'
+    # rows newly deleted by MOR between the versions
+    old_parts = [_visible(by0[p], by0) for p in removed]
+    for p in by0:
+        if p not in by1:
+            continue
+        new_dels = [d for d in by1[p].get("deletes", ()) if d not in by0[p].get("deletes", ())]
+        if not new_dels:
+            continue
+        import pyarrow.parquet as pq
+
+        pos: list[int] = []
+        for d in new_dels:
+            pos.extend(
+                pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
+            )
+        old_parts.append(
+            _read([p])
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .filter(F.col("_pos").isin(pos))
+            .drop("_pos")
+        )
+    old_side = old_parts[0] if old_parts else _read([])
+    for part in old_parts[1:]:
+        old_side = old_side.unionByName(part)
+    new_side = _read(added)
+    o = old_side.select(*cols).alias("o")
+    n = new_side.select(*cols).alias("n")
+    j = o.join(n, F.col(f"o.{key_col}") == F.col(f"n.{key_col}"), "full_outer")
+    data_cols = [c for c in cols if c != key_col]
+    same = F.struct(*[F.col(f"o.{c}") for c in data_cols]).eqNullSafe(
+        F.struct(*[F.col(f"n.{c}") for c in data_cols])
+    )
+    deletes = j.filter(F.col(f"n.{key_col}").isNull()).select(
+        *[F.col(f"o.{c}").alias(c) for c in cols],
+        F.lit("delete").alias("_change_type"),
+    )
+    inserts = j.filter(F.col(f"o.{key_col}").isNull()).select(
+        *[F.col(f"n.{c}").alias(c) for c in cols],
+        F.lit("insert").alias("_change_type"),
+    )
+    changed = j.filter(
+        F.col(f"o.{key_col}").isNotNull() & F.col(f"n.{key_col}").isNotNull() & ~same
+    )
+    pre = changed.select(
+        *[F.col(f"o.{c}").alias(c) for c in cols],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = changed.select(
+        *[F.col(f"n.{c}").alias(c) for c in cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return deletes.unionByName(inserts).unionByName(pre).unionByName(post)

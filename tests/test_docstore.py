@@ -103,6 +103,7 @@ def test_pushed_filter_prunes_files(spark, table, tmp_path):
         spark.read.format("docstore")
         .option("path", path)
         .option("journal", journal)
+        .option("pruned_scan", "true")  # opt-in: one planned query per load()
         .load()
         .filter(F.col("partition_id") == 3)
     )
@@ -338,3 +339,133 @@ def test_compact_snapshot_zorder_strategy(spark, tmp_path):
         if f["stats"][docstore.STATS_COLUMN][0] <= 3 <= f["stats"][docstore.STATS_COLUMN][1]
     ]
     assert len(covering) < len(clustered) / 2
+
+
+def test_delete_where_mor_position_deletes(spark, tmp_path):
+    """Merge-on-read delete: NO data file is rewritten (every data-file
+    path carries forward), delete files hold the dropped positions, reads
+    apply the bitmap, time travel still sees the rows, expire keeps the
+    delete files live, and compaction purges them physically."""
+    path = str(tmp_path / "mor_table")
+    docs = generate_documents(spark, CFG).repartitionByRange(8, "partition_id")
+    write_table(docs, path, fmt="docstore")
+    before = docstore.load_manifest(path)
+    n_before = read_table(spark, path, fmt="docstore").count()
+    n_match = read_table(spark, path, fmt="docstore").filter("partition_id = 3").count()
+    assert n_match > 0
+
+    report = docstore.delete_where_mor(spark, path, "partition_id = 3")
+    assert report["deleted_rows"] == n_match
+    after = docstore.load_manifest(path)
+    # every data file carries forward by reference — MOR never rewrites
+    assert {f["path"] for f in after["files"]} == {f["path"] for f in before["files"]}
+    assert report["delete_files"] == sum(1 for f in after["files"] if f.get("deletes"))
+
+    head = read_table(spark, path, fmt="docstore")
+    assert head.count() == n_before - n_match
+    assert head.filter("partition_id = 3").count() == 0
+    # row content (not just counts) matches a COW delete of the same rows
+    survivors = {r["doc_id"] for r in head.select("doc_id").collect()}
+    expected = {
+        r["doc_id"]
+        for r in spark.read.format("docstore").option("path", path)
+        .option("version", str(before["version"])).load()
+        .filter("partition_id <> 3").select("doc_id").collect()
+    }
+    assert survivors == expected
+    # time travel to the pre-delete snapshot ignores the delete files
+    old = (
+        spark.read.format("docstore").option("path", path)
+        .option("version", str(before["version"])).load()
+    )
+    assert old.count() == n_before
+
+    # second MOR delete stacks a second delete file on affected files
+    n2 = head.filter("partition_id = 5").count()
+    r2 = docstore.delete_where_mor(spark, path, "partition_id = 5")
+    assert r2["deleted_rows"] == n2
+    assert read_table(spark, path, fmt="docstore").count() == n_before - n_match - n2
+
+    # compaction rewrites the visible rows and drops the delete entries
+    docstore.compact_snapshot(spark, path, n_files=2)
+    m = docstore.load_manifest(path)
+    assert all(not f.get("deletes") for f in m["files"])
+    assert read_table(spark, path, fmt="docstore").count() == n_before - n_match - n2
+    # expiring history reclaims the delete files with the old snapshots
+    docstore.expire_snapshots(path, keep_last=1)
+    leftover = [f for f in os.listdir(path) if f.startswith("delete-")]
+    assert leftover == []
+    assert read_table(spark, path, fmt="docstore").count() == n_before - n_match - n2
+
+
+def test_changelog_between_snapshots(spark, tmp_path):
+    """CDC diff: append → inserts; MOR delete → deletes; merge_into →
+    update pre/post images + inserts; compaction-only snapshot → empty."""
+    path = str(tmp_path / "cdc_table")
+    docstore.register(spark)
+    base = spark.createDataFrame(
+        [(i, i % 4, f"t{i}") for i in range(40)],
+        "doc_id long, partition_id long, payload string",
+    )
+    base.repartition(4).write.format("docstore").option("path", path).mode(
+        "append"
+    ).save()
+    v1 = docstore.current_version(path)
+
+    # append 5 new rows
+    spark.createDataFrame(
+        [(100 + i, 9, f"n{i}") for i in range(5)],
+        "doc_id long, partition_id long, payload string",
+    ).write.format("docstore").option("path", path).mode("append").save()
+    v2 = docstore.current_version(path)
+    ch = docstore.changelog(spark, path, "doc_id", v1, v2)
+    got = sorted((r["doc_id"], r["_change_type"]) for r in ch.collect())
+    assert got == [(100 + i, "insert") for i in range(5)]
+
+    # MOR delete of partition 2 → pure deletes, carried files diffed by position
+    n_del = (
+        spark.read.format("docstore").option("path", path).load()
+        .filter("partition_id = 2").count()
+    )
+    docstore.delete_where_mor(spark, path, "partition_id = 2")
+    v3 = docstore.current_version(path)
+    ch = docstore.changelog(spark, path, "doc_id", v2, v3).collect()
+    assert len(ch) == n_del
+    assert all(r["_change_type"] == "delete" and r["partition_id"] == 2 for r in ch)
+
+    # merge_into: update 3 existing keys, insert 2 new → pre+post+inserts
+    upd = spark.createDataFrame(
+        [(0, 0, "UPDATED"), (1, 1, "UPDATED"), (3, 3, "UPDATED"),
+         (555, 9, "brand-new"), (556, 9, "brand-new")],
+        "doc_id long, partition_id long, payload string",
+    )
+    docstore.merge_into(spark, path, upd, "doc_id")
+    v4 = docstore.current_version(path)
+    ch = docstore.changelog(spark, path, "doc_id", v3, v4)
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["doc_id"])
+    assert by_type["insert"] == {555, 556}
+    assert by_type["update_preimage"] == {0, 1, 3}
+    assert by_type["update_postimage"] == {0, 1, 3}
+    assert "delete" not in by_type  # carried rewrite rows cancel out
+
+    # compaction rewrites every file but changes no rows → empty changelog
+    docstore.compact_snapshot(spark, path, n_files=1)
+    v5 = docstore.current_version(path)
+    assert docstore.changelog(spark, path, "doc_id", v4, v5).count() == 0
+
+
+def test_reader_state_never_leaks_across_actions(spark, tmp_path):
+    """Regression: Spark reuses ONE reader instance for every action on a
+    DataFrame, so a filtered action's pushed bounds must not prune files
+    for a later unfiltered action on the same frame."""
+    path = str(tmp_path / "leak_table")
+    docs = generate_documents(spark, DataGenConfig(n_docs=200, n_partitions=4, n_media=50))
+    write_table(docs.repartitionByRange(4, "partition_id"), path, fmt="docstore")
+    head = read_table(spark, path, fmt="docstore")
+    total = head.count()
+    assert head.filter("partition_id = 3").count() < total
+    # the unfiltered action after a filtered one must see every file
+    assert len(head.select("doc_id").collect()) == total
+    assert head.count() == total
