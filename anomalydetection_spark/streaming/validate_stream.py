@@ -530,3 +530,81 @@ def start_template_mining_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_drift_stream(
+    spark: SparkSession,
+    input_dir: str,
+    baseline_probs: dict[str, float],
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    max_kl: float = 0.2,
+    queryName: str = "drift_windows",
+):
+    """Streaming distribution-drift monitor: per event-time tumbling
+    window, the span-kind mix is compared to the baseline distribution by
+    KL divergence and windows exceeding ``max_kl`` are flagged — the
+    continuous variant of the batch ``distribution_drift`` constraint
+    (operators/drift.py), for catching a producer going off-mix in
+    minutes instead of at the next batch validation.
+
+    Scale shape: ONE stateful aggregation. The kind domain is fixed, so
+    per-kind counts are conditional sums inside the window aggregate
+    (never a second stateful groupBy(kind) — chaining stateful operators
+    in append mode is both restricted and a shuffle tax), and KL is plain
+    column arithmetic over those counts with the baseline folded in as
+    literals. Watermark bounds state exactly like the batch suite bounds
+    late data (a declared lateness contract).
+    """
+    import pyspark.sql.types as T
+
+    from anomalydetection_spark.operators.patterns import KIND_DOMAIN
+
+    schema = T.StructType(
+        [*DOCUMENTS_SCHEMA.fields, T.StructField("event_ts", T.TimestampType(), True)]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def kind_count(k: str):
+        return F.sum(
+            F.size(F.filter("spans", lambda s: s["kind"] == F.lit(k)))
+        ).alias(f"n_{k}")
+
+    agg = (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"))
+        .agg(F.count("*").alias("n_docs"), *[kind_count(k) for k in KIND_DOMAIN])
+    )
+    total = sum(baseline_probs.values())
+    eps = 1e-9
+    q = {k: max(baseline_probs.get(k, 0.0) / total, eps) for k in KIND_DOMAIN}
+    n_spans = None
+    for k in KIND_DOMAIN:
+        n_spans = F.col(f"n_{k}") if n_spans is None else n_spans + F.col(f"n_{k}")
+    kl = None
+    for k in KIND_DOMAIN:
+        p = F.col(f"n_{k}") / n_spans
+        term = F.when(F.col(f"n_{k}") > 0, p * F.log(p / F.lit(q[k]))).otherwise(
+            F.lit(0.0)
+        )
+        kl = term if kl is None else kl + term
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        "n_docs",
+        n_spans.alias("n_spans"),
+        F.round(kl, 6).alias("kl"),
+        (kl > F.lit(max_kl)).alias("drift_alert"),
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

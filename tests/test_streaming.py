@@ -461,3 +461,68 @@ def test_streaming_ingest_feeds_batch_manifest(spark, tmp_path):
     # and the pass is idempotent afterwards
     again = v.run(docs, media, baseline, partition_ids=list(range(5)))
     assert again["validated_partitions"] == []
+
+
+def test_streaming_drift_monitor_flags_offmix_window(spark, tmp_path):
+    """Streaming KL drift: a window matching the baseline kind mix stays
+    quiet; a window whose producer went all-images alerts. One stateful
+    aggregation (conditional per-kind sums inside the window agg)."""
+    from anomalydetection_spark.streaming.validate_stream import start_drift_stream
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [
+                (
+                    f"d{i}",
+                    [
+                        {"kind": k, "text": "x" if k in ("text", "code") else None,
+                         "media_ref": None if k in ("text", "code") else "m-00001",
+                         "offset": j}
+                        for j, k in enumerate(kinds)
+                    ],
+                    0,
+                    ts,
+                )
+                for i, (ts, kinds) in enumerate(rows)
+            ],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, partition_id int, event_ts timestamp",
+        )
+
+    import datetime
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    indir = str(tmp_path / "in")
+    baseline = {"text": 0.6, "code": 0.2, "image": 0.1, "audio": 0.05, "video": 0.05}
+    # window 00:00: 10 docs at the baseline mix (6 text / 2 code / 1 image
+    # / 0.5+0.5 audio+video approximated by one each over 2 docs)
+    on_mix = [
+        (t(1), ["text", "text", "text", "code", "image"]),
+        (t(2), ["text", "text", "text", "code", "audio"]),
+        (t(3), ["text", "text", "text", "code", "video"]),
+        (t(4), ["text", "text", "text", "code", "image"]),
+    ]
+    # window 00:10: all-image producer (clear drift)
+    off_mix = [(t(12), ["image"] * 5), (t(13), ["image"] * 5)]
+    # flush event far ahead so both windows finalize in append mode
+    flush = [(datetime.datetime(2024, 1, 1, 1, 0), ["text"])]
+    docs(on_mix).coalesce(1).write.mode("append").parquet(indir)
+    import time as _time
+
+    _time.sleep(1.2)
+    docs(off_mix).coalesce(1).write.mode("append").parquet(indir)
+    _time.sleep(1.2)
+    docs(flush).coalesce(1).write.mode("append").parquet(indir)
+
+    q = start_drift_stream(
+        spark, indir, baseline, str(tmp_path / "ckpt"),
+        window="10 minutes", watermark="5 minutes", max_kl=0.3,
+        queryName="drift_test",
+    )
+    q.awaitTermination(150)
+    rows = {str(r["window_start"])[11:16]: r for r in spark.sql("SELECT * FROM drift_test").collect()}
+    assert "00:00" in rows and "00:10" in rows
+    assert not rows["00:00"]["drift_alert"], rows["00:00"]
+    assert rows["00:10"]["drift_alert"]
+    assert rows["00:10"]["kl"] > rows["00:00"]["kl"]
+    assert rows["00:10"]["n_spans"] == 10
