@@ -195,3 +195,31 @@ def frequent_items_verdicts(sp: pd.DataFrame, max_ref_share: float, min_refs: in
             }
         )
     return pd.DataFrame(out)
+
+
+def volume_verdicts(
+    docs: pd.DataFrame,
+    min_docs: int = 1,
+    max_docs: int | None = None,
+    expected_partitions: list | None = None,
+) -> pd.DataFrame:
+    """Per-partition document-count bounds (operators/volume.py), in the
+    reference's row-count-guard idiom (end_to_end_prediction.py:507)."""
+    counts = docs["partition_id"].value_counts().to_dict()
+    pids = set(counts)
+    if expected_partitions is not None:
+        pids |= set(expected_partitions)
+    out = []
+    for pid in sorted(pids):
+        n = int(counts.get(pid, 0))
+        ok = n >= min_docs and (max_docs is None or n <= max_docs)
+        out.append(
+            {
+                "partition_id": pid,
+                "constraint": "volume",
+                "passed": ok,
+                "violation_count": 0 if ok else 1,
+                "row_count": n,
+            }
+        )
+    return pd.DataFrame(out)

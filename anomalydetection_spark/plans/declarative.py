@@ -42,6 +42,7 @@ from anomalydetection_spark.operators.drift import DriftThresholds
 from anomalydetection_spark.operators.freqitems import FreqThresholds
 from anomalydetection_spark.operators.patterns import PatternThresholds
 from anomalydetection_spark.operators.stats import StatsThresholds
+from anomalydetection_spark.operators.volume import VolumeThresholds
 from anomalydetection_spark.plans.suite import (
     ALL_CONSTRAINTS,
     SuiteConfig,
@@ -58,6 +59,7 @@ _ALLOWED_FIELDS = {
     "frequent_items": {f.name for f in dc_fields(FreqThresholds)},
     "pattern": {f.name for f in dc_fields(PatternThresholds)},
     "cross_column": set(),
+    "volume": {f.name for f in dc_fields(VolumeThresholds)},
 }
 _EXECUTION_FIELDS = {"persist_exploded", "persist_violations", "repartition_exploded"}
 
@@ -95,6 +97,8 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
             kwargs["freq"] = FreqThresholds(**params)
         elif ctype == "pattern" and params:
             kwargs["pattern"] = PatternThresholds(**params)
+        elif ctype == "volume" and params:
+            kwargs["volume"] = VolumeThresholds(**params)
 
     execution = spec.get("execution", {})
     extra = set(execution) - _EXECUTION_FIELDS

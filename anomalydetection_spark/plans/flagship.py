@@ -83,7 +83,7 @@ def _derived_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checkable flagship suite: all eight constraint verdicts over
+    """Oracle-checkable flagship suite: all nine constraint verdicts over
     the derived spans table, restricted to the engine-deterministic columns
     (partition_id, constraint, passed, violation_count, row_count).
 
@@ -243,7 +243,13 @@ cc_v AS (
      coalesce(v.viol, 0) = 0 AS passed,
      cast(coalesce(v.viol, 0) AS bigint) AS violation_count,
      cast(s.n_spans AS bigint) AS row_count
-  FROM span_stats s LEFT JOIN cc_viol v USING (partition_id))
+  FROM span_stats s LEFT JOIN cc_viol v USING (partition_id)),
+vol_v AS (
+  SELECT partition_id, 'volume' AS "constraint",
+     n_docs >= 1 AS passed,
+     cast(CASE WHEN n_docs >= 1 THEN 0 ELSE 1 END AS bigint) AS violation_count,
+     cast(n_docs AS bigint) AS row_count
+  FROM doc_stats)
 SELECT * FROM stats_v
 UNION ALL SELECT * FROM uniq_v
 UNION ALL SELECT * FROM ref_v
@@ -252,11 +258,12 @@ UNION ALL SELECT * FROM drift_v
 UNION ALL SELECT * FROM fi_v
 UNION ALL SELECT * FROM pat_v
 UNION ALL SELECT * FROM cc_v
+UNION ALL SELECT * FROM vol_v
 """
 
 
 def flagship_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the full eight-constraint suite on the derived spans table;
+    """Run the full nine-constraint suite on the derived spans table;
     returns the per-(partition, constraint) verdicts with the
     metrics map rendered to JSON (stable schema for the driver's check)."""
     docs = _derived_docs(spark, sf_dir)

@@ -32,6 +32,7 @@ from anomalydetection_spark.operators import (
     reassembly,
     stats,
     uniqueness,
+    volume,
 )
 
 
@@ -41,6 +42,7 @@ class SuiteConfig:
     drift: drift.DriftThresholds = field(default_factory=drift.DriftThresholds)
     freq: freqitems.FreqThresholds = field(default_factory=freqitems.FreqThresholds)
     pattern: patterns.PatternThresholds = field(default_factory=patterns.PatternThresholds)
+    volume: volume.VolumeThresholds = field(default_factory=volume.VolumeThresholds)
     n_salts: int = 16
     broadcast_media: bool = True
     # persist the (narrow, text-free) exploded span view for the
@@ -90,6 +92,7 @@ ALL_CONSTRAINTS = (
     "frequent_items",
     "pattern",
     "cross_column",
+    "volume",
 )
 
 
@@ -100,6 +103,7 @@ def run_suite(
     cfg: SuiteConfig = SuiteConfig(),
     uniqueness_scope: DataFrame | None = None,
     constraints: tuple[str, ...] | list[str] | None = None,
+    expected_partitions: DataFrame | None = None,
 ) -> ValidationResult:
     """Build the full-suite validation plan (lazy — caller triggers actions).
 
@@ -107,6 +111,9 @@ def run_suite(
     ``docs`` is a resumed subset (see operators/uniqueness.py).
     ``constraints``: subset of ALL_CONSTRAINTS to evaluate (None = all) —
     the hook the declarative spec layer (plans/declarative.py) drives.
+    ``expected_partitions``: partition list the volume constraint emits
+    n_docs=0 FAIL rows for when absent (operators/volume.py) — the resume
+    planner's metadata partition list plugs in here.
     """
     selected = tuple(constraints) if constraints is not None else ALL_CONSTRAINTS
     unknown = set(selected) - set(ALL_CONSTRAINTS)
@@ -164,6 +171,9 @@ def run_suite(
         ),
         "pattern": lambda: _maybe_persist(patterns.pattern_check(exploded, cfg.pattern)),
         "cross_column": lambda: _maybe_persist(patterns.cross_column_check(exploded)),
+        # doc-level count agg over the partition column alone — never
+        # touches the span table; violations are |partitions|-bounded
+        "volume": lambda: volume.check(docs, cfg.volume, expected_partitions),
     }
     # the two per-span predicate constraints fuse into ONE scan (tagged
     # violation array + shared totals, operators/patterns.fused_check) when

@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="frequent_items: partitions with fewer refs are vacuously clean")
     ap.add_argument("--ref-pattern", default=None,
                     help="pattern: regex every non-null media_ref must match")
+    ap.add_argument("--min-docs", type=int, default=1,
+                    help="volume: minimum documents per partition")
+    ap.add_argument("--max-docs", type=int, default=None,
+                    help="volume: maximum documents per partition")
     ap.add_argument("--no-persist-exploded", action="store_true",
                     help="recompute the span view from the columnar scan (large inputs)")
     ap.add_argument("--spec", help="JSON constraint spec (plans/declarative.py) — "
@@ -97,11 +101,13 @@ def main(argv: list[str] | None = None) -> int:
         suite_cfg, selected_constraints = compile_spec(load_spec(args.spec))
     else:
         from anomalydetection_spark.operators.patterns import PatternThresholds
+        from anomalydetection_spark.operators.volume import VolumeThresholds
 
         suite_cfg = SuiteConfig(
             stats=StatsThresholds(max_null_text_rate=args.max_null_text_rate),
             drift=DriftThresholds(max_kl=args.max_kl, max_psi=args.max_psi),
             freq=FreqThresholds(max_ref_share=args.max_ref_share, min_refs=args.min_refs),
+            volume=VolumeThresholds(min_docs=args.min_docs, max_docs=args.max_docs),
             pattern=(
                 PatternThresholds(ref_pattern=args.ref_pattern)
                 if args.ref_pattern

@@ -41,6 +41,7 @@ def test_empty_spec_runs_everything(spark, inputs):
         "frequent_items",
         "pattern",
         "cross_column",
+        "volume",
     }
 
 
@@ -79,6 +80,7 @@ def test_spec_matches_programmatic_config(spark, inputs):
             {"type": "frequent_items", "max_ref_share": 0.04},
             {"type": "pattern"},
             {"type": "cross_column"},
+            {"type": "volume", "min_docs": 1},
         ],
         "execution": {"persist_exploded": False},
     }

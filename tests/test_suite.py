@@ -26,6 +26,7 @@ CONSTRAINTS = {
     "frequent_items",
     "pattern",
     "cross_column",
+    "volume",
 }
 
 
