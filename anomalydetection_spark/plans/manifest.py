@@ -266,8 +266,19 @@ class ResumableValidator:
             return {"run_id": run_id, "validated_partitions": [], "skipped_partitions": sorted(done)}
 
         # uniqueness stays global: detection scans the full table even when
-        # only a subset of partitions is re-validated
-        res = run_suite(pending_docs, media, baseline, cfg, uniqueness_scope=docs)
+        # only a subset of partitions is re-validated. The metadata-known
+        # todo list also arms volume's missing-partition detection: a
+        # partition the metastore lists but the scan never produces gets an
+        # n_docs=0 FAIL row instead of silently not existing.
+        expected = (
+            self.spark.createDataFrame([(int(p),) for p in todo], "partition_id int")
+            if partition_ids is not None
+            else None
+        )
+        res = run_suite(
+            pending_docs, media, baseline, cfg,
+            uniqueness_scope=docs, expected_partitions=expected,
+        )
         # idempotent per-partition output: dynamic overwrite replaces exactly
         # the partitions validated in this pass
         res.verdicts.write.mode("overwrite").partitionBy("partition_id").parquet(

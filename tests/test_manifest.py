@@ -309,3 +309,21 @@ def test_sketch_blobs_single_scan_and_family_parity(spark, tmp_path, inputs):
         top_key, top_n = counts.index[0], int(counts.iloc[0])
         lo, hi = mg.estimate(top_key)
         assert lo <= top_n <= hi
+
+
+def test_metadata_partition_list_arms_missing_partition_volume(spark, tmp_path, inputs):
+    """A partition the metastore lists but the scan never produces must
+    surface as a volume FAIL (n_docs=0) instead of silently not existing —
+    the metadata-driven partition_ids path arms operators/volume.py's
+    expected_partitions hook."""
+    docs, media, baseline = inputs
+    present = docs.filter(F.col("partition_id") != 3)  # partition 3 lost upstream
+    v = ResumableValidator(spark, str(tmp_path / "state"), str(tmp_path / "out"))
+    info = v.run(present, media, baseline, partition_ids=[0, 1, 2, 3, 4, 5])
+    assert 3 in info["validated_partitions"]
+    vol = {
+        r["partition_id"]: r
+        for r in v.verdicts().filter("constraint = 'volume'").collect()
+    }
+    assert not vol[3]["passed"] and vol[3]["row_count"] == 0
+    assert all(vol[p]["passed"] for p in (0, 1, 2, 4, 5))
