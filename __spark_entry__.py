@@ -147,6 +147,8 @@ _TAIL = [
     "q10_returned_items",      # agg-then-join-back topk: q18 (join-back) + q3 (topk) families
     "q12_late_priority_lines", # conditional-count classification on a hash join: q4 (late predicate rides join) + pivot-style case-sums
     "q14_promo_share",         # conditional share over a broadcast join: q8 case-sum ratio family, single-row output
+    "q2_cheapest_supplier",    # groupwise-min join-back with ties kept: q15 (scalar-max argmax) + q17 (per-group agg join-back) families
+    "q11_important_stock",     # group share vs scalar-agg threshold: q22/mad_outlier scalar-agg crossJoin family, integer cross-multiplied
 ]
 
 

@@ -790,6 +790,127 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 shape: groupwise-min correlated subquery with multi-dim decoration
+# ---------------------------------------------------------------------------
+
+
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each large part, the ASIA supplier with the minimum account
+    balance among suppliers that shipped it (TPC-H Q2 shape: a correlated
+    groupwise-min subquery decorated by dimension joins; the fixture has
+    no partsupp, so the part-supplier relation derives from distinct
+    lineitem keys and s_acctbal stands in for ps_supplycost). The
+    correlated ``= (SELECT min(..) WHERE pk = ..)`` decorrelates into one
+    per-part min joined back — ties keep EVERY minimal supplier (Q2
+    semantics). Balances are cents-exact bigints; top 20 total-ordered by
+    (balance desc, part, supplier)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_size") > 40) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_brand")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round(F.col("s_acctbal") * 100.0).cast("long").alias("bal_fp"),
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    asia = nat.join(
+        F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+        nat["n_regionkey"] == reg["r_regionkey"],
+    ).select(F.col("n_nationkey").alias("ank"), F.col("n_name").alias("nation"))
+    cand = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi")
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("ank"))
+        .select("l_partkey", "l_suppkey", "s_name", "nation", "bal_fp")
+    )
+    mins = cand.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("bal_fp").alias("min_bal")
+    )
+    best = cand.join(
+        mins,
+        (cand["l_partkey"] == mins["pk"]) & (cand["bal_fp"] == mins["min_bal"]),
+    )
+    return (
+        best.join(F.broadcast(part), best["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "nation",
+            F.col("bal_fp").alias("acctbal_fp"),
+        )
+        .orderBy(F.desc("acctbal_fp"), "p_partkey", "s_suppkey")
+        .limit(20)
+    )
+
+
+Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+big AS (SELECT p_partkey, p_brand FROM part WHERE p_size > 40 AND p_type = 'LARGE'),
+asia AS (
+  SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+cand AS (
+  SELECT ps.l_partkey, ps.l_suppkey, s.s_name, a.n_name AS nation,
+         cast(round(s.s_acctbal * 100.0, 0) AS bigint) AS bal_fp
+  FROM ps
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN asia a ON s.s_nationkey = a.n_nationkey
+  WHERE ps.l_partkey IN (SELECT p_partkey FROM big))
+SELECT c.l_partkey AS p_partkey, b.p_brand, c.l_suppkey AS s_suppkey,
+       c.s_name, c.nation, c.bal_fp AS acctbal_fp
+FROM cand c JOIN big b ON c.l_partkey = b.p_partkey
+WHERE c.bal_fp = (SELECT min(bal_fp) FROM cand c2 WHERE c2.l_partkey = c.l_partkey)
+ORDER BY acctbal_fp DESC, p_partkey, s_suppkey
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# Q11 shape: group share vs a scalar-aggregate threshold
+# ---------------------------------------------------------------------------
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose total shipped value exceeds 1/1800 of the corpus-wide
+    total (≈2× the uniform share at 2 000 parts, so the filter is
+    genuinely selective on the fixture) (TPC-H Q11 shape: a grouped sum filtered against a scalar
+    aggregate of the same relation). The global total is ONE tiny agg
+    broadcast via crossJoin; the comparison is the exact integer
+    cross-multiplication ``1000 * part_value > total`` — no float on the
+    HAVING boundary, no second scan (the per-part aggregate feeds both
+    sides)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100.0)
+        .cast("long")
+        .alias("val_fp"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("val_fp").alias("part_val"))
+    total = per_part.agg(F.sum("part_val").alias("total_val"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(1800 * F.col("part_val") > F.col("total_val"))
+        .select("l_partkey", "part_val")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(cast(round(l_extendedprice * l_quantity * 100.0, 0) AS bigint))::bigint
+           AS part_val
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, part_val
+FROM per_part
+WHERE 1800 * part_val > (SELECT sum(part_val) FROM per_part)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_priority_late_exists": q4_priority_late_exists,
     "q17_small_quantity_share": q17_small_quantity_share,
@@ -805,6 +926,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,
     "q12_late_priority_lines": q12_late_priority_lines,
     "q14_promo_share": q14_promo_share,
+    "q2_cheapest_supplier": q2_cheapest_supplier,
+    "q11_important_stock": q11_important_stock,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -822,4 +945,6 @@ ORACLE_SQL: dict[str, str] = {
     "q10_returned_items": Q10_SQL,
     "q12_late_priority_lines": Q12_SQL,
     "q14_promo_share": Q14_SQL,
+    "q2_cheapest_supplier": Q2_SQL,
+    "q11_important_stock": Q11_SQL,
 }

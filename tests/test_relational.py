@@ -241,6 +241,29 @@ def test_q12_q14_single_agg_no_window(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_q2_groupwise_min_keeps_ties_no_window(spark):
+    plan = _formatted(spark, dqr.q2_cheapest_supplier(spark, SF))
+    # the correlated min decorrelates into a per-part agg joined back —
+    # never a window or nested loop; part/nation dims broadcast
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_min" in plan
+
+
+def test_q11_threshold_is_scalar_agg_single_derivation(spark):
+    df = dqr.q11_important_stock(spark, SF)
+    assert "Window" not in _formatted(spark, df)
+    assert dict(df.dtypes)["part_val"] == "bigint"
+    # the global total derives from the SAME per-part aggregate: AQE reuses
+    # the groupBy(l_partkey) exchange at runtime, so lineitem is scanned
+    # and partially aggregated exactly once
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in executed
+
+
 def test_ppl_buckets_no_window_no_smj(spark):
     plan = _formatted(spark, dqt.ppl_buckets_by_source(spark, SF))
     assert "Window" not in plan
