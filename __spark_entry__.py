@@ -149,6 +149,7 @@ _TAIL = [
     "q14_promo_share",         # conditional share over a broadcast join: q8 case-sum ratio family, single-row output
     "q2_cheapest_supplier",    # groupwise-min join-back with ties kept: q15 (scalar-max argmax) + q17 (per-group agg join-back) families
     "q11_important_stock",     # group share vs scalar-agg threshold: q22/mad_outlier scalar-agg crossJoin family, integer cross-multiplied
+    "unpivot_user_metrics",    # UNPIVOT/melt (Expand-node stack): the wide→long complement of pivot_event_counts (in tail)
 ]
 
 

@@ -217,3 +217,48 @@ ORACLE_SQL: dict[str, str] = {
     "hopping_window_counts": HOPPING_SQL,
     "gapfill_daily_activity": GAPFILL_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# unpivot (melt): wide metric columns → long (entity, metric, value)
+# ---------------------------------------------------------------------------
+
+
+def unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user wide metrics (event count, distinct types, fixed-point
+    value total) melted to long (user_id, metric, value) rows — the
+    UNPIVOT/melt complement of `pivot_event_counts`, the shape feature
+    stores and metric warehouses need for columnar→EAV conversion.
+
+    Spark's `unpivot` (SQL `stack`) expands JVM-side in the projection —
+    an Expand node, never a UNION of per-metric scans: the wide aggregate
+    is computed once and melted for free. All values are bigints (the
+    value total is cents-fixed-point) so the long rows hash cross-engine."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") % 10 == 3
+    )
+    wide = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("value_fp"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_events", "n_types", "value_fp"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT user_id, count(*)::bigint AS n_events,
+         count(DISTINCT event_type)::bigint AS n_types,
+         sum(cast(round(value * 100.0, 0) AS bigint))::bigint AS value_fp
+  FROM events WHERE user_id % 10 = 3 GROUP BY user_id)
+SELECT user_id, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_events, n_types, value_fp))
+"""
+
+QUERIES["unpivot_user_metrics"] = unpivot_user_metrics
+ORACLE_SQL["unpivot_user_metrics"] = UNPIVOT_SQL

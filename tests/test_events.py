@@ -115,3 +115,26 @@ def test_gapfill_grid_is_dimension_sized(spark):
     grid_pos = plan.find("BroadcastNestedLoopJoin")
     agg_pos = plan.find("partial_count")
     assert agg_pos != -1 and grid_pos != -1
+
+
+def test_unpivot_is_expand_not_union(spark):
+    df = dqe.unpivot_user_metrics(spark, SF)
+    plan = _formatted(spark, df)
+    # melt expands JVM-side over ONE computed wide aggregate — never a
+    # UNION of per-metric scans
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") <= 2  # one logical scan (tree + details)
+    assert dict(df.dtypes)["value"] == "bigint"
+
+
+def test_unpivot_round_trips_wide_values(spark, tmp_path):
+    rows = [(1, 1, 0, 7, "click"), (1, 2, 0, 7, "view"), (2, 1, 0, 13, "click")]
+    _write_events(spark, tmp_path, rows)
+    # user_id 13 % 10 == 3 passes the filter; 7 doesn't
+    out = dqe.unpivot_user_metrics(spark, str(tmp_path)).collect()
+    got = {(r["user_id"], r["metric"]): r["value"] for r in out}
+    assert set(u for u, _ in got) == {13}
+    assert got[(13, "n_events")] == 1
+    assert got[(13, "n_types")] == 1
+    assert got[(13, "value_fp")] == 0
