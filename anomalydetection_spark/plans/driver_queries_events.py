@@ -262,3 +262,70 @@ UNPIVOT (value FOR metric IN (n_events, n_types, value_fp))
 
 QUERIES["unpivot_user_metrics"] = unpivot_user_metrics
 ORACLE_SQL["unpivot_user_metrics"] = UNPIVOT_SQL
+
+# ---------------------------------------------------------------------------
+# metric-history anomaly flags: daily event counts per type
+# ---------------------------------------------------------------------------
+
+
+def anomaly_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-normal + rate-of-change anomaly flags over the per-type daily
+    event-count series — the Deequ-AnomalyDetection shape the engine also
+    runs over its own validation-run ledger (ResumableValidator
+    .metric_anomalies). Each day's count is judged ONLY against the days
+    strictly before it in its own series (causal flags: extending the
+    history never rewrites a past flag).
+
+    Cross-engine determinism: the online-normal test never materializes
+    μ/σ — |v−μ| > 3σ is cross-multiplied to the integer inequality
+    (n·v−S)²·(n−1) > 9·n·(n·SS−S²) over bigint history sums, so Spark and
+    DuckDB flag identical days (operators/metrics_anomaly.py). Windows
+    partition by event_type (series-sized, never partition-less); the
+    daily rollup is one hash aggregate off the pruned (ts, event_type)
+    scan."""
+    from anomalydetection_spark.operators.metrics_anomaly import (
+        AnomalyThresholds,
+        flag_anomalies,
+    )
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    return flag_anomalies(
+        daily,
+        key_cols=["event_type"],
+        order_col="day",
+        value_col="n_events",
+        thresholds=AnomalyThresholds(
+            k_num=3, k_den=1, min_history=3, max_pct_increase=50, max_pct_decrease=50
+        ),
+    )
+
+
+ANOMALY_DAILY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::bigint AS n_events
+  FROM events GROUP BY 1, 2),
+hist AS (
+  SELECT event_type, day, n_events,
+         count(*) OVER w AS hist_n,
+         coalesce(sum(n_events) OVER w, 0)::hugeint AS s,
+         coalesce(sum(n_events * n_events) OVER w, 0)::hugeint AS ss,
+         lag(n_events) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, n_events, hist_n::bigint AS hist_n,
+       (hist_n >= 3 AND
+        (hist_n * n_events - s) * (hist_n * n_events - s) * (hist_n - 1)
+          > 9 * hist_n * (hist_n * ss - s * s)) AS normal_anomaly,
+       (prev_n IS NOT NULL AND
+        (100 * n_events > 150 * prev_n OR 100 * n_events < 50 * prev_n))
+         AS change_anomaly
+FROM hist
+"""
+
+QUERIES["anomaly_daily_event_counts"] = anomaly_daily_event_counts
+ORACLE_SQL["anomaly_daily_event_counts"] = ANOMALY_DAILY_SQL

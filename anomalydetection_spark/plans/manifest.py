@@ -315,6 +315,7 @@ class ResumableValidator:
         ]
         self.manifest.mark_done(rollup_rows, run_id)
         self._append_run_report(run_id, todo, done, rollup_rows)
+        self._append_metrics_history(run_id, rollup_rows)
         return {
             "run_id": run_id,
             "validated_partitions": sorted(todo),
@@ -345,6 +346,80 @@ class ResumableValidator:
             "n_partitions_skipped int, row_count long, violation_count long, "
             "all_passed boolean",
         ).coalesce(1).write.mode("append").parquet(f"{self.out_dir}/run_reports")
+
+    def _append_metrics_history(self, run_id: str, rollup_rows: list[dict]) -> None:
+        """Append-only per-(run, partition) metric rows — the manifest keeps
+        only each partition's LATEST state, but anomaly detection needs the
+        series. One row per validated partition per pass: |partitions|-sized,
+        driver-built, appended as a single file. ``seq`` is a monotone
+        per-append ordinal (files are immutable once written, so max(seq)+1
+        is race-free within one validator — the same single-writer contract
+        the manifest pointer already assumes)."""
+        import datetime as _dt
+
+        # Hadoop-FS existence probe (works for local/HDFS/object stores)
+        # instead of read-and-catch, which logs a spurious internal-error
+        # stack on the very first pass
+        jvm = self.spark._jvm  # noqa: SLF001
+        hconf = self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{self.out_dir}/metrics_history")
+        if hpath.getFileSystem(hconf).exists(hpath):
+            prev_max = self.metrics_history().agg(F.max("seq")).collect()[0][0] or 0
+        else:
+            prev_max = 0
+        now = _dt.datetime.now(_dt.timezone.utc).isoformat()
+        rows = [
+            {
+                "seq": int(prev_max) + 1,
+                "run_id": run_id,
+                "finished_at": now,
+                "partition_id": r["partition_id"],
+                "row_count": r["row_count"],
+                "violation_count": r["violation_count"],
+                "passed": r["passed"],
+            }
+            for r in rollup_rows
+        ]
+        if not rows:
+            return
+        self.spark.createDataFrame(
+            rows,
+            "seq long, run_id string, finished_at string, partition_id int, "
+            "row_count long, violation_count long, passed boolean",
+        ).coalesce(1).write.mode("append").parquet(f"{self.out_dir}/metrics_history")
+
+    def metrics_history(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/metrics_history")
+
+    def metric_anomalies(self, thresholds=None) -> DataFrame:
+        """Anomaly flags for each partition's LATEST metrics vs that
+        partition's own validated history — the Deequ AnomalyDetection
+        analog over the engine's run ledger (operators/metrics_anomaly.py).
+
+        The per-partition (row_count, violation_count) series melt to long
+        (partition_id, metric) series via ``unpivot`` (one Expand, no
+        union-of-scans) and one causal window pass flags each series'
+        newest point. A scheduler gates promotion on this: a partition can
+        PASS every in-run constraint and still be flagged here because its
+        row count fell off a cliff vs its history."""
+        from anomalydetection_spark.operators.metrics_anomaly import (
+            AnomalyThresholds,
+            metric_history_check,
+        )
+
+        long = self.metrics_history().unpivot(
+            ids=["partition_id", "seq", "run_id"],
+            values=["row_count", "violation_count"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        return metric_history_check(
+            long,
+            key_cols=["partition_id", "metric"],
+            order_col="seq",
+            value_col="value",
+            thresholds=thresholds or AnomalyThresholds(),
+        )
 
     def run_reports(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out_dir}/run_reports")
