@@ -50,6 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "suite_verdicts",          # flagship product query (full DuckDB twin)
     "anomaly_daily_event_counts",  # new: metric-history anomaly flags (online-normal, integer-exact)
+    "profile_suggest_documents",   # new: constraint suggestion (profile -> complete/unique/isin/range rules)
     "pca_anomaly_by_label",    # new model-literal oracle this round
     "ann_pq_topk",             # new PQ ADC oracle this round
     "pii_scan_by_source",      # new: PII scan + redaction accounting

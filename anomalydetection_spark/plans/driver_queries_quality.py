@@ -402,3 +402,72 @@ QUERIES["dsir_importance_by_lang"] = dsir_importance_by_lang
 ORACLE_SQL["dsir_importance_by_lang"] = DSIR_SQL
 QUERIES["class_centroid_stats"] = class_centroid_stats_q
 ORACLE_SQL["class_centroid_stats"] = CENTROID_SQL
+
+
+# ---------------------------------------------------------------------------
+# constraint suggestion: generic column profiler over the documents table
+# ---------------------------------------------------------------------------
+
+
+def profile_suggest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-ConstraintSuggestion shape (plans/suggest.profile_suggest):
+    profile every column of the documents table in one hash aggregate
+    (plus one domain pass over only the proven-low-cardinality columns)
+    and emit the (column, rule, param) constraints the data satisfies —
+    complete / max_null_rate_ppm / unique / isin / value_range. Every
+    param is a bigint-derived or sorted-domain string, so an external SQL
+    engine derives the identical suggestion set from the same table."""
+    from anomalydetection_spark.plans.suggest import profile_suggest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_suggest(docs, max_domain=8)
+
+
+PROFILE_SUGGEST_SQL = """
+WITH s AS (
+  SELECT count(*) AS n,
+         count(doc_id) AS nn_doc, count(DISTINCT doc_id) AS nd_doc,
+         count(text) AS nn_text, count(DISTINCT text) AS nd_text,
+         count(lang) AS nn_lang, count(DISTINCT lang) AS nd_lang,
+         count(source) AS nn_src, count(DISTINCT source) AS nd_src,
+         count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS nd_nc,
+         min(doc_id) AS mn_doc, max(doc_id) AS mx_doc,
+         min(n_chars) AS mn_nc, max(n_chars) AS mx_nc
+  FROM documents),
+doms AS (
+  SELECT string_agg(DISTINCT lang, '|' ORDER BY lang) AS dom_lang,
+         string_agg(DISTINCT source, '|' ORDER BY source) AS dom_src
+  FROM documents),
+rules AS (
+  -- completeness / null-rate per column
+  SELECT 'doc_id' AS col, CASE WHEN n = nn_doc THEN 'complete' ELSE 'max_null_rate_ppm' END AS rule,
+         CASE WHEN n = nn_doc THEN '' ELSE CAST(least(1000000, 2 * ((n - nn_doc) * 1000000 + n - 1) // n) AS VARCHAR) END AS param FROM s
+  UNION ALL
+  SELECT 'text', CASE WHEN n = nn_text THEN 'complete' ELSE 'max_null_rate_ppm' END,
+         CASE WHEN n = nn_text THEN '' ELSE CAST(least(1000000, 2 * ((n - nn_text) * 1000000 + n - 1) // n) AS VARCHAR) END FROM s
+  UNION ALL
+  SELECT 'lang', CASE WHEN n = nn_lang THEN 'complete' ELSE 'max_null_rate_ppm' END,
+         CASE WHEN n = nn_lang THEN '' ELSE CAST(least(1000000, 2 * ((n - nn_lang) * 1000000 + n - 1) // n) AS VARCHAR) END FROM s
+  UNION ALL
+  SELECT 'source', CASE WHEN n = nn_src THEN 'complete' ELSE 'max_null_rate_ppm' END,
+         CASE WHEN n = nn_src THEN '' ELSE CAST(least(1000000, 2 * ((n - nn_src) * 1000000 + n - 1) // n) AS VARCHAR) END FROM s
+  UNION ALL
+  SELECT 'n_chars', CASE WHEN n = nn_nc THEN 'complete' ELSE 'max_null_rate_ppm' END,
+         CASE WHEN n = nn_nc THEN '' ELSE CAST(least(1000000, 2 * ((n - nn_nc) * 1000000 + n - 1) // n) AS VARCHAR) END FROM s
+  -- uniqueness
+  UNION ALL SELECT 'doc_id', 'unique', '' FROM s WHERE n = nn_doc AND nd_doc = n
+  UNION ALL SELECT 'text', 'unique', '' FROM s WHERE n = nn_text AND nd_text = n
+  UNION ALL SELECT 'lang', 'unique', '' FROM s WHERE n = nn_lang AND nd_lang = n
+  UNION ALL SELECT 'source', 'unique', '' FROM s WHERE n = nn_src AND nd_src = n
+  UNION ALL SELECT 'n_chars', 'unique', '' FROM s WHERE n = nn_nc AND nd_nc = n
+  -- low-cardinality domains (max_domain = 8)
+  UNION ALL SELECT 'lang', 'isin', dom_lang FROM s, doms WHERE nd_lang <= 8
+  UNION ALL SELECT 'source', 'isin', dom_src FROM s, doms WHERE nd_src <= 8
+  -- numeric ranges
+  UNION ALL SELECT 'doc_id', 'value_range', mn_doc || '..' || mx_doc FROM s
+  UNION ALL SELECT 'n_chars', 'value_range', mn_nc || '..' || mx_nc FROM s)
+SELECT col AS column, rule, param FROM rules
+"""
+
+QUERIES["profile_suggest_documents"] = profile_suggest_documents
+ORACLE_SQL["profile_suggest_documents"] = PROFILE_SUGGEST_SQL
