@@ -51,6 +51,9 @@ _PRIORITY = [
     "suite_verdicts",          # flagship product query (full DuckDB twin)
     "anomaly_daily_event_counts",  # new: metric-history anomaly flags (online-normal, integer-exact)
     "profile_suggest_documents",   # new: constraint suggestion (profile -> complete/unique/isin/range rules)
+    "entropy_lang_by_source",      # new: entropy/distinctness analyzer (exact bigint numerators)
+    "mi_lang_source",              # new: mutual-information analyzer (joint-derived marginals)
+    "corr_hour_value_by_type",     # new: Pearson correlation from exact bigint moment sums
     "pca_anomaly_by_label",    # new model-literal oracle this round
     "ann_pq_topk",             # new PQ ADC oracle this round
     "pii_scan_by_source",      # new: PII scan + redaction accounting

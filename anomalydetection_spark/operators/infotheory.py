@@ -1,0 +1,152 @@
+"""Information-theoretic column analyzers: entropy, distinctness, mutual
+information, correlation.
+
+The Deequ analyzer family the suite's per-column stats don't yet cover —
+the signals a curation pipeline watches per batch: did a categorical
+column's entropy collapse (one value flooding the table), did two columns
+that should be independent start co-varying, did distinctness drop.
+
+Cross-engine determinism (the DSIR / unigram-NLL precedent,
+driver_queries_training.py): every logarithm is taken ONCE, of an exact
+integer rational, and immediately fixed-pointed at 1e-9 —
+``round(ln(a/b)·1e9)`` as a bigint — then only integer arithmetic (count-
+weighted sums) follows. Entropy and MI are emitted as exact bigint
+numerators (nats · 1e9 · N), so equal inputs hash equal across engines;
+consumers divide by N driver-side when they want a float.
+
+Scale design: everything reduces to hash aggregates over the analyzed
+columns — value counts are |domain|-sized after the first agg, marginals
+broadcast onto the joint table, and nothing wider than (value, count)
+crosses a shuffle. No windows, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FP = 1_000_000_000.0  # 1e-9 fixed point, the repo-wide ln scale
+
+
+def _ln_fp(num, den):
+    """round(ln(num/den)·1e9) as bigint — ONE ln of an exact integer
+    rational, the only float op in any analyzer here."""
+    return F.round(F.log(num.cast("double") / den.cast("double")) * F.lit(_FP)).cast(
+        "long"
+    )
+
+
+def entropy_fp(df: DataFrame, value_col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """Shannon entropy of ``value_col``'s non-null distribution, per group.
+
+    Emits per group: ``n`` (non-null rows), ``n_distinct``,
+    ``distinctness_ppm`` (⌊distinct·1e6/n⌋, exact), and ``entropy_fp_n``
+    = Σ_v cnt_v · round(ln(n/cnt_v)·1e9) — the entropy numerator in
+    nats·1e9·n. H itself = entropy_fp_n / (1e9·n); the division stays
+    with the consumer so the emitted row is pure bigint.
+
+    Two hash aggregates: value counts (|domain|-sized), then the group
+    rollup. NULLs are excluded from the distribution (completeness is its
+    own analyzer)."""
+    gcols = group_cols or []
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy(*gcols).agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    joined = counts.join(F.broadcast(totals), gcols) if gcols else counts.crossJoin(
+        F.broadcast(totals)
+    )
+    out = joined.groupBy(*gcols).agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("n_distinct").cast("long").alias("n_distinct"),
+        F.sum(F.col("cnt") * _ln_fp(F.col("n"), F.col("cnt")))
+        .cast("long")
+        .alias("entropy_fp_n"),
+    )
+    # integer DIV, not float-divide-then-truncate: a correctly-rounded
+    # double quotient can land on the next integer and truncate high
+    return out.select(
+        *gcols,
+        "n",
+        "n_distinct",
+        F.expr("(n_distinct * 1000000) div n").alias("distinctness_ppm"),
+        "entropy_fp_n",
+    )
+
+
+def mutual_information_fp(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information between two categorical columns, as the exact
+    bigint numerator ``mi_fp_n`` = Σ_{x,y} cnt_xy · round(ln(cnt_xy·n /
+    (cnt_x·cnt_y))·1e9), in nats·1e9·n (zero ⇔ independent up to fixed-
+    point granularity; rows with a NULL on either side excluded).
+
+    One joint count aggregate; the two marginals derive FROM the joint
+    (|domain_x| and |domain_y| sized — never a second pass over the
+    table) and broadcast back onto it."""
+    pairs = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("cnt_xy"))
+    )
+    mx = pairs.groupBy(x_col).agg(F.sum("cnt_xy").alias("cnt_x"))
+    my = pairs.groupBy(y_col).agg(F.sum("cnt_xy").alias("cnt_y"))
+    n = pairs.agg(F.sum("cnt_xy").alias("n"))
+    joined = (
+        pairs.join(F.broadcast(mx), x_col)
+        .join(F.broadcast(my), y_col)
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        # operands promoted to double BEFORE the products: cnt_xy·n would
+        # overflow int64 at 10^12-row tables, and IEEE double mult/div is
+        # bit-identical across engines so the fixed-pointed ln still hashes
+        F.sum(
+            F.col("cnt_xy")
+            * _ln_fp(
+                F.col("cnt_xy").cast("double") * F.col("n"),
+                F.col("cnt_x").cast("double") * F.col("cnt_y"),
+            )
+        )
+        .cast("long")
+        .alias("mi_fp_n"),
+    )
+
+
+def correlation_exact(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Pearson correlation between two INTEGER columns from exact bigint
+    moment sums — n, Σx, Σy, Σxy, Σx², Σy² are emitted exactly (the
+    mergeable sufficient statistics), plus ``corr`` rounded to 6 as the
+    display value. Callers needing cross-engine hashing compare the exact
+    sums; rows with a NULL on either side are excluded pairwise (the
+    Deequ Correlation contract). One hash aggregate, map-side partial."""
+    gcols = group_cols or []
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    x = F.when(both, F.col(x_col)).cast("long")
+    y = F.when(both, F.col(y_col)).cast("long")
+    agg = df.groupBy(*gcols).agg(
+        F.count(x).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    # derived second-moment products in decimal(38,0): n·Σy² already grazes
+    # int64 at modest scale (cents² sums), and silent wrap would flip corr
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    varx = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    vary = dec("n") * dec("syy") - dec("sy") * dec("sy")
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(num / F.sqrt(varx.cast("double") * vary.cast("double")), 6),
+    )
+    return agg.select(*gcols, "n", "sx", "sy", "sxy", "sxx", "syy", corr.alias("corr"))

@@ -471,3 +471,113 @@ SELECT col AS column, rule, param FROM rules
 
 QUERIES["profile_suggest_documents"] = profile_suggest_documents
 ORACLE_SQL["profile_suggest_documents"] = PROFILE_SUGGEST_SQL
+
+
+# ---------------------------------------------------------------------------
+# information-theoretic analyzers: entropy / distinctness / MI / correlation
+# ---------------------------------------------------------------------------
+
+
+def entropy_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source entropy + distinctness of the lang distribution
+    (operators/infotheory.entropy_fp): Deequ's Entropy/Distinctness
+    analyzers as exact bigint rows — entropy is the Σ cnt·round(ln(n/cnt)
+    ·1e9) numerator (nats·1e9·n) so equal inputs hash equal cross-engine;
+    a batch where one language floods a source shows as the numerator
+    collapsing toward 0."""
+    from anomalydetection_spark.operators.infotheory import entropy_fp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return entropy_fp(docs, "lang", ["source"])
+
+
+ENTROPY_LANG_SQL = """
+WITH counts AS (
+  SELECT source, lang, count(*)::bigint AS cnt
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+tot AS (
+  SELECT source, sum(cnt)::bigint AS n, count(*)::bigint AS nd
+  FROM counts GROUP BY 1)
+SELECT source, n, nd AS n_distinct,
+       (nd * 1000000) // n AS distinctness_ppm,
+       sum(cnt * cast(round(ln(n / cnt) * 1000000000.0, 0) AS bigint))::bigint
+         AS entropy_fp_n
+FROM counts JOIN tot USING (source)
+GROUP BY source, n, nd
+"""
+
+
+def mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between lang and source (one row): Deequ's
+    MutualInformation analyzer as the exact bigint numerator
+    Σ cnt_xy·round(ln(cnt_xy·n/(cnt_x·cnt_y))·1e9). The marginals derive
+    from the joint counts (never a second table pass) and broadcast back
+    onto it — at 10^12 docs the only full-table work is the one joint
+    hash aggregate."""
+    from anomalydetection_spark.operators.infotheory import mutual_information_fp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mutual_information_fp(docs, "lang", "source")
+
+
+MI_LANG_SOURCE_SQL = """
+WITH pairs AS (
+  SELECT lang, source, count(*)::bigint AS cnt_xy
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+mx AS (SELECT lang, sum(cnt_xy)::bigint AS cnt_x FROM pairs GROUP BY 1),
+my AS (SELECT source, sum(cnt_xy)::bigint AS cnt_y FROM pairs GROUP BY 1),
+tot AS (SELECT sum(cnt_xy)::bigint AS n FROM pairs)
+SELECT n, count(*)::bigint AS n_cells,
+       sum(cnt_xy * cast(round(ln((cnt_xy::double * n) / (cnt_x::double * cnt_y))
+                               * 1000000000.0, 0) AS bigint))::bigint AS mi_fp_n
+FROM pairs JOIN mx USING (lang) JOIN my USING (source), tot
+GROUP BY n
+"""
+
+
+def corr_hour_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Pearson correlation between hour-of-day and the
+    cents-fixed-point value (operators/infotheory.correlation_exact):
+    Deequ's Correlation analyzer emitting the exact bigint moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy² — the mergeable sufficient statistics) plus
+    corr rounded to 6. One map-side-partial hash aggregate."""
+    from anomalydetection_spark.operators.infotheory import correlation_exact
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.hour("ts").alias("hour"),
+            F.round(F.col("value") * 100.0).cast("long").alias("value_fp"),
+        )
+    )
+    return correlation_exact(ev, "hour", "value_fp", ["event_type"])
+
+
+CORR_HOUR_VALUE_SQL = """
+WITH ev AS (
+  SELECT event_type, extract(hour FROM ts)::bigint AS x,
+         cast(round(value * 100.0, 0) AS bigint) AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*)::bigint AS n,
+         sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+         sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
+         sum(y * y)::bigint AS syy
+  FROM ev GROUP BY 1)
+SELECT event_type, n, sx, sy, sxy, sxx, syy,
+       CASE WHEN (n::hugeint * sxx - sx::hugeint * sx) > 0
+             AND (n::hugeint * syy - sy::hugeint * sy) > 0
+            THEN round((n::hugeint * sxy - sx::hugeint * sy)
+                       / sqrt((n::hugeint * sxx - sx::hugeint * sx)::double
+                              * (n::hugeint * syy - sy::hugeint * sy)::double), 6)
+       END AS corr
+FROM m
+"""
+
+QUERIES["entropy_lang_by_source"] = entropy_lang_by_source
+ORACLE_SQL["entropy_lang_by_source"] = ENTROPY_LANG_SQL
+QUERIES["mi_lang_source"] = mi_lang_source
+ORACLE_SQL["mi_lang_source"] = MI_LANG_SOURCE_SQL
+QUERIES["corr_hour_value_by_type"] = corr_hour_value_by_type
+ORACLE_SQL["corr_hour_value_by_type"] = CORR_HOUR_VALUE_SQL
