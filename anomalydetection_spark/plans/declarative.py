@@ -10,6 +10,7 @@ Spec shape (every field optional; defaults = SuiteConfig defaults):
 
     {
       "constraints": [
+        {"type": "schema", "mode": "compatible"},
         {"type": "column_stats", "max_null_text_rate": 0.05,
          "max_empty_spans_rate": 0.05, "min_rows": 1,
          "exact_quantiles": true},
@@ -41,6 +42,7 @@ from pyspark.sql import DataFrame
 from anomalydetection_spark.operators.drift import DriftThresholds
 from anomalydetection_spark.operators.freqitems import FreqThresholds
 from anomalydetection_spark.operators.patterns import PatternThresholds
+from anomalydetection_spark.operators.schema_check import SchemaThresholds
 from anomalydetection_spark.operators.stats import StatsThresholds
 from anomalydetection_spark.operators.volume import VolumeThresholds
 from anomalydetection_spark.plans.suite import (
@@ -51,6 +53,7 @@ from anomalydetection_spark.plans.suite import (
 )
 
 _ALLOWED_FIELDS = {
+    "schema": {f.name for f in dc_fields(SchemaThresholds)},
     "column_stats": {f.name for f in dc_fields(StatsThresholds)},
     "uniqueness": {"n_salts"},
     "referential": {"broadcast"},
@@ -85,7 +88,9 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
             raise ValueError(f"unknown fields for {ctype}: {sorted(extra)}")
         selected.append(ctype)
         params = {k: v for k, v in entry.items() if k != "type"}
-        if ctype == "column_stats" and params:
+        if ctype == "schema" and params:
+            kwargs["schema"] = SchemaThresholds(**params)
+        elif ctype == "column_stats" and params:
             kwargs["stats"] = StatsThresholds(**params)
         elif ctype == "distribution_drift" and params:
             kwargs["drift"] = DriftThresholds(**params)

@@ -83,7 +83,7 @@ def _derived_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def suite_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checkable flagship suite: all nine constraint verdicts over
+    """Oracle-checkable flagship suite: all ten constraint verdicts over
     the derived spans table, restricted to the engine-deterministic columns
     (partition_id, constraint, passed, violation_count, row_count).
 
@@ -249,8 +249,18 @@ vol_v AS (
      n_docs >= 1 AS passed,
      cast(CASE WHEN n_docs >= 1 THEN 0 ELSE 1 END AS bigint) AS violation_count,
      cast(n_docs AS bigint) AS row_count
+  FROM doc_stats),
+-- schema conformance is structural (driver-side metadata in the engine);
+-- the derived table matches the contract by construction, so the twin
+-- emits the same all-pass, zero-rows-scanned verdict per partition
+schema_v AS (
+  SELECT partition_id, 'schema' AS "constraint",
+     TRUE AS passed,
+     cast(0 AS bigint) AS violation_count,
+     cast(0 AS bigint) AS row_count
   FROM doc_stats)
-SELECT * FROM stats_v
+SELECT * FROM schema_v
+UNION ALL SELECT * FROM stats_v
 UNION ALL SELECT * FROM uniq_v
 UNION ALL SELECT * FROM ref_v
 UNION ALL SELECT * FROM so_v
@@ -263,7 +273,7 @@ UNION ALL SELECT * FROM vol_v
 
 
 def flagship_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the full nine-constraint suite on the derived spans table;
+    """Run the full ten-constraint suite on the derived spans table;
     returns the per-(partition, constraint) verdicts with the
     metrics map rendered to JSON (stable schema for the driver's check)."""
     docs = _derived_docs(spark, sf_dir)

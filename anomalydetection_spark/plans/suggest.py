@@ -203,6 +203,7 @@ def suggest_spec(
     max_part = max((r["n_docs"] for r in doc_rows), default=0)
 
     constraints: list[dict] = [
+        {"type": "schema", "mode": "compatible"},
         {
             "type": "column_stats",
             "max_null_text_rate": _ceil_rate(

@@ -30,6 +30,7 @@ from anomalydetection_spark.operators import (
     patterns,
     referential,
     reassembly,
+    schema_check,
     stats,
     uniqueness,
     volume,
@@ -43,6 +44,12 @@ class SuiteConfig:
     freq: freqitems.FreqThresholds = field(default_factory=freqitems.FreqThresholds)
     pattern: patterns.PatternThresholds = field(default_factory=patterns.PatternThresholds)
     volume: volume.VolumeThresholds = field(default_factory=volume.VolumeThresholds)
+    schema: schema_check.SchemaThresholds = field(
+        default_factory=schema_check.SchemaThresholds
+    )
+    # contract the schema constraint validates against; None = the
+    # canonical interleaved-documents schema (anomalydetection_spark.schema)
+    expected_schema: object | None = None
     n_salts: int = 16
     broadcast_media: bool = True
     # persist the (narrow, text-free) exploded span view for the
@@ -83,7 +90,17 @@ def plan_size_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
 
 
+def _default_contract():
+    """Canonical interleaved-documents contract, nullability-relaxed (the
+    suite's batch frames come off parquet scans / derivations that don't
+    carry non-null flags)."""
+    from anomalydetection_spark.schema import DOCUMENTS_SCHEMA
+
+    return schema_check.relax_nullability(DOCUMENTS_SCHEMA)
+
+
 ALL_CONSTRAINTS = (
+    "schema",
     "column_stats",
     "uniqueness",
     "referential",
@@ -142,6 +159,15 @@ def run_suite(
         return pair[0], pair[1].persist(StorageLevel.MEMORY_AND_DISK)
 
     builders = {
+        # structural contract check: reads only df.schema (driver-side
+        # metadata, zero scans); the verdict fan-out uses the metadata
+        # partition list when given
+        "schema": lambda: schema_check.check(
+            docs,
+            cfg.expected_schema or _default_contract(),
+            cfg.schema,
+            expected_partitions,
+        ),
         # stats/span_order persist their own violation frames when sharing
         # is on: their verdicts then DERIVE counts from those frames, so the
         # violations action reuses them instead of re-scanning the span

@@ -33,6 +33,7 @@ def test_empty_spec_runs_everything(spark, inputs):
     res = run_declarative({}, docs, media, baseline)
     got = {r["constraint"] for r in res.verdicts.collect()}
     assert got == {
+        "schema",
         "column_stats",
         "uniqueness",
         "referential",
@@ -72,6 +73,7 @@ def test_spec_matches_programmatic_config(spark, inputs):
     docs, media, baseline = inputs
     spec = {
         "constraints": [
+            {"type": "schema", "mode": "compatible"},
             {"type": "column_stats", "max_null_text_rate": 0.01},
             {"type": "uniqueness", "n_salts": 4},
             {"type": "referential"},

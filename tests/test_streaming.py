@@ -45,8 +45,10 @@ def test_foreach_batch_validation(spark, stream_env):
     q.awaitTermination(120)
     verdicts = spark.read.parquet(str(root / "out" / "verdicts"))
     # every (partition, constraint) appears exactly once across batches
+    from anomalydetection_spark.plans.suite import ALL_CONSTRAINTS
+
     pairs = [(r["partition_id"], r["constraint"]) for r in verdicts.collect()]
-    assert len(pairs) == len(set(pairs)) == 3 * 9
+    assert len(pairs) == len(set(pairs)) == 3 * len(ALL_CONSTRAINTS)
     assert verdicts.select("batch_id").distinct().count() == 2
 
     # restart with same checkpoint: no new batches → no duplicate verdicts
@@ -55,7 +57,10 @@ def test_foreach_batch_validation(spark, stream_env):
         str(root / "out"), str(root / "ckpt"),
     )
     q2.awaitTermination(60)
-    assert spark.read.parquet(str(root / "out" / "verdicts")).count() == 27
+    assert (
+        spark.read.parquet(str(root / "out" / "verdicts")).count()
+        == 3 * len(ALL_CONSTRAINTS)
+    )
 
     # replay with a FRESH checkpoint (simulates a crash-before-commit replay
     # of every batch): dynamic partition overwrite on batch_id keeps the
@@ -66,7 +71,7 @@ def test_foreach_batch_validation(spark, stream_env):
     )
     q3.awaitTermination(120)
     replayed = spark.read.parquet(str(root / "out" / "verdicts"))
-    assert replayed.count() == 27
+    assert replayed.count() == 3 * len(ALL_CONSTRAINTS)
 
 
 def test_stateful_counter_stream(spark, stream_env):

@@ -18,6 +18,7 @@ from anomalydetection_spark.schema import VERDICTS_SCHEMA, VIOLATIONS_SCHEMA
 CFG = DataGenConfig(n_docs=1500, n_partitions=4, n_media=300, drift_partitions=(3,))
 
 CONSTRAINTS = {
+    "schema",
     "column_stats",
     "uniqueness",
     "referential",
