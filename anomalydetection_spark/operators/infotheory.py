@@ -53,6 +53,10 @@ def entropy_fp(df: DataFrame, value_col: str, group_cols: list[str] | None = Non
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*gcols, value_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # |domain|-sized; persisted so the totals branch and the join
+        # branch share ONE table scan instead of re-aggregating the corpus
+        # per consumer (Catalyst does not dedupe common subtrees)
+        .persist()
     )
     totals = counts.groupBy(*gcols).agg(
         F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_distinct")
@@ -91,6 +95,10 @@ def mutual_information_fp(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(x_col, y_col)
         .agg(F.count(F.lit(1)).alias("cnt_xy"))
+        # |cells|-sized; persisted so both marginals and the total derive
+        # from ONE materialized joint — unpersisted, the four consumers
+        # would each re-scan and re-aggregate the full table
+        .persist()
     )
     mx = pairs.groupBy(x_col).agg(F.sum("cnt_xy").alias("cnt_x"))
     my = pairs.groupBy(y_col).agg(F.sum("cnt_xy").alias("cnt_y"))

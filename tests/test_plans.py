@@ -354,3 +354,48 @@ def test_bm25_vocab_broadcast_no_full_posting_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_metric_anomaly_window_is_series_partitioned(spark):
+    """Anomaly flags rank within each metric series — the history window
+    must carry the series key in its partition spec, never a global
+    single-task window."""
+    from anomalydetection_spark.plans import driver_queries_events as dqe
+
+    plan = _formatted(spark, dqe.anomaly_daily_event_counts(spark, SF))
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    for line in specs:
+        assert "], [], [" not in line, line
+        assert "event_type" in line
+
+
+def test_mutual_information_single_table_pass(spark):
+    """MI's marginals and total derive from the persisted joint counts:
+    the source table feeds exactly one aggregation subtree; every other
+    consumer reads the InMemoryRelation."""
+    from anomalydetection_spark.plans import driver_queries_quality as dqq
+
+    df = dqq.mi_lang_source(spark, SF)
+    plan = _formatted(spark, df)
+    assert plan.count("InMemoryTableScan") >= 3  # marginals + total + join side
+    assert "SortMergeJoin" not in plan  # cell-sized frames broadcast
+
+
+def test_schema_check_scans_nothing_with_metadata_partitions(spark):
+    """With the metadata partition list, the schema constraint's verdicts
+    never touch the docs table — no file-source scan in the plan."""
+    from anomalydetection_spark.operators.schema_check import (
+        SchemaThresholds,
+        check,
+        relax_nullability,
+    )
+    from anomalydetection_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")  # wrong shape on purpose
+    parts = spark.createDataFrame([(0,), (1,)], "partition_id int")
+    verdicts, _ = check(
+        docs, relax_nullability(DOCUMENTS_SCHEMA), SchemaThresholds(), parts
+    )
+    plan = _formatted(spark, verdicts)
+    assert "Scan parquet" not in plan
