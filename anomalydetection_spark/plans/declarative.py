@@ -64,7 +64,12 @@ _ALLOWED_FIELDS = {
     "cross_column": set(),
     "volume": {f.name for f in dc_fields(VolumeThresholds)},
 }
-_EXECUTION_FIELDS = {"persist_exploded", "persist_violations", "repartition_exploded"}
+_EXECUTION_FIELDS = {
+    "persist_exploded",
+    "persist_violations",
+    "repartition_exploded",
+    "violation_sample_ppm",
+}
 
 
 def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:

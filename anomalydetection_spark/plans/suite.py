@@ -67,6 +67,13 @@ class SuiteConfig:
     # verdicts are *derived from* violations for uniqueness/referential, so
     # without this the anti-join / dup-detection runs twice per action
     persist_violations: bool = True
+    # deterministic sample rate (parts-per-million) applied to the emitted
+    # VIOLATION rows only — verdict counts stay exact. At 10^12 docs a
+    # pathological batch (every doc violating) makes the violation sink the
+    # largest output of the run; a ppm cap bounds it map-only (one hash
+    # predicate, no shuffle, no count), reproducibly across retries and
+    # engines. None = emit every violation row.
+    violation_sample_ppm: int | None = None
     # round-robin repartition of the exploded meta view before fan-out:
     # one exchange whose shuffle files every constraint branch (and the
     # violations job after the verdicts job) re-reads via stage reuse,
@@ -80,6 +87,22 @@ class ValidationResult:
     verdicts: DataFrame      # VERDICTS_SCHEMA: one row per (partition, constraint)
     violations: DataFrame    # VIOLATIONS_SCHEMA
     partition_rollup: DataFrame  # (partition_id, passed, violation_count, row_count)
+
+    @property
+    def global_verdicts(self) -> DataFrame:
+        """Table-level rollup, one row per constraint: did it pass
+        EVERYWHERE, how many partitions failed, total violations. The
+        |partitions × constraints|-sized verdict frame aggregates to
+        |constraints| rows — the summary a scheduler keys a promote/block
+        decision on without reading per-partition detail."""
+        return self.verdicts.groupBy("constraint").agg(
+            F.bool_and("passed").alias("passed"),
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum(F.when(~F.col("passed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_failed_partitions"),
+            F.sum("violation_count").cast("long").alias("violation_count"),
+        )
 
 
 def plan_size_bytes(df: DataFrame) -> int:
@@ -212,6 +235,20 @@ def run_suite(
     all_pairs = [builders[name]() for name in ALL_CONSTRAINTS if name in selected]
     verdicts = reduce(DataFrame.unionByName, [p[0] for p in all_pairs])
     violations = reduce(DataFrame.unionByName, [p[1] for p in all_pairs])
+    if cfg.violation_sample_ppm is not None:
+        # applied on TOP of the (persisted) per-constraint frames: verdict
+        # counts derive from the unsampled frames, so totals stay exact
+        # while the emitted rows are a deterministic, retry-stable sample.
+        # doc-keyed rows hash on (doc_id, constraint, pos); key-level rows
+        # (frequent_items hot keys, volume/schema facts) hash their detail.
+        key = F.xxhash64(
+            F.coalesce(F.col("doc_id"), F.col("detail")),
+            F.col("constraint"),
+            F.coalesce(F.col("pos"), F.lit(-1)),
+        )
+        violations = violations.filter(
+            F.pmod(key, F.lit(1_000_000)) < F.lit(int(cfg.violation_sample_ppm))
+        )
 
     rollup = verdicts.groupBy("partition_id").agg(
         F.bool_and("passed").alias("passed"),

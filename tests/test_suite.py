@@ -138,3 +138,51 @@ def test_quarantine_mass_violation_shuffle_fallback(spark, baseline):
         assert key(gated) == key(small)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_global_verdicts_rollup(spark, baseline):
+    docs = generate_documents(spark, CFG)
+    media = generate_media_assets(spark, CFG)
+    res = run_suite(docs, media, baseline)
+    per = res.verdicts.collect()
+    glob = {r["constraint"]: r for r in res.global_verdicts.collect()}
+    assert set(glob) == CONSTRAINTS
+    for c in CONSTRAINTS:
+        mine = [r for r in per if r["constraint"] == c]
+        assert glob[c]["passed"] == all(r["passed"] for r in mine)
+        assert glob[c]["n_partitions"] == len(mine)
+        assert glob[c]["n_failed_partitions"] == sum(not r["passed"] for r in mine)
+        assert glob[c]["violation_count"] == sum(r["violation_count"] for r in mine)
+    assert not glob["uniqueness"]["passed"]  # dirty fixture
+
+
+def test_violation_sampling_bounds_sink_keeps_counts_exact(spark, baseline):
+    docs = generate_documents(spark, CFG)
+    media = generate_media_assets(spark, CFG)
+    full = run_suite(docs, media, baseline)
+    half = run_suite(
+        docs, media, baseline, SuiteConfig(violation_sample_ppm=500_000)
+    )
+    none = run_suite(docs, media, baseline, SuiteConfig(violation_sample_ppm=0))
+    n_full, n_half, n_none = (
+        full.violations.count(), half.violations.count(), none.violations.count()
+    )
+    assert n_none == 0
+    assert 0 < n_half < n_full
+    # deterministic: same config → identical sampled rows
+    again = run_suite(
+        docs, media, baseline, SuiteConfig(violation_sample_ppm=500_000)
+    )
+    key = lambda df: sorted(
+        (r["partition_id"], r["constraint"], r["doc_id"], r["pos"], r["detail"])
+        for r in df.violations.collect()
+    )
+    assert key(half) == key(again)
+    # sampled rows are a subset of the full set
+    assert set(map(tuple, key(half))) <= set(map(tuple, key(full)))
+    # verdict counts derive from the UNSAMPLED frames — exact either way
+    v = lambda res: sorted(
+        (r["partition_id"], r["constraint"], r["violation_count"])
+        for r in res.verdicts.collect()
+    )
+    assert v(half) == v(full) == v(none)
