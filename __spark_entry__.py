@@ -54,6 +54,7 @@ _PRIORITY = [
     "entropy_lang_by_source",      # new: entropy/distinctness analyzer (exact bigint numerators)
     "mi_lang_source",              # new: mutual-information analyzer (joint-derived marginals)
     "corr_hour_value_by_type",     # new: Pearson correlation from exact bigint moment sums
+    "placement_audit_docs",        # new: partition-transform consistency audit (map-only)
     "pca_anomaly_by_label",    # new model-literal oracle this round
     "ann_pq_topk",             # new PQ ADC oracle this round
     "pii_scan_by_source",      # new: PII scan + redaction accounting

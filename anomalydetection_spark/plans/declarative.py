@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from anomalydetection_spark.operators.drift import DriftThresholds
 from anomalydetection_spark.operators.freqitems import FreqThresholds
 from anomalydetection_spark.operators.patterns import PatternThresholds
+from anomalydetection_spark.operators.placement import PlacementThresholds
 from anomalydetection_spark.operators.schema_check import SchemaThresholds
 from anomalydetection_spark.operators.stats import StatsThresholds
 from anomalydetection_spark.operators.volume import VolumeThresholds
@@ -63,6 +64,7 @@ _ALLOWED_FIELDS = {
     "pattern": {f.name for f in dc_fields(PatternThresholds)},
     "cross_column": set(),
     "volume": {f.name for f in dc_fields(VolumeThresholds)},
+    "placement": {f.name for f in dc_fields(PlacementThresholds)},
 }
 _EXECUTION_FIELDS = {
     "persist_exploded",
@@ -109,6 +111,8 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
             kwargs["pattern"] = PatternThresholds(**params)
         elif ctype == "volume" and params:
             kwargs["volume"] = VolumeThresholds(**params)
+        elif ctype == "placement":
+            kwargs["placement"] = PlacementThresholds(**params)
 
     execution = spec.get("execution", {})
     extra = set(execution) - _EXECUTION_FIELDS

@@ -581,3 +581,46 @@ QUERIES["mi_lang_source"] = mi_lang_source
 ORACLE_SQL["mi_lang_source"] = MI_LANG_SOURCE_SQL
 QUERIES["corr_hour_value_by_type"] = corr_hour_value_by_type
 ORACLE_SQL["corr_hour_value_by_type"] = CORR_HOUR_VALUE_SQL
+
+
+# ---------------------------------------------------------------------------
+# placement audit: partition-transform consistency
+# ---------------------------------------------------------------------------
+
+
+def placement_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-placement audit (operators/placement.py) over the derived
+    interleaved table, deliberately declaring a DIFFERENT transform
+    (bucket-8) than the one the table was laid out with (bucket-4): every
+    doc whose doc_id lands in buckets 4..7 under the declared transform is
+    a misplaced row. One map-only pass; verdicts group by the physical
+    partition whose files would need rewriting."""
+    from anomalydetection_spark.operators.placement import (
+        PlacementThresholds,
+        check,
+    )
+    from anomalydetection_spark.plans.flagship import derive_spans_documents
+
+    docs = derive_spans_documents(spark, sf_dir)
+    verdicts, _ = check(
+        docs, PlacementThresholds(expr="pmod(cast(doc_id as bigint), 8)")
+    )
+    return verdicts.select(
+        "partition_id", "constraint", "passed", "violation_count", "row_count"
+    )
+
+
+PLACEMENT_AUDIT_SQL = """
+WITH d AS (
+  SELECT (doc_id % 4)::int AS partition_id, (doc_id % 8)::int AS expected
+  FROM documents)
+SELECT partition_id, 'placement' AS "constraint",
+       sum(CASE WHEN expected <> partition_id THEN 1 ELSE 0 END) = 0 AS passed,
+       sum(CASE WHEN expected <> partition_id THEN 1 ELSE 0 END)::bigint
+         AS violation_count,
+       count(*)::bigint AS row_count
+FROM d GROUP BY partition_id
+"""
+
+QUERIES["placement_audit_docs"] = placement_audit_docs
+ORACLE_SQL["placement_audit_docs"] = PLACEMENT_AUDIT_SQL

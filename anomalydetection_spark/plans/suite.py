@@ -28,6 +28,7 @@ from anomalydetection_spark.operators import (
     drift,
     freqitems,
     patterns,
+    placement,
     referential,
     reassembly,
     schema_check,
@@ -44,6 +45,9 @@ class SuiteConfig:
     freq: freqitems.FreqThresholds = field(default_factory=freqitems.FreqThresholds)
     pattern: patterns.PatternThresholds = field(default_factory=patterns.PatternThresholds)
     volume: volume.VolumeThresholds = field(default_factory=volume.VolumeThresholds)
+    placement: placement.PlacementThresholds = field(
+        default_factory=placement.PlacementThresholds
+    )
     schema: schema_check.SchemaThresholds = field(
         default_factory=schema_check.SchemaThresholds
     )
@@ -135,6 +139,11 @@ ALL_CONSTRAINTS = (
     "volume",
 )
 
+# opt-in constraints: valid in ``constraints``/declarative specs but not in
+# the default run — each needs caller-supplied configuration with no safe
+# default (placement needs the table's partition transform)
+OPTIONAL_CONSTRAINTS = ("placement",)
+
 
 def run_suite(
     docs: DataFrame,
@@ -156,7 +165,7 @@ def run_suite(
     planner's metadata partition list plugs in here.
     """
     selected = tuple(constraints) if constraints is not None else ALL_CONSTRAINTS
-    unknown = set(selected) - set(ALL_CONSTRAINTS)
+    unknown = set(selected) - set(ALL_CONSTRAINTS) - set(OPTIONAL_CONSTRAINTS)
     if unknown:
         raise ValueError(f"unknown constraints: {sorted(unknown)}")
 
@@ -223,6 +232,8 @@ def run_suite(
         # doc-level count agg over the partition column alone — never
         # touches the span table; violations are |partitions|-bounded
         "volume": lambda: volume.check(docs, cfg.volume, expected_partitions),
+        # opt-in: map-only partition-transform consistency (needs cfg.placement.expr)
+        "placement": lambda: _maybe_persist(placement.check(docs, cfg.placement)),
     }
     # the two per-span predicate constraints fuse into ONE scan (tagged
     # violation array + shared totals, operators/patterns.fused_check) when
@@ -232,7 +243,11 @@ def run_suite(
         fused = patterns.fused_check(exploded, cfg.pattern, persist=True)
         builders["pattern"] = lambda: fused["pattern"]
         builders["cross_column"] = lambda: fused["cross_column"]
-    all_pairs = [builders[name]() for name in ALL_CONSTRAINTS if name in selected]
+    all_pairs = [
+        builders[name]()
+        for name in (*ALL_CONSTRAINTS, *OPTIONAL_CONSTRAINTS)
+        if name in selected
+    ]
     verdicts = reduce(DataFrame.unionByName, [p[0] for p in all_pairs])
     violations = reduce(DataFrame.unionByName, [p[1] for p in all_pairs])
     if cfg.violation_sample_ppm is not None:
