@@ -88,24 +88,24 @@ _PRIORITY = [
     "referential_orphans",
     "drift_kl_psi_by_source",
     "threshold_verdict_events",
-    "parse_logs",
     "template_merge_events",
     "sessionize_events",
-    "stratified_sample_langs",
-    "roc_auc_embeddings",
     "topk_users_by_type",
     "funnel_stages",           # new: strictly-ordered 3-stage funnel (chained per-user aggs)
     "hopping_window_counts",   # new: overlapping hopping windows vs an arithmetic DuckDB construction
     "gapfill_daily_activity",  # new: dense calendar densification (gap-fill grid)
     "grouping_sets_orders",
     "set_ops_users",
-    "q1_pricing_summary",
-    "q13_order_count_distribution",
-    "dedup_minhash_lsh",
     "dsir_importance_by_lang",  # new: DSIR hashed-n-gram importance weights (target vs raw bag models)
     "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
 ]
 _TAIL = [
+    "q1_pricing_summary",      # driver-verified green in r02 (hash), query untouched since; single-hash-agg family also in-window via stats_documents
+    "q13_order_count_distribution",  # driver-verified green in r02 (hash), untouched; outer-join + grouped-count family in-window via gapfill/grouping_sets
+    "dedup_minhash_lsh",       # driver-verified green in r02 (hash), untouched; banded near-dup family in-window via dedup_incremental + semdedup_clusters
+    "parse_logs",              # driver-verified green in r02 (hash), untouched; positional parse family also exercised by template_merge_events (same parse core) in-window
+    "stratified_sample_langs", # driver-verified green in r02 (hash), untouched; deterministic-sampling family in-window via temperature_sample_sources
+    "roc_auc_embeddings",      # driver-verified green in r02 (hash), untouched since the r2 bucketed rank fix (plan-asserted in tests); metric family in-window via eval/confusion entries? (eval_metrics in tail) — rank-bucket core pinned by test_plans
     "dedup_simhash",           # driver-verified green in r02 (hash), unchanged; near-dup family also in-window via dedup_minhash_lsh
     "lang_id_confusion",       # driver-verified green in r02 (hash), unchanged; text-stats family in-window via token/quality entries
     "asof_last_purchase",      # driver-verified green in r02 (hash), operator unchanged since; carry-forward window family also exercised by running_total_user
