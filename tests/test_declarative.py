@@ -115,3 +115,15 @@ def test_fail_fast_on_bad_spec():
         compile_spec({"constraints": [{"type": "span_order"}, {"type": "span_order"}]})
     with pytest.raises(ValueError, match="unknown execution"):
         compile_spec({"execution": {"cache": True}})
+
+
+def test_shipped_example_spec_compiles():
+    from pathlib import Path
+
+    from anomalydetection_spark.plans.declarative import compile_spec, load_spec
+
+    spec = load_spec(str(Path(__file__).resolve().parents[1] / "examples" / "constraints.json"))
+    cfg, selected = compile_spec(spec)
+    assert "schema" in selected and "placement" in selected
+    assert cfg.placement.expr  # example must carry a real transform
+    assert cfg.violation_sample_ppm == 1_000_000
