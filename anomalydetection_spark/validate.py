@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
                                    "overrides the individual threshold flags")
     ap.add_argument("--quarantine", action="store_true",
                     help="additionally write full offending document rows to <out>/quarantine")
+    ap.add_argument("--suggest", action="store_true",
+                    help="profile the input and print a suggested constraint spec "
+                         "(plans/suggest.py) instead of validating; pipe to a file "
+                         "and pass it back via --spec")
+    ap.add_argument("--anomaly-check", action="store_true",
+                    help="with --state-dir: after the run, flag each partition's "
+                         "latest row/violation counts against its own run history "
+                         "(plans/manifest.metric_anomalies)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -93,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
         baseline = drift.compute_baseline(
             reassembly.explode_spans_meta(generate_documents(spark, clean_config(cfg)))
         )
+
+    if args.suggest:
+        # profile → suggest: the printed spec is directly consumable via
+        # --spec on the next invocation (the Deequ suggestion loop)
+        from anomalydetection_spark.plans.suggest import suggest_spec
+
+        print(json.dumps(suggest_spec(docs), indent=2))
+        return 0
 
     selected_constraints = None
     if args.spec:
@@ -143,6 +159,14 @@ def main(argv: list[str] | None = None) -> int:
                 f"  partition={r['partition_id']:>4} {r['constraint']:<20} {status}"
                 f" violations={r['violation_count']}"
             )
+        if args.anomaly_check:
+            flags = v.metric_anomalies().orderBy("partition_id", "metric").collect()
+            for r in flags:
+                mark = "ANOMALY" if (r["normal_anomaly"] or r["change_anomaly"]) else "ok"
+                print(
+                    f"  history partition={r['partition_id']:>4} {r['metric']:<16}"
+                    f" value={r['value']} hist_n={r['hist_n']} {mark}"
+                )
         return 0
 
     res = run_suite(docs, media, baseline, suite_cfg, constraints=selected_constraints)
