@@ -308,3 +308,26 @@ def quarantine_documents(
     if broadcast_max_keys is None or keys.count() <= broadcast_max_keys:
         keys = F.broadcast(keys)
     return docs.join(keys, "doc_id")
+
+
+def clean_documents(
+    docs: DataFrame,
+    violations: DataFrame,
+    broadcast_max_keys: int = 1_000_000,
+) -> DataFrame:
+    """The promote path — documents with NO violation row under ANY
+    constraint, ``quarantine_documents``' complement: what a curation
+    pipeline forwards to training after a validation run.
+
+    Same broadcast economics as the quarantine: the violating-key set is
+    the exception by construction, so it aggregates small and broadcasts
+    into a LEFT ANTI join — one more pass over the document table, zero
+    fact-side shuffle; above ``broadcast_max_keys`` the anti-join falls
+    back to shuffle so a pathological all-violating batch cannot OOM the
+    broadcast. Key-level violations without a doc_id (hot media_refs,
+    volume/schema facts) identify no specific document and do not
+    disqualify any."""
+    keys = violations.filter(F.col("doc_id").isNotNull()).select("doc_id").distinct()
+    if broadcast_max_keys is None or keys.count() <= broadcast_max_keys:
+        keys = F.broadcast(keys)
+    return docs.join(keys, "doc_id", "left_anti")

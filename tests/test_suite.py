@@ -186,3 +186,30 @@ def test_violation_sampling_bounds_sink_keeps_counts_exact(spark, baseline):
         for r in res.verdicts.collect()
     )
     assert v(half) == v(full) == v(none)
+
+
+def test_clean_documents_complements_quarantine(spark, baseline):
+    from anomalydetection_spark.plans.suite import clean_documents, quarantine_documents
+
+    docs = generate_documents(spark, CFG).cache()
+    media = generate_media_assets(spark, CFG)
+    res = run_suite(docs, media, baseline)
+    res.violations.persist()
+
+    clean = clean_documents(docs, res.violations)
+    dirty = quarantine_documents(docs, res.violations)
+    n_docs, n_clean, n_dirty = docs.count(), clean.count(), dirty.count()
+    # every document row lands on exactly one side
+    assert n_clean + n_dirty == n_docs
+    assert 0 < n_clean < n_docs  # dirty fixture: some of each
+    # no clean doc_id appears among the violating keys
+    viol_ids = {
+        r["doc_id"]
+        for r in res.violations.filter(F.col("doc_id").isNotNull())
+        .select("doc_id").distinct().collect()
+    }
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert clean_ids.isdisjoint(viol_ids)
+    # shuffle fallback path returns the same rows
+    clean_shuffled = clean_documents(docs, res.violations, broadcast_max_keys=0)
+    assert clean_shuffled.count() == n_clean
