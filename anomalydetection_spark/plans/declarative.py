@@ -21,14 +21,17 @@ Spec shape (every field optional; defaults = SuiteConfig defaults):
         {"type": "span_order"},
         {"type": "frequent_items", "max_ref_share": 0.05, "min_refs": 50},
         {"type": "pattern", "ref_pattern": "^m-[0-9]{5,8}$"},
-        {"type": "cross_column"}
+        {"type": "cross_column", "severity": "warn"}
       ],
       "execution": {"persist_exploded": true, "persist_violations": true,
                     "repartition_exploded": null}
     }
 
-Omitting a constraint from the list disables it. Unknown types or fields
-fail fast at compile time (a spec typo must not silently skip a check).
+Omitting a constraint from the list disables it. Every entry accepts
+``"severity": "warn" | "error"`` (default error): a warn-level failure is
+reported in the verdicts but does not gate the partition/global pass.
+Unknown types or fields fail fast at compile time (a spec typo must not
+silently skip a check).
 """
 
 from __future__ import annotations
@@ -83,6 +86,7 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
     if entries is None:
         entries = [{"type": t} for t in ALL_CONSTRAINTS]
     selected: list[str] = []
+    warns: list[str] = []
     kwargs: dict = {}
     for entry in entries:
         ctype = entry.get("type")
@@ -90,11 +94,16 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
             raise ValueError(f"unknown constraint type: {ctype!r}")
         if ctype in selected:
             raise ValueError(f"duplicate constraint: {ctype!r}")
-        extra = set(entry) - {"type"} - _ALLOWED_FIELDS[ctype]
+        extra = set(entry) - {"type", "severity"} - _ALLOWED_FIELDS[ctype]
         if extra:
             raise ValueError(f"unknown fields for {ctype}: {sorted(extra)}")
+        severity = entry.get("severity", "error")
+        if severity not in ("error", "warn"):
+            raise ValueError(f"unknown severity for {ctype}: {severity!r}")
+        if severity == "warn":
+            warns.append(ctype)
         selected.append(ctype)
-        params = {k: v for k, v in entry.items() if k != "type"}
+        params = {k: v for k, v in entry.items() if k not in ("type", "severity")}
         if ctype == "schema" and params:
             kwargs["schema"] = SchemaThresholds(**params)
         elif ctype == "column_stats" and params:
@@ -114,6 +123,8 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
         elif ctype == "placement":
             kwargs["placement"] = PlacementThresholds(**params)
 
+    if warns:
+        kwargs["warn_constraints"] = tuple(warns)
     execution = spec.get("execution", {})
     extra = set(execution) - _EXECUTION_FIELDS
     if extra:

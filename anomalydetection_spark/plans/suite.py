@@ -78,6 +78,12 @@ class SuiteConfig:
     # predicate, no shuffle, no count), reproducibly across retries and
     # engines. None = emit every violation row.
     violation_sample_ppm: int | None = None
+    # constraints demoted to WARNING severity: their verdicts still report
+    # passed/violations faithfully, but a failure does not gate the
+    # partition rollup or the global pass — the Deequ check-level split
+    # (e.g. run a new, still-tuning drift threshold as warn before
+    # promoting it to error)
+    warn_constraints: tuple[str, ...] = ()
     # round-robin repartition of the exploded meta view before fan-out:
     # one exchange whose shuffle files every constraint branch (and the
     # violations job after the verdicts job) re-reads via stage reuse,
@@ -91,21 +97,33 @@ class ValidationResult:
     verdicts: DataFrame      # VERDICTS_SCHEMA: one row per (partition, constraint)
     violations: DataFrame    # VIOLATIONS_SCHEMA
     partition_rollup: DataFrame  # (partition_id, passed, violation_count, row_count)
+    warn_constraints: tuple[str, ...] = ()  # report-only, non-gating (cfg echo)
 
     @property
     def global_verdicts(self) -> DataFrame:
         """Table-level rollup, one row per constraint: did it pass
-        EVERYWHERE, how many partitions failed, total violations. The
-        |partitions × constraints|-sized verdict frame aggregates to
-        |constraints| rows — the summary a scheduler keys a promote/block
-        decision on without reading per-partition detail."""
-        return self.verdicts.groupBy("constraint").agg(
-            F.bool_and("passed").alias("passed"),
-            F.count(F.lit(1)).cast("long").alias("n_partitions"),
-            F.sum(F.when(~F.col("passed"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_failed_partitions"),
-            F.sum("violation_count").cast("long").alias("violation_count"),
+        EVERYWHERE, how many partitions failed, total violations, and its
+        severity (a warn-level constraint reports failures but never
+        gates). The |partitions × constraints|-sized verdict frame
+        aggregates to |constraints| rows — the summary a scheduler keys a
+        promote/block decision on without reading per-partition detail."""
+        if self.warn_constraints:
+            sev = F.when(
+                F.col("constraint").isin(*self.warn_constraints), F.lit("warn")
+            ).otherwise(F.lit("error"))
+        else:
+            sev = F.lit("error")
+        return (
+            self.verdicts.groupBy("constraint")
+            .agg(
+                F.bool_and("passed").alias("passed"),
+                F.count(F.lit(1)).cast("long").alias("n_partitions"),
+                F.sum(F.when(~F.col("passed"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_failed_partitions"),
+                F.sum("violation_count").cast("long").alias("violation_count"),
+            )
+            .withColumn("severity", sev)
         )
 
 
@@ -265,12 +283,28 @@ def run_suite(
             F.pmod(key, F.lit(1_000_000)) < F.lit(int(cfg.violation_sample_ppm))
         )
 
+    # warn-level constraints report but don't gate: the rollup's pass bit
+    # (and therefore the manifest's done-state quality and the CLI's exit
+    # summary) considers only error-level verdicts
+    gating = F.col("passed")
+    if cfg.warn_constraints:
+        bad = set(cfg.warn_constraints) - set(ALL_CONSTRAINTS) - set(OPTIONAL_CONSTRAINTS)
+        if bad:
+            raise ValueError(f"unknown warn constraints: {sorted(bad)}")
+        gating = F.when(
+            F.col("constraint").isin(*cfg.warn_constraints), F.lit(True)
+        ).otherwise(F.col("passed"))
     rollup = verdicts.groupBy("partition_id").agg(
-        F.bool_and("passed").alias("passed"),
+        F.bool_and(gating).alias("passed"),
         F.sum("violation_count").cast("long").alias("violation_count"),
         F.max("row_count").cast("long").alias("row_count"),
     )
-    return ValidationResult(verdicts=verdicts, violations=violations, partition_rollup=rollup)
+    return ValidationResult(
+        verdicts=verdicts,
+        violations=violations,
+        partition_rollup=rollup,
+        warn_constraints=tuple(cfg.warn_constraints),
+    )
 
 
 def quarantine_documents(

@@ -267,8 +267,9 @@ def main() -> int:
         }
         md = (
             "# BENCH — suite throughput + scaling efficiency\n\n"
-            "Full constraint suite (stats + uniqueness + referential + drift +\n"
-            "span_order + frequent_items + pattern + cross_column + volume) over the\n"
+            "Full constraint suite (schema + stats + uniqueness + referential +\n"
+            "drift + span_order + frequent_items + pattern + cross_column +\n"
+            "volume) over the\n"
             "deterministic synthetic interleaved documents\n"
             "table read from parquet (the Iceberg-scan analog); identical input\n"
             "at two parallelism levels — the in-sandbox proxy for the N vs 4N\n"

@@ -213,3 +213,62 @@ def test_clean_documents_complements_quarantine(spark, baseline):
     # shuffle fallback path returns the same rows
     clean_shuffled = clean_documents(docs, res.violations, broadcast_max_keys=0)
     assert clean_shuffled.count() == n_clean
+
+
+def test_warn_severity_reports_but_does_not_gate(spark, baseline):
+    docs = generate_documents(spark, CFG)
+    media = generate_media_assets(spark, CFG)
+    # dirty fixture: uniqueness + referential fail; demote BOTH to warn and
+    # restrict the run to constraints that pass elsewhere
+    sel = ("uniqueness", "referential", "span_order", "volume")
+    res = run_suite(
+        docs, media, baseline,
+        SuiteConfig(warn_constraints=("uniqueness", "referential")),
+        constraints=sel,
+    )
+    verdicts = res.verdicts.collect()
+    # verdicts still report the failures faithfully
+    assert any(r["constraint"] == "uniqueness" and not r["passed"] for r in verdicts)
+    # ...but the partition rollup gates on error-level only
+    assert all(r["passed"] for r in res.partition_rollup.collect())
+    glob = {r["constraint"]: r for r in res.global_verdicts.collect()}
+    assert glob["uniqueness"]["severity"] == "warn"
+    assert glob["span_order"]["severity"] == "error"
+    assert not glob["uniqueness"]["passed"]  # still reported as failing
+
+    # same inputs, no demotion: the rollup fails
+    hard = run_suite(docs, media, baseline, constraints=sel)
+    assert not all(r["passed"] for r in hard.partition_rollup.collect())
+
+
+def test_warn_constraints_validated(spark, baseline):
+    docs = generate_documents(spark, CFG)
+    media = generate_media_assets(spark, CFG)
+    with pytest.raises(ValueError, match="unknown warn constraints"):
+        run_suite(
+            docs, media, baseline, SuiteConfig(warn_constraints=("uniquness",))
+        ).partition_rollup.collect()
+
+
+def test_declarative_severity(spark, baseline):
+    from anomalydetection_spark.plans.declarative import compile_spec, run_declarative
+
+    docs = generate_documents(spark, CFG)
+    media = generate_media_assets(spark, CFG)
+    spec = {
+        "constraints": [
+            {"type": "uniqueness", "severity": "warn"},
+            {"type": "span_order"},
+        ]
+    }
+    cfg, selected = compile_spec(spec)
+    assert cfg.warn_constraints == ("uniqueness",)
+    res = run_declarative(spec, docs, media, baseline)
+    assert any(
+        not r["passed"]
+        for r in res.verdicts.collect()
+        if r["constraint"] == "uniqueness"
+    )
+    assert all(r["passed"] for r in res.partition_rollup.collect())
+    with pytest.raises(ValueError, match="unknown severity"):
+        compile_spec({"constraints": [{"type": "uniqueness", "severity": "loud"}]})
