@@ -106,6 +106,57 @@ def group_sketch_blobs(
     return partials.groupBy("partition_id").applyInPandas(merge, schema)
 
 
+def append_metrics_history(
+    spark: SparkSession, out_dir: str, run_id: str, rollup_rows: list[dict]
+) -> None:
+    """Append-only per-(run, partition) metric rows — the manifest keeps
+    only each partition's LATEST state, but anomaly detection needs the
+    series. One row per validated partition per pass: |partitions|-sized,
+    driver-built, appended as a single file. ``seq`` is a monotone
+    per-append ordinal (files are immutable once written, so max(seq)+1 is
+    race-free within one writer — the same single-writer contract the
+    manifest pointer already assumes). Shared by the batch validator and
+    the streaming foreachBatch path; a replayed stream batch re-appends
+    under the same run_id, which the anomaly reader deduplicates."""
+    import datetime as _dt
+
+    # Hadoop-FS existence probe (works for local/HDFS/object stores)
+    # instead of read-and-catch, which logs a spurious internal-error
+    # stack on the very first pass
+    jvm = spark._jvm  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/metrics_history")
+    if hpath.getFileSystem(hconf).exists(hpath):
+        prev_max = (
+            spark.read.parquet(f"{out_dir}/metrics_history")
+            .agg(F.max("seq"))
+            .collect()[0][0]
+            or 0
+        )
+    else:
+        prev_max = 0
+    now = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    rows = [
+        {
+            "seq": int(prev_max) + 1,
+            "run_id": run_id,
+            "finished_at": now,
+            "partition_id": r["partition_id"],
+            "row_count": r["row_count"],
+            "violation_count": r["violation_count"],
+            "passed": r["passed"],
+        }
+        for r in rollup_rows
+    ]
+    if not rows:
+        return
+    spark.createDataFrame(
+        rows,
+        "seq long, run_id string, finished_at string, partition_id int, "
+        "row_count long, violation_count long, passed boolean",
+    ).coalesce(1).write.mode("append").parquet(f"{out_dir}/metrics_history")
+
+
 class ManifestStore:
     """Parquet-backed manifest table under ``state_dir``.
 
@@ -348,45 +399,7 @@ class ResumableValidator:
         ).coalesce(1).write.mode("append").parquet(f"{self.out_dir}/run_reports")
 
     def _append_metrics_history(self, run_id: str, rollup_rows: list[dict]) -> None:
-        """Append-only per-(run, partition) metric rows — the manifest keeps
-        only each partition's LATEST state, but anomaly detection needs the
-        series. One row per validated partition per pass: |partitions|-sized,
-        driver-built, appended as a single file. ``seq`` is a monotone
-        per-append ordinal (files are immutable once written, so max(seq)+1
-        is race-free within one validator — the same single-writer contract
-        the manifest pointer already assumes)."""
-        import datetime as _dt
-
-        # Hadoop-FS existence probe (works for local/HDFS/object stores)
-        # instead of read-and-catch, which logs a spurious internal-error
-        # stack on the very first pass
-        jvm = self.spark._jvm  # noqa: SLF001
-        hconf = self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        hpath = jvm.org.apache.hadoop.fs.Path(f"{self.out_dir}/metrics_history")
-        if hpath.getFileSystem(hconf).exists(hpath):
-            prev_max = self.metrics_history().agg(F.max("seq")).collect()[0][0] or 0
-        else:
-            prev_max = 0
-        now = _dt.datetime.now(_dt.timezone.utc).isoformat()
-        rows = [
-            {
-                "seq": int(prev_max) + 1,
-                "run_id": run_id,
-                "finished_at": now,
-                "partition_id": r["partition_id"],
-                "row_count": r["row_count"],
-                "violation_count": r["violation_count"],
-                "passed": r["passed"],
-            }
-            for r in rollup_rows
-        ]
-        if not rows:
-            return
-        self.spark.createDataFrame(
-            rows,
-            "seq long, run_id string, finished_at string, partition_id int, "
-            "row_count long, violation_count long, passed boolean",
-        ).coalesce(1).write.mode("append").parquet(f"{self.out_dir}/metrics_history")
+        append_metrics_history(self.spark, self.out_dir, run_id, rollup_rows)
 
     def metrics_history(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out_dir}/metrics_history")
@@ -407,7 +420,18 @@ class ResumableValidator:
             metric_history_check,
         )
 
-        long = self.metrics_history().unpivot(
+        hist = self.metrics_history()
+        # replay-safe: a re-executed stream batch re-appends its rows under
+        # the same run_id (values identical — the suite is deterministic);
+        # keep one row per (run, partition) at the FIRST seq so a replay
+        # never shifts or lengthens any series
+        cols = [c for c in hist.columns if c not in ("run_id", "partition_id")]
+        hist = (
+            hist.groupBy("run_id", "partition_id")
+            .agg(F.min_by(F.struct(*cols), "seq").alias("_r"))
+            .select("run_id", "partition_id", *[F.col(f"_r.{c}").alias(c) for c in cols])
+        )
+        long = hist.unpivot(
             ids=["partition_id", "seq", "run_id"],
             values=["row_count", "violation_count"],
             variableColumnName="metric",

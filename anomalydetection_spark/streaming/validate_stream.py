@@ -116,6 +116,14 @@ def start_validation_stream(
             ManifestStore(spark, manifest_state_dir).mark_done(
                 rollup_rows, run_id=f"stream-batch-{batch_id}"
             )
+            # streamed batches feed the same anomaly series as batch runs;
+            # a replayed batch re-appends under the same run_id and the
+            # anomaly reader keeps one row per (run, partition)
+            from anomalydetection_spark.plans.manifest import append_metrics_history
+
+            append_metrics_history(
+                spark, out_dir, f"stream-batch-{batch_id}", rollup_rows
+            )
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -458,6 +458,33 @@ def test_streaming_ingest_feeds_batch_manifest(spark, tmp_path):
         assert MisraGries.from_bytes(bytes(m[pid]["mg_blob"])).counts
         assert m[pid]["run_id"].startswith("stream-batch-")
 
+    # streamed batches feed the metrics ledger too (same out_dir rule: a
+    # unified anomaly series needs stream + batch sharing one out_dir)
+    sv = ResumableValidator(spark, state_dir, str(tmp_path / "sout"))
+    ledger = sv.metrics_history().collect()
+    assert {r["partition_id"] for r in ledger} == {0, 1, 2}
+    assert all(r["run_id"].startswith("stream-batch-") for r in ledger)
+    flags_before = {
+        (r["partition_id"], r["metric"]): (r["hist_n"], r["value"])
+        for r in sv.metric_anomalies().collect()
+    }
+
+    # replay with a FRESH checkpoint: rows re-append under the same
+    # run_ids; the anomaly reader keeps one row per (run, partition), so
+    # no series shifts or lengthens
+    q2 = start_validation_stream(
+        spark, indir, media, baseline,
+        str(tmp_path / "sout"), str(tmp_path / "sckpt_replay"),
+        manifest_state_dir=state_dir,
+    )
+    q2.awaitTermination(180)
+    assert sv.metrics_history().count() > len(ledger)  # raw appends grew
+    flags_after = {
+        (r["partition_id"], r["metric"]): (r["hist_n"], r["value"])
+        for r in sv.metric_anomalies().collect()
+    }
+    assert flags_after == flags_before
+
     # batch resume over the FULL table: only the unseen partitions run
     v = ResumableValidator(spark, state_dir, str(tmp_path / "bout"))
     summary = v.run(docs, media, baseline, partition_ids=list(range(5)))
