@@ -81,7 +81,7 @@ _PRIORITY = [
     "shard_assignment_stats",  # new: deterministic hash-mod training shards
     "dedup_keep_best_quality", # new: quality-argmax cluster canonicalization (components in-plan)
     "tdigest_bounds_events",
-    "pandas_udf_token_stats",
+    "drift_wasserstein_chisq_by_source",  # new: distance-aware drift pair (W1 CDF-gap + chi-square homogeneity)
     "multimodal_decode_stats",
     "stats_documents",
     "uniqueness_partkey",
@@ -127,6 +127,7 @@ _TAIL = [
     "dedup_exact",                # exact-hash dedup family: dedup_incremental (same md5-identity core + bloom) in-window
     "q5_local_supplier_volume",   # multi-way equi-join family: q18 (join-back) + q13 (outer) stay in-window
     "eval_metrics_embeddings",    # A8 derives from A9 confusion counts (confusion_matrix_embeddings, tail) + A10 roc_auc in-window
+    "pandas_udf_token_stats",     # Arrow scalar-iterator UDF family: normalize_text_stats (same mapInArrow/pandas batch path) in-window; r02 hash-green, untouched
     "token_count_bpe",            # subword-count family: pandas_udf_token_stats hash-checks the same accounting via the Arrow path
     "fingerprint_docs",           # min-shingle-hash family: dedup_minhash_lsh hash-checks the shingle→min-hash core in-window
     "running_total_user",      # beyond-§2 frame specs; window family checked by topk (rank) + ntile

@@ -117,6 +117,107 @@ def kl_psi(
     )
 
 
+def wasserstein_chisq(
+    cur_counts: DataFrame,
+    base_counts: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance + Pearson chi-square statistic
+    between per-group bucket histograms and a global baseline.
+
+    Complements ``kl_psi``: KL/PSI are support-sensitive (a mass shift
+    between *adjacent* length buckets scores the same as a shift across the
+    whole range), while W1 weights shifts by how far the mass moved — the
+    right alarm for gradual length/score drift — and the chi-square
+    statistic is the classical homogeneity test for categorical features.
+
+    ``cur_counts``: (group_col, bucket, n) with integer-orderable buckets;
+    ``base_counts``: (bucket, n). Both are raw counts, NOT normalized —
+    keeping counts integral lets the heavy arithmetic stay exact:
+
+        W1  = Σ_b |cumP(b) − cumQ(b)|
+            = Σ_b |cum_np·Tq − cum_nq·Tg| / (Tg·Tq)
+
+    where the numerator is decimal(38,0)-exact (counts ≤ 1e12 × totals
+    ≤ 1e12 fits 38 digits) and ONE double division happens at the end —
+    summation order cannot perturb the result. Chi-square's per-bucket
+    difference (np·Tq − nq·Tg) is likewise exact; its square must drop to
+    double (1e48 overflows any fixed decimal), matching the oracle's
+    arithmetic exactly because both engines square the same integer.
+
+    Scale: inputs are post-aggregation histograms (≤ groups × buckets
+    rows — KB at any corpus size); the baseline is broadcast onto the
+    group grid and the cumulative windows partition BY GROUP (never a
+    partition-less window). Returns (group_col, w1, chisq).
+    """
+    tg = cur_counts.groupBy(group_col).agg(F.sum("n").cast("long").alias("tg"))
+    base_tot = base_counts.agg(F.sum("n").cast("long").alias("tq"))
+    base = base_counts.select(
+        F.col("bucket"), F.col("n").cast("long").alias("nq")
+    ).crossJoin(F.broadcast(base_tot))
+
+    # dense (group × baseline-bucket) grid so missing buckets carry n=0 in
+    # the cumulative sums; current-only buckets (absent from baseline) get
+    # nq=0 — they contribute to W1 via the CDF gap and are excluded from
+    # chi-square (E=0 is outside the statistic's support, the standard
+    # convention)
+    grid = tg.crossJoin(F.broadcast(base))
+    joined = grid.join(
+        cur_counts.select(
+            group_col, "bucket", F.col("n").cast("long").alias("np")
+        ),
+        [group_col, "bucket"],
+        "full_outer",
+    ).select(
+        group_col,
+        "bucket",
+        F.coalesce(F.col("np"), F.lit(0)).alias("np"),
+        F.coalesce(F.col("nq"), F.lit(0)).alias("nq"),
+        "tg",
+        "tq",
+    )
+    # rows from current-only buckets have NULL tg/tq — rebroadcast totals
+    totals = tg.crossJoin(F.broadcast(base_tot))
+    joined = joined.drop("tg", "tq").join(F.broadcast(totals), group_col)
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("bucket").cast("long"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d38 = "decimal(38,0)"
+    cum_gap = F.abs(
+        F.sum("np").over(w).cast(d38) * F.col("tq").cast(d38)
+        - F.sum("nq").over(w).cast(d38) * F.col("tg").cast(d38)
+    )
+    diff = (
+        F.col("np").cast(d38) * F.col("tq").cast(d38)
+        - F.col("nq").cast(d38) * F.col("tg").cast(d38)
+    )
+    per_bucket = joined.select(
+        group_col,
+        "tg",
+        "tq",
+        cum_gap.alias("cum_gap"),
+        F.when(
+            F.col("nq") > 0,
+            F.pow(diff.cast("double"), F.lit(2.0))
+            / (
+                F.col("nq").cast("double")
+                * F.col("tg").cast("double")
+                * F.col("tq").cast("double")
+            ),
+        ).alias("chisq_term"),
+    )
+    return per_bucket.groupBy(group_col).agg(
+        (
+            F.sum("cum_gap").cast("double")
+            / (F.first("tg").cast("double") * F.first("tq").cast("double"))
+        ).alias("w1"),
+        F.sum("chisq_term").alias("chisq"),
+    )
+
+
 def check(
     exploded: DataFrame,
     baseline: DataFrame,

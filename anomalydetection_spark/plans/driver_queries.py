@@ -404,6 +404,61 @@ FROM j GROUP BY source
 """
 
 
+def drift_wasserstein_chisq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-aware drift pair (operators/drift.py wasserstein_chisq):
+    per-source n_chars histograms vs the global baseline → Wasserstein-1
+    (CDF-gap form, decimal-exact numerator, ONE terminal division) +
+    Pearson chi-square homogeneity statistic. Same bucketing as
+    ``drift_kl_psi_by_source`` so the two families are directly
+    comparable on the same feature."""
+    from anomalydetection_spark.operators.drift import wasserstein_chisq
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 50), F.lit(19)).cast("long")
+    b = d.select("source", bucket.alias("bucket"))
+    cur = b.groupBy("source", "bucket").agg(F.count("*").alias("n"))
+    base = b.groupBy("bucket").agg(F.count("*").alias("n"))
+    scores = wasserstein_chisq(cur, base, "source")
+    return scores.select(
+        "source", F.round("w1", 6).alias("w1"), F.round("chisq", 6).alias("chisq")
+    )
+
+
+WASSERSTEIN_SQL = """
+WITH buck AS (
+  SELECT source, cast(least(floor(n_chars / 50), 19) AS bigint) AS bucket
+  FROM documents
+),
+cur AS (SELECT source, bucket, count(*) AS np FROM buck GROUP BY 1, 2),
+base AS (SELECT bucket, count(*) AS nq FROM buck GROUP BY 1),
+tg AS (SELECT source, sum(np) AS tg FROM cur GROUP BY 1),
+tq AS (SELECT sum(nq) AS tq FROM base),
+grid AS (
+  SELECT g.source, b.bucket, coalesce(c.np, 0) AS np, b.nq, g.tg,
+         (SELECT tq FROM tq) AS tq
+  FROM tg g CROSS JOIN base b
+  LEFT JOIN cur c ON c.source = g.source AND c.bucket = b.bucket
+),
+cums AS (
+  SELECT source, bucket, np, nq, tg, tq,
+         sum(np) OVER (PARTITION BY source ORDER BY bucket) AS cum_np,
+         sum(nq) OVER (PARTITION BY source ORDER BY bucket) AS cum_nq
+  FROM grid
+)
+SELECT source,
+       round(cast(sum(abs(cast(cum_np AS hugeint) * tq
+                          - cast(cum_nq AS hugeint) * tg)) AS double)
+             / (cast(any_value(tg) AS double) * cast(any_value(tq) AS double)),
+             6) AS w1,
+       round(sum(CASE WHEN nq > 0 THEN
+                 pow(cast(cast(np AS hugeint) * tq
+                          - cast(nq AS hugeint) * tg AS double), 2)
+                 / (cast(nq AS double) * cast(tg AS double) * cast(tq AS double))
+                 END), 6) AS chisq
+FROM cums GROUP BY source
+"""
+
+
 def threshold_verdict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 + P7: the reference's score→quantile-threshold→verdict chain
     (end_to_end_prediction.py:447-451) per event_type: threshold at the
@@ -1395,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_windows": range_join_windows,
     "histogram_n_chars": histogram_n_chars,
     "drift_kl_psi_by_source": drift_kl_psi_by_source,
+    "drift_wasserstein_chisq_by_source": drift_wasserstein_chisq_by_source,
     "threshold_verdict_events": threshold_verdict_events,
     "topk_users_by_type": topk_users_by_type,
     "confusion_matrix_embeddings": confusion_matrix_embeddings,
@@ -1436,6 +1492,7 @@ ORACLE_SQL: dict[str, str] = {
     "range_join_windows": RANGE_JOIN_SQL,
     "histogram_n_chars": HISTOGRAM_SQL,
     "drift_kl_psi_by_source": DRIFT_SQL,
+    "drift_wasserstein_chisq_by_source": WASSERSTEIN_SQL,
     "threshold_verdict_events": THRESHOLD_SQL,
     "topk_users_by_type": TOPK_SQL,
     "confusion_matrix_embeddings": CONFUSION_SQL,

@@ -139,3 +139,39 @@ def test_explode_reassemble_roundtrip(data, spark):
     assert diff.count() == 0
     assert expected.exceptAll(round_tripped).count() == 0
     assert round_tripped.count() == nonempty.count()
+
+
+def test_wasserstein_chisq_hand_computed(spark):
+    """W1 + chi-square vs a hand-derived example.
+
+    Groups a/b each hold 4 rows in opposite buckets; baseline = union:
+    CDF gap for either group is |1.0 - 0.5| at bucket 0 → W1 = 0.5;
+    chi-square: E = 2 per bucket, (4-2)²/2 + (0-2)²/2 = 4.0.
+    """
+    cur = spark.createDataFrame(
+        [("a", 0, 4), ("b", 1, 4)], "g string, bucket int, n long"
+    )
+    base = spark.createDataFrame([(0, 4), (1, 4)], "bucket int, n long")
+    got = {r["g"]: r for r in drift.wasserstein_chisq(cur, base, "g").collect()}
+    for g in ("a", "b"):
+        assert got[g]["w1"] == pytest.approx(0.5, abs=1e-12)
+        assert got[g]["chisq"] == pytest.approx(4.0, abs=1e-12)
+
+
+def test_wasserstein_identical_distributions_zero(spark):
+    """A group matching the baseline exactly scores 0 on both metrics, and
+    a current-only bucket (absent from the baseline) still moves W1 while
+    staying outside chi-square's support (E=0 convention)."""
+    cur = spark.createDataFrame(
+        [("same", 0, 2), ("same", 1, 6), ("novel", 2, 4)],
+        "g string, bucket int, n long",
+    )
+    base = spark.createDataFrame([(0, 2), (1, 6)], "bucket int, n long")
+    got = {r["g"]: r for r in drift.wasserstein_chisq(cur, base, "g").collect()}
+    assert got["same"]["w1"] == pytest.approx(0.0, abs=1e-12)
+    assert got["same"]["chisq"] == pytest.approx(0.0, abs=1e-12)
+    # novel: all mass at bucket 2, baseline CDF hits 1.0 by bucket 1 →
+    # gaps |0-0.25| + |0-1.0| = 1.25; both baseline buckets expect E>0
+    # with O=0 → chisq = 4·(0.25+0.75·... ) hand value: E0=1, E1=3 → 1+3=4
+    assert got["novel"]["w1"] == pytest.approx(1.25, abs=1e-12)
+    assert got["novel"]["chisq"] == pytest.approx(4.0, abs=1e-12)
