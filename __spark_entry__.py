@@ -86,7 +86,7 @@ _PRIORITY = [
     "stats_documents",
     "uniqueness_partkey",
     "referential_orphans",
-    "drift_kl_psi_by_source",
+    "freshness_events_by_type",  # new: event-time recency audit (opt-in constraint core)
     "threshold_verdict_events",
     "template_merge_events",
     "sessionize_events",
@@ -100,6 +100,7 @@ _PRIORITY = [
     "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
 ]
 _TAIL = [
+    "drift_kl_psi_by_source",  # driver-verified green in r02 (hash); KL/PSI drift family stays in-window twice over: suite_verdicts re-derives both scores in its DuckDB twin and drift_wasserstein_chisq_by_source shares the histogram-grid core
     "q1_pricing_summary",      # driver-verified green in r02 (hash), query untouched since; single-hash-agg family also in-window via stats_documents
     "q13_order_count_distribution",  # driver-verified green in r02 (hash), untouched; outer-join + grouped-count family in-window via gapfill/grouping_sets
     "dedup_minhash_lsh",       # driver-verified green in r02 (hash), untouched; banded near-dup family in-window via dedup_incremental + semdedup_clusters

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from anomalydetection_spark.operators.drift import DriftThresholds
 from anomalydetection_spark.operators.freqitems import FreqThresholds
 from anomalydetection_spark.operators.patterns import PatternThresholds
+from anomalydetection_spark.operators.freshness import FreshnessThresholds
 from anomalydetection_spark.operators.placement import PlacementThresholds
 from anomalydetection_spark.operators.schema_check import SchemaThresholds
 from anomalydetection_spark.operators.stats import StatsThresholds
@@ -68,6 +69,7 @@ _ALLOWED_FIELDS = {
     "cross_column": set(),
     "volume": {f.name for f in dc_fields(VolumeThresholds)},
     "placement": {f.name for f in dc_fields(PlacementThresholds)},
+    "freshness": {f.name for f in dc_fields(FreshnessThresholds)},
 }
 _EXECUTION_FIELDS = {
     "persist_exploded",
@@ -122,6 +124,8 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
             kwargs["volume"] = VolumeThresholds(**params)
         elif ctype == "placement":
             kwargs["placement"] = PlacementThresholds(**params)
+        elif ctype == "freshness":
+            kwargs["freshness"] = FreshnessThresholds(**params)
 
     if warns:
         kwargs["warn_constraints"] = tuple(warns)

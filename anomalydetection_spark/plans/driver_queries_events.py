@@ -329,3 +329,55 @@ FROM hist
 
 QUERIES["anomaly_daily_event_counts"] = anomaly_daily_event_counts
 ORACLE_SQL["anomaly_daily_event_counts"] = ANOMALY_DAILY_SQL
+
+
+# ---------------------------------------------------------------------------
+# freshness audit: per-group event-time recency facts (operators/freshness)
+# ---------------------------------------------------------------------------
+
+# staleness is measured against an EXPLICIT instant, never wall-clock, so
+# the same input always yields the same verdicts (operators/freshness.py)
+FRESHNESS_AS_OF = "2024-01-31 00:00:00"
+FRESHNESS_MAX_LAG_S = 1800
+
+
+def freshness_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness constraint core (operators/freshness.staleness) audited per
+    event_type: newest-event lag vs an explicit as_of in exact integer
+    microseconds, one map-side-combinable hash aggregate, no joins/windows.
+    The reference has no freshness notion (it reads one static CSV dump,
+    end_to_end_prediction.py:618); a continuously-ingested table needs the
+    Deequ-style recency check."""
+    from anomalydetection_spark.operators.freshness import staleness
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    facts = staleness(e, "ts", FRESHNESS_AS_OF, group_col="event_type")
+    return facts.select(
+        "event_type",
+        "n_rows",
+        "n_null_ts",
+        "max_ts_us",
+        "staleness_s",
+        (
+            F.col("staleness_s").isNotNull()
+            & (F.col("staleness_s") <= F.lit(FRESHNESS_MAX_LAG_S))
+        ).alias("fresh"),
+    )
+
+
+FRESHNESS_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       cast(coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS bigint)
+         AS n_null_ts,
+       max(epoch_us(ts)) AS max_ts_us,
+       cast(floor((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                   - max(epoch_us(ts))) / 1000000) AS bigint) AS staleness_s,
+       (max(ts) IS NOT NULL
+        AND floor((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                   - max(epoch_us(ts))) / 1000000) <= 1800) AS fresh
+FROM events GROUP BY event_type
+"""
+
+QUERIES["freshness_events_by_type"] = freshness_events_by_type
+ORACLE_SQL["freshness_events_by_type"] = FRESHNESS_SQL

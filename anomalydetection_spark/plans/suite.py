@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from anomalydetection_spark.operators import (
     drift,
     freqitems,
+    freshness,
     patterns,
     placement,
     referential,
@@ -47,6 +48,9 @@ class SuiteConfig:
     volume: volume.VolumeThresholds = field(default_factory=volume.VolumeThresholds)
     placement: placement.PlacementThresholds = field(
         default_factory=placement.PlacementThresholds
+    )
+    freshness: freshness.FreshnessThresholds = field(
+        default_factory=freshness.FreshnessThresholds
     )
     schema: schema_check.SchemaThresholds = field(
         default_factory=schema_check.SchemaThresholds
@@ -160,7 +164,7 @@ ALL_CONSTRAINTS = (
 # opt-in constraints: valid in ``constraints``/declarative specs but not in
 # the default run — each needs caller-supplied configuration with no safe
 # default (placement needs the table's partition transform)
-OPTIONAL_CONSTRAINTS = ("placement",)
+OPTIONAL_CONSTRAINTS = ("placement", "freshness")
 
 
 def run_suite(
@@ -252,6 +256,8 @@ def run_suite(
         "volume": lambda: volume.check(docs, cfg.volume, expected_partitions),
         # opt-in: map-only partition-transform consistency (needs cfg.placement.expr)
         "placement": lambda: _maybe_persist(placement.check(docs, cfg.placement)),
+        # opt-in: event-time recency bounds (needs cfg.freshness ts_expr + as_of)
+        "freshness": lambda: _maybe_persist(freshness.check(docs, cfg.freshness)),
     }
     # the two per-span predicate constraints fuse into ONE scan (tagged
     # violation array + shared totals, operators/patterns.fused_check) when
