@@ -93,13 +93,14 @@ _PRIORITY = [
     "topk_users_by_type",
     "funnel_stages",           # new: strictly-ordered 3-stage funnel (chained per-user aggs)
     "hopping_window_counts",   # new: overlapping hopping windows vs an arithmetic DuckDB construction
-    "gapfill_daily_activity",  # new: dense calendar densification (gap-fill grid)
+    "expression_rules_documents",  # new: named row-level SQL predicate rules (dbt-test analog), fused single scan
     "grouping_sets_orders",
     "set_ops_users",
     "dsir_importance_by_lang",  # new: DSIR hashed-n-gram importance weights (target vs raw bag models)
     "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
 ]
 _TAIL = [
+    "gapfill_daily_activity",  # dense-calendar gap-fill: its generated-dimension broadcast + outer-join-onto-grouped-counts core is exactly hopping_window_counts' in-window shape; locally hash-green
     "drift_kl_psi_by_source",  # driver-verified green in r02 (hash); KL/PSI drift family stays in-window twice over: suite_verdicts re-derives both scores in its DuckDB twin and drift_wasserstein_chisq_by_source shares the histogram-grid core
     "q1_pricing_summary",      # driver-verified green in r02 (hash), query untouched since; single-hash-agg family also in-window via stats_documents
     "q13_order_count_distribution",  # driver-verified green in r02 (hash), untouched; outer-join + grouped-count family in-window via gapfill/grouping_sets

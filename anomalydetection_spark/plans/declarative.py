@@ -21,7 +21,9 @@ Spec shape (every field optional; defaults = SuiteConfig defaults):
         {"type": "span_order"},
         {"type": "frequent_items", "max_ref_share": 0.05, "min_refs": 50},
         {"type": "pattern", "ref_pattern": "^m-[0-9]{5,8}$"},
-        {"type": "cross_column", "severity": "warn"}
+        {"type": "cross_column", "severity": "warn"},
+        {"type": "expression", "name": "caption_needs_ref",
+         "expr": "size(spans) < 64", "severity": "warn"}
       ],
       "execution": {"persist_exploded": true, "persist_violations": true,
                     "repartition_exploded": null}
@@ -43,6 +45,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 
 from anomalydetection_spark.operators.drift import DriftThresholds
+from anomalydetection_spark.operators.expression import ExpressionRule
 from anomalydetection_spark.operators.freqitems import FreqThresholds
 from anomalydetection_spark.operators.patterns import PatternThresholds
 from anomalydetection_spark.operators.freshness import FreshnessThresholds
@@ -70,6 +73,8 @@ _ALLOWED_FIELDS = {
     "volume": {f.name for f in dc_fields(VolumeThresholds)},
     "placement": {f.name for f in dc_fields(PlacementThresholds)},
     "freshness": {f.name for f in dc_fields(FreshnessThresholds)},
+    # repeatable: one entry PER RULE, deduped by name (not by type)
+    "expression": {f.name for f in dc_fields(ExpressionRule)},
 }
 _EXECUTION_FIELDS = {
     "persist_exploded",
@@ -89,23 +94,34 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
         entries = [{"type": t} for t in ALL_CONSTRAINTS]
     selected: list[str] = []
     warns: list[str] = []
+    rules: list[ExpressionRule] = []
     kwargs: dict = {}
     for entry in entries:
         ctype = entry.get("type")
         if ctype not in _ALLOWED_FIELDS:
             raise ValueError(f"unknown constraint type: {ctype!r}")
-        if ctype in selected:
-            raise ValueError(f"duplicate constraint: {ctype!r}")
         extra = set(entry) - {"type", "severity"} - _ALLOWED_FIELDS[ctype]
         if extra:
             raise ValueError(f"unknown fields for {ctype}: {sorted(extra)}")
         severity = entry.get("severity", "error")
         if severity not in ("error", "warn"):
             raise ValueError(f"unknown severity for {ctype}: {severity!r}")
+        params = {k: v for k, v in entry.items() if k not in ("type", "severity")}
+        if ctype == "expression":
+            # repeatable entry: not a suite-selected constraint name — the
+            # compiled rules ride SuiteConfig.expressions (name-deduped by
+            # operators/expression._validate, which check() runs eagerly
+            # below so a bad spec still fails at compile time)
+            rule = ExpressionRule(**params)
+            rules.append(rule)
+            if severity == "warn":
+                warns.append(rule.constraint)
+            continue
+        if ctype in selected:
+            raise ValueError(f"duplicate constraint: {ctype!r}")
         if severity == "warn":
             warns.append(ctype)
         selected.append(ctype)
-        params = {k: v for k, v in entry.items() if k not in ("type", "severity")}
         if ctype == "schema" and params:
             kwargs["schema"] = SchemaThresholds(**params)
         elif ctype == "column_stats" and params:
@@ -127,6 +143,11 @@ def compile_spec(spec: dict) -> tuple[SuiteConfig, tuple[str, ...]]:
         elif ctype == "freshness":
             kwargs["freshness"] = FreshnessThresholds(**params)
 
+    if rules:
+        from anomalydetection_spark.operators.expression import _validate
+
+        _validate(tuple(rules))  # duplicate names / empty exprs fail HERE
+        kwargs["expressions"] = tuple(rules)
     if warns:
         kwargs["warn_constraints"] = tuple(warns)
     execution = spec.get("execution", {})

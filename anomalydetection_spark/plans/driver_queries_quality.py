@@ -624,3 +624,73 @@ FROM d GROUP BY partition_id
 
 QUERIES["placement_audit_docs"] = placement_audit_docs
 ORACLE_SQL["placement_audit_docs"] = PLACEMENT_AUDIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# expression rules: named row-level SQL predicates (dbt-test analog)
+# ---------------------------------------------------------------------------
+
+
+def expression_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fused expression rules (operators/expression.py) over the
+    documents table: an invariant that holds everywhere (n_chars matches
+    length(text)), a bound that many rows break (n_chars <= 300), and a
+    where-scoped rule checked only on English docs (n_chars >= 120). One
+    scan evaluates all three; verdict rows exist for every
+    (partition × rule) pair including all-pass ones."""
+    from anomalydetection_spark.operators.expression import ExpressionRule, check
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "partition_id", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    )
+    rules = (
+        ExpressionRule("chars_match_text", "n_chars = length(text)"),
+        ExpressionRule("chars_bounded", "n_chars <= 300"),
+        ExpressionRule("en_min_len", "n_chars >= 120", where="lang = 'en'"),
+    )
+    verdicts, _ = check(d, rules)
+    return verdicts.select(
+        "partition_id",
+        "constraint",
+        "passed",
+        "violation_count",
+        "row_count",
+        F.col("metrics")["n_checked"].cast("long").alias("n_checked"),
+    )
+
+
+EXPRESSION_RULES_SQL = """
+WITH d AS (
+  SELECT *, (doc_id % 8)::int AS partition_id FROM documents)
+SELECT partition_id, 'expression:chars_match_text' AS "constraint",
+       sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+                THEN 1 ELSE 0 END) = 0 AS passed,
+       sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+                THEN 1 ELSE 0 END)::bigint AS violation_count,
+       count(*)::bigint AS row_count,
+       count(*)::bigint AS n_checked
+FROM d GROUP BY partition_id
+UNION ALL
+SELECT partition_id, 'expression:chars_bounded',
+       sum(CASE WHEN NOT coalesce(n_chars <= 300, FALSE)
+                THEN 1 ELSE 0 END) = 0,
+       sum(CASE WHEN NOT coalesce(n_chars <= 300, FALSE)
+                THEN 1 ELSE 0 END)::bigint,
+       count(*)::bigint,
+       count(*)::bigint
+FROM d GROUP BY partition_id
+UNION ALL
+SELECT partition_id, 'expression:en_min_len',
+       sum(CASE WHEN coalesce(lang = 'en', FALSE)
+                 AND NOT coalesce(n_chars >= 120, FALSE)
+                THEN 1 ELSE 0 END) = 0,
+       sum(CASE WHEN coalesce(lang = 'en', FALSE)
+                 AND NOT coalesce(n_chars >= 120, FALSE)
+                THEN 1 ELSE 0 END)::bigint,
+       count(*)::bigint,
+       sum(CASE WHEN coalesce(lang = 'en', FALSE) THEN 1 ELSE 0 END)::bigint
+FROM d GROUP BY partition_id
+"""
+
+QUERIES["expression_rules_documents"] = expression_rules_documents
+ORACLE_SQL["expression_rules_documents"] = EXPRESSION_RULES_SQL

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from anomalydetection_spark.operators import (
     drift,
+    expression,
     freqitems,
     freshness,
     patterns,
@@ -52,6 +53,10 @@ class SuiteConfig:
     freshness: freshness.FreshnessThresholds = field(
         default_factory=freshness.FreshnessThresholds
     )
+    # named row-level SQL predicates (operators/expression.py) — the
+    # generic escape hatch for table-specific business rules. All rules
+    # fuse into one scan; each reports/gates as "expression:<name>".
+    expressions: tuple[expression.ExpressionRule, ...] = ()
     schema: schema_check.SchemaThresholds = field(
         default_factory=schema_check.SchemaThresholds
     )
@@ -272,6 +277,10 @@ def run_suite(
         for name in (*ALL_CONSTRAINTS, *OPTIONAL_CONSTRAINTS)
         if name in selected
     ]
+    # config-driven opt-in (like warn_constraints): present rules always
+    # evaluate — there is no meaningful default rule set to select from
+    if cfg.expressions:
+        all_pairs.append(_maybe_persist(expression.check(docs, cfg.expressions)))
     verdicts = reduce(DataFrame.unionByName, [p[0] for p in all_pairs])
     violations = reduce(DataFrame.unionByName, [p[1] for p in all_pairs])
     if cfg.violation_sample_ppm is not None:
@@ -294,7 +303,12 @@ def run_suite(
     # summary) considers only error-level verdicts
     gating = F.col("passed")
     if cfg.warn_constraints:
-        bad = set(cfg.warn_constraints) - set(ALL_CONSTRAINTS) - set(OPTIONAL_CONSTRAINTS)
+        bad = (
+            set(cfg.warn_constraints)
+            - set(ALL_CONSTRAINTS)
+            - set(OPTIONAL_CONSTRAINTS)
+            - {r.constraint for r in cfg.expressions}
+        )
         if bad:
             raise ValueError(f"unknown warn constraints: {sorted(bad)}")
         gating = F.when(
