@@ -91,15 +91,16 @@ _PRIORITY = [
     "template_merge_events",
     "sessionize_events",
     "topk_users_by_type",
-    "funnel_stages",           # new: strictly-ordered 3-stage funnel (chained per-user aggs)
     "hopping_window_counts",   # new: overlapping hopping windows vs an arithmetic DuckDB construction
     "expression_rules_documents",  # new: named row-level SQL predicate rules (dbt-test analog), fused single scan
+    "reconcile_orders_copy",   # new: two-table reconciliation (count/checksum gate + key-level diff statuses)
     "grouping_sets_orders",
     "set_ops_users",
     "dsir_importance_by_lang",  # new: DSIR hashed-n-gram importance weights (target vs raw bag models)
     "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
 ]
 _TAIL = [
+    "funnel_stages",           # strictly-ordered funnel: chained conditional min-ts aggregates — the same per-user conditional-agg core as retention_cohorts (tail) and in-window sessionize_events (per-user ordered aggregation); locally hash-green
     "gapfill_daily_activity",  # dense-calendar gap-fill: its generated-dimension broadcast + outer-join-onto-grouped-counts core is exactly hopping_window_counts' in-window shape; locally hash-green
     "drift_kl_psi_by_source",  # driver-verified green in r02 (hash); KL/PSI drift family stays in-window twice over: suite_verdicts re-derives both scores in its DuckDB twin and drift_wasserstein_chisq_by_source shares the histogram-grid core
     "q1_pricing_summary",      # driver-verified green in r02 (hash), query untouched since; single-hash-agg family also in-window via stats_documents

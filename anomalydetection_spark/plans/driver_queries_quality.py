@@ -694,3 +694,108 @@ FROM d GROUP BY partition_id
 
 QUERIES["expression_rules_documents"] = expression_rules_documents
 ORACLE_SQL["expression_rules_documents"] = EXPRESSION_RULES_SQL
+
+
+# ---------------------------------------------------------------------------
+# two-table reconciliation: source vs perturbed copy
+# ---------------------------------------------------------------------------
+
+
+def reconcile_orders_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation gate + drill-down (operators/reconcile.py) between
+    orders and a deterministically corrupted copy of itself: keys dropped
+    (%997), values bumped (%991), alien keys injected (%983). Returns the
+    per-status accounting a migration validator reports. Raw checksums are
+    engine-specific; only their EQUALITY crosses the oracle boundary."""
+    from anomalydetection_spark.operators.reconcile import diff, summary
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    left = spark.read.parquet(f"{sf_dir}/orders.parquet").select(*cols)
+    right = left.filter(F.col("o_orderkey") % 997 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 991 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        left.filter(F.col("o_orderkey") % 983 == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        )
+    )
+    s = summary(left, right, ["o_orderkey"], ["o_totalprice"], "o_orderstatus")
+    d = (
+        diff(left, right, ["o_orderkey"], ["o_totalprice"], "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum((F.col("status") == "missing_in_right").cast("long")).alias(
+                "n_missing_in_right"
+            ),
+            F.sum((F.col("status") == "missing_in_left").cast("long")).alias(
+                "n_missing_in_left"
+            ),
+            F.sum((F.col("status") == "value_mismatch").cast("long")).alias(
+                "n_value_mismatch"
+            ),
+        )
+    )
+    return (
+        s.join(d, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "n_left",
+            "n_right",
+            "counts_match",
+            "checksum_match",
+            F.coalesce("n_missing_in_right", F.lit(0)).alias("n_missing_in_right"),
+            F.coalesce("n_missing_in_left", F.lit(0)).alias("n_missing_in_left"),
+            F.coalesce("n_value_mismatch", F.lit(0)).alias("n_value_mismatch"),
+        )
+    )
+
+
+RECONCILE_ORDERS_SQL = """
+WITH l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+r AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 991 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM l WHERE o_orderkey % 997 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, o_totalprice FROM l
+  WHERE o_orderkey % 983 = 0
+),
+ls AS (SELECT o_orderstatus, count(*)::bigint AS n_left,
+              sum(hash(o_orderkey, o_totalprice)::hugeint) AS cs
+       FROM l GROUP BY 1),
+rs AS (SELECT o_orderstatus, count(*)::bigint AS n_right,
+              sum(hash(o_orderkey, o_totalprice)::hugeint) AS cs
+       FROM r GROUP BY 1),
+d AS (
+  SELECT coalesce(l.o_orderstatus, r.o_orderstatus) AS o_orderstatus,
+         CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_right'
+              WHEN l.o_orderkey IS NULL THEN 'missing_in_left'
+              WHEN l.o_totalprice <> r.o_totalprice THEN 'value_mismatch'
+              END AS status
+  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+),
+dc AS (
+  SELECT o_orderstatus,
+         sum(CASE WHEN status = 'missing_in_right' THEN 1 ELSE 0 END)::bigint
+           AS n_missing_in_right,
+         sum(CASE WHEN status = 'missing_in_left' THEN 1 ELSE 0 END)::bigint
+           AS n_missing_in_left,
+         sum(CASE WHEN status = 'value_mismatch' THEN 1 ELSE 0 END)::bigint
+           AS n_value_mismatch
+  FROM d WHERE status IS NOT NULL GROUP BY 1
+)
+SELECT ls.o_orderstatus, ls.n_left, rs.n_right,
+       ls.n_left = rs.n_right AS counts_match,
+       ls.cs = rs.cs AS checksum_match,
+       coalesce(dc.n_missing_in_right, 0) AS n_missing_in_right,
+       coalesce(dc.n_missing_in_left, 0) AS n_missing_in_left,
+       coalesce(dc.n_value_mismatch, 0) AS n_value_mismatch
+FROM ls JOIN rs USING (o_orderstatus)
+LEFT JOIN dc USING (o_orderstatus)
+"""
+
+QUERIES["reconcile_orders_copy"] = reconcile_orders_copy
+ORACLE_SQL["reconcile_orders_copy"] = RECONCILE_ORDERS_SQL
