@@ -59,14 +59,14 @@ _PRIORITY = [
     "ann_pq_topk",             # new PQ ADC oracle this round
     "pii_scan_by_source",      # new: PII scan + redaction accounting
     "pack_chunks_stats",       # new: concat-and-chunk sequence packing
-    "boilerplate_paragraphs",  # new: paragraph-level exact dedup
+    "skew_audit_user_events",  # new: hot-key audit (share-of-total + multiple-of-mean, TakeOrdered top-k)
     "url_domain_stats_blocked",  # new: URL/domain blocklist accounting
     "temperature_sample_sources",  # new: deterministic temperature sampling
     "decontaminate_docs",      # new: benchmark n-gram decontamination
     "repetition_quality_by_lang",  # new: Gopher-rules repetition metrics
     "domain_mixture_weights",  # new: training-mix planning
     "normalize_text_stats",    # new: markup strip + Unicode NFC (Arrow UDF)
-    "c4_quality_filter_stats", # new: C4-style line filtering
+    "benford_totalprice",      # new: Benford first-digit conformance (string-extracted digits)
     "mad_outlier_hours",       # new: median/MAD robust outlier flags
     "dedup_incremental",       # new: ingest-batch dedup vs corpus (bloom short-circuit)
     "dup_ngram_coverage",      # new: substring-level duplicate-window coverage
@@ -100,6 +100,8 @@ _PRIORITY = [
     "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
 ]
 _TAIL = [
+    "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green
+    "c4_quality_filter_stats", # C4 line filtering: line-split ratio accounting shared with in-window repetition_quality_by_lang (Gopher rules) and the Arrow path via normalize_text_stats; locally hash-green
     "funnel_stages",           # strictly-ordered funnel: chained conditional min-ts aggregates — the same per-user conditional-agg core as retention_cohorts (tail) and in-window sessionize_events (per-user ordered aggregation); locally hash-green
     "gapfill_daily_activity",  # dense-calendar gap-fill: its generated-dimension broadcast + outer-join-onto-grouped-counts core is exactly hopping_window_counts' in-window shape; locally hash-green
     "drift_kl_psi_by_source",  # driver-verified green in r02 (hash); KL/PSI drift family stays in-window twice over: suite_verdicts re-derives both scores in its DuckDB twin and drift_wasserstein_chisq_by_source shares the histogram-grid core

@@ -329,3 +329,48 @@ def check(
         )
     )
     return verdicts, violations
+
+
+def benford(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit conformance vs Benford's law — the
+    audit-grade sanity check for "organically grown" numeric columns
+    (amounts, sizes, durations): fabricated, truncated, or unit-mangled
+    data bends the leading-digit curve long before summary stats move.
+
+    Returns the dense 9-row frame (digit, n, share, expected) with
+    expected = log10(1 + 1/d). The first significant digit is extracted
+    from the value's DECIMAL STRING rendering (first [1-9] character, sign
+    and leading zeros skipped) rather than via floor(log10(x)) arithmetic:
+    float log at exact powers of ten rounds differently across engines,
+    strings don't. Use on decimal/integer columns (float columns may render
+    scientifically — cast first). NULLs and zeros carry no first digit and
+    are excluded from the denominator.
+
+    Scale: one projected scan + one 9-bucket hash aggregate; the
+    theoretical baseline is a broadcast literal. Nothing here is heavier
+    than a count(*).
+    """
+    first = F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0)
+    counts = (
+        df.select(first.alias("_d"))
+        .filter(F.col("_d") != "")
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("_total"))
+    grid = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    dense = grid.join(
+        counts.select(F.col("_d").cast("int").alias("digit"), "n"),
+        "digit",
+        "left",
+    ).select("digit", F.coalesce("n", F.lit(0)).alias("n"))
+    return dense.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.log10((F.col("digit") + F.lit(1)) / F.col("digit")), 6
+        ).alias("expected"),
+    )

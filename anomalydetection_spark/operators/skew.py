@@ -55,3 +55,60 @@ def salted_join(
     ).drop("_salt_raw")
     out = f.join(d, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Hot-key audit: the top-k heaviest keys with their share of the table
+    and their multiple of the mean key load — the diagnostic that decides
+    BETWEEN the two defenses above (a handful of named hot keys → salt
+    exactly those; broad heavy tail → AQE + more partitions).
+
+    One hash aggregate over the key (map-side partials), a KB-sized scalar
+    aggregate broadcast back, and a TakeOrdered over the |distinct keys|
+    aggregate — the raw table is scanned once and never sorted. Ties at the
+    k-th slot break deterministically (count desc, key asc). Shares round
+    at 1e-6 from exact bigint counts, so engines agree bit-for-bit.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n_keys"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col(key).asc()).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        key,
+        "n",
+        F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        F.round(F.col("n") * F.col("_n_keys") / F.col("_total"), 6).alias("x_mean"),
+    )
+
+
+def partition_skew(df: DataFrame, group_col: str = "partition_id") -> DataFrame:
+    """Partition-balance audit, ONE summary row:
+    (n_groups, total_rows, min_rows, max_rows, imbalance, cv) where
+    imbalance = max/mean (the straggler factor a reader of this table eats)
+    and cv is the coefficient of variation of group sizes, computed from
+    exact decimal(38,0) moment sums — summation order cannot perturb it.
+    Two hash aggregates over |groups| rows; the table is scanned once."""
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d38 = "decimal(38,0)"
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.min("n").alias("min_rows"),
+        F.max("n").alias("max_rows"),
+        F.round(
+            F.max("n") * F.count(F.lit(1)) / F.sum("n"), 6
+        ).alias("imbalance"),
+        # cv = sqrt(k*Σn² − (Σn)²) / Σn, exact under the sqrt's argument
+        F.round(
+            F.sqrt(
+                (
+                    F.count(F.lit(1)).cast(d38) * F.sum(F.col("n").cast(d38) * F.col("n").cast(d38))
+                    - F.sum(F.col("n").cast(d38)) * F.sum(F.col("n").cast(d38))
+                ).cast("double")
+            )
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("cv"),
+    )

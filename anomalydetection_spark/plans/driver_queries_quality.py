@@ -799,3 +799,63 @@ LEFT JOIN dc USING (o_orderstatus)
 
 QUERIES["reconcile_orders_copy"] = reconcile_orders_copy
 ORACLE_SQL["reconcile_orders_copy"] = RECONCILE_ORDERS_SQL
+
+
+# ---------------------------------------------------------------------------
+# skew audit + Benford conformance
+# ---------------------------------------------------------------------------
+
+
+def skew_audit_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key audit (operators/skew.key_skew): the 10 heaviest users in
+    the event stream with their share of all events and multiple of the
+    mean user load — the diagnostic that picks between targeted salting
+    (few named hot keys) and AQE + repartitioning (broad heavy tail).
+    Deterministic tie-break (n desc, user_id asc)."""
+    from anomalydetection_spark.operators.skew import key_skew
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew(e, "user_id", top_k=10)
+
+
+SKEW_AUDIT_SQL = """
+WITH c AS (SELECT user_id, count(*)::bigint AS n FROM events GROUP BY 1),
+t AS (SELECT sum(n)::bigint AS total, count(*)::bigint AS n_keys FROM c)
+SELECT user_id, n,
+       round(n / (SELECT total FROM t), 6) AS share,
+       round(n * (SELECT n_keys FROM t) / (SELECT total FROM t), 6) AS x_mean
+FROM c ORDER BY n DESC, user_id ASC LIMIT 10
+"""
+
+
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance (operators/drift.benford) over
+    order totals: observed leading-digit shares vs log10(1+1/d). Digit
+    extracted from the decimal string rendering so engines cannot
+    disagree on float log rounding at powers of ten."""
+    from anomalydetection_spark.operators.drift import benford
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford(o, "o_totalprice")
+
+
+BENFORD_SQL = """
+WITH digits AS (SELECT unnest(range(1, 10))::int AS digit),
+obs AS (
+  SELECT regexp_extract(o_totalprice::varchar, '[1-9]')::int AS digit,
+         count(*)::bigint AS n
+  FROM orders
+  WHERE regexp_extract(o_totalprice::varchar, '[1-9]') <> ''
+  GROUP BY 1
+),
+t AS (SELECT sum(n)::bigint AS total FROM obs)
+SELECT d.digit, coalesce(o.n, 0)::bigint AS n,
+       round(coalesce(o.n, 0) / (SELECT total FROM t), 6) AS share,
+       round(log10((d.digit + 1) / d.digit::double), 6) AS expected
+FROM digits d LEFT JOIN obs o USING (digit)
+"""
+
+QUERIES["skew_audit_user_events"] = skew_audit_user_events
+ORACLE_SQL["skew_audit_user_events"] = SKEW_AUDIT_SQL
+QUERIES["benford_totalprice"] = benford_totalprice
+ORACLE_SQL["benford_totalprice"] = BENFORD_SQL

@@ -175,3 +175,21 @@ def test_wasserstein_identical_distributions_zero(spark):
     # with O=0 → chisq = 4·(0.25+0.75·... ) hand value: E0=1, E1=3 → 1+3=4
     assert got["novel"]["w1"] == pytest.approx(1.25, abs=1e-12)
     assert got["novel"]["chisq"] == pytest.approx(4.0, abs=1e-12)
+
+
+def test_benford_string_digit_extraction(spark):
+    """Dense 9-digit grid; sign, leading zeros, NULL, and zero handled via
+    the string rendering (no float log10 anywhere near a power of ten)."""
+    df = spark.createDataFrame(
+        [("123.00",), ("0.045",), ("-210.5",), ("9.00",), ("1000.00",),
+         (None,), ("0.00",)],
+        "v string",
+    ).withColumn("v", F.col("v").cast("decimal(10,2)"))
+    rows = {r["digit"]: r for r in drift.benford(df, "v").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    # 5 usable values: 123→1, 0.04→4 (cast rounds 0.045 to 0.05 → digit 5), 210→2, 9→9, 1000→1
+    counts = {d: rows[d]["n"] for d in rows if rows[d]["n"]}
+    assert counts == {1: 2, 2: 1, 5: 1, 9: 1}
+    assert rows[1]["share"] == 0.4
+    assert rows[1]["expected"] == round(__import__("math").log10(2), 6)
+    assert rows[3]["n"] == 0 and rows[3]["share"] == 0.0

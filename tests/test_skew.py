@@ -115,3 +115,30 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_key_skew_top_k_and_tiebreak(spark):
+    from anomalydetection_spark.operators.skew import key_skew
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("b",)] * 2 + [("a",)] * 2 + [("cold",)],
+        "k string",
+    )
+    rows = key_skew(df, "k", top_k=3).collect()
+    # 4 distinct keys, 11 rows; ties (a=b=2) break by key asc
+    assert [(r["k"], r["n"]) for r in rows] == [("hot", 6), ("a", 2), ("b", 2)]
+    top = rows[0]
+    assert top["share"] == round(6 / 11, 6)
+    assert top["x_mean"] == round(6 * 4 / 11, 6)
+
+
+def test_partition_skew_hand_computed(spark):
+    from anomalydetection_spark.operators.skew import partition_skew
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (1,), (1,)], "partition_id int"
+    )
+    r = partition_skew(df).collect()[0]
+    assert (r["n_groups"], r["total_rows"], r["min_rows"], r["max_rows"]) == (2, 4, 1, 3)
+    assert r["imbalance"] == 1.5          # max(3) / mean(2)
+    assert r["cv"] == 0.5                 # sqrt(2*10 - 16) / 4
