@@ -49,6 +49,7 @@ def start_validation_stream(
     out_dir: str,
     checkpoint_dir: str,
     manifest_state_dir: str | None = None,
+    spec: dict | None = None,
 ):
     """foreachBatch: run the batch suite on each micro-batch, write
     verdicts/violations parquet stamped with the micro-batch id (lineage).
@@ -76,11 +77,27 @@ def start_validation_stream(
     stream = stream_documents(spark, input_dir)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    # the SAME declarative spec that drives batch and resumable runs drives
+    # the stream (plans/declarative.py): compiled ONCE at start, not per
+    # micro-batch; spec=None keeps the full default suite. Execution knobs
+    # are overridden to the streaming-appropriate ones (micro-batches are
+    # small — persist the exploded view; violations are written once, not
+    # re-consumed — skip persisting them).
+    if spec is not None:
+        from dataclasses import replace
+
+        from anomalydetection_spark.plans.declarative import compile_spec
+
+        base_cfg, selected = compile_spec(spec)
+        batch_cfg = replace(base_cfg, persist_exploded=True, persist_violations=False)
+    else:
+        batch_cfg = SuiteConfig(persist_exploded=True, persist_violations=False)
+        selected = None
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cfg = SuiteConfig(persist_exploded=True, persist_violations=False)
-        res = run_suite(batch_df, media, baseline, cfg)
+        res = run_suite(batch_df, media, baseline, batch_cfg, constraints=selected)
         (
             res.verdicts.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -558,3 +558,31 @@ def test_streaming_drift_monitor_flags_offmix_window(spark, tmp_path):
     assert rows["00:10"]["drift_alert"]
     assert rows["00:10"]["kl"] > rows["00:00"]["kl"]
     assert rows["00:10"]["n_spans"] == 10
+
+
+def test_spec_driven_stream(spark, stream_env):
+    """The SAME declarative spec that drives batch runs drives the stream:
+    a narrowed constraint list plus an expression rule shapes every
+    micro-batch's verdicts."""
+    root, indir, docs, media, baseline = stream_env
+    spec = {
+        "constraints": [
+            {"type": "uniqueness"},
+            {"type": "volume", "min_docs": 1},
+            {"type": "expression", "name": "has_doc_id",
+             "expr": "doc_id is not null"},
+        ]
+    }
+    q = start_validation_stream(
+        spark, indir, media, baseline,
+        str(root / "out_spec"), str(root / "ckpt_spec"),
+        spec=spec,
+    )
+    q.awaitTermination(120)
+    verdicts = spark.read.parquet(str(root / "out_spec" / "verdicts"))
+    names = {r["constraint"] for r in verdicts.collect()}
+    assert names == {"uniqueness", "volume", "expression:has_doc_id"}
+    # 3 partitions x 3 checks, once each across the two micro-batches
+    assert verdicts.count() == 9
+    exp = verdicts.filter(F.col("constraint") == "expression:has_doc_id")
+    assert all(r["passed"] for r in exp.collect())
