@@ -399,3 +399,47 @@ def test_schema_check_scans_nothing_with_metadata_partitions(spark):
     )
     plan = _formatted(spark, verdicts)
     assert "Scan parquet" not in plan
+
+
+def test_expression_rules_fuse_into_one_scan(spark):
+    """N expression rules cost ONE scan + one hash aggregate for the
+    verdicts: the plan has a single file source, partial aggregation
+    before the exchange, and no Python evaluation."""
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.operators.expression import ExpressionRule, check
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "partition_id", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    )
+    rules = tuple(
+        ExpressionRule(f"r{i}", f"n_chars > {i * 10}") for i in range(6)
+    )
+    verdicts, violations = check(docs, rules)
+    plan = _formatted(spark, verdicts)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_" in plan  # map-side combine on the partition agg
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # violations are a filter over the same single-scan projection
+    vplan = _formatted(spark, violations)
+    assert vplan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_reconcile_summary_no_fact_side_key_shuffle(spark):
+    """summary() shuffles only the per-GROUP aggregates (partial_ before
+    the exchange on both sides); the raw tables are never exchanged on
+    the reconciliation key."""
+    from anomalydetection_spark.operators.reconcile import summary
+
+    left = spark.read.parquet(f"{SF}/orders.parquet")
+    s = summary(
+        left, left, ["o_orderkey"], ["o_totalprice"], "o_orderstatus"
+    )
+    plan = _formatted(spark, s)
+    assert plan.count("Location: InMemoryFileIndex") == 2  # one per side, nothing extra
+    assert "partial_count" in plan and "partial_sum" in plan
+    # the join is on the 3-value group key over aggregated rows — any
+    # hashpartitioning must be on the group key, never o_orderkey
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "o_orderkey" not in line
