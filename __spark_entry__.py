@@ -95,11 +95,12 @@ _PRIORITY = [
     "expression_rules_documents",  # new: named row-level SQL predicate rules (dbt-test analog), fused single scan
     "reconcile_orders_copy",   # new: two-table reconciliation (count/checksum gate + key-level diff statuses)
     "grouping_sets_orders",
-    "set_ops_users",
+    "kcenter_diverse_embeddings",  # new: farthest-point diversity selection (k-center greedy coreset)
     "dsir_importance_by_lang",  # new: DSIR hashed-n-gram importance weights (target vs raw bag models)
     "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
 ]
 _TAIL = [
+    "set_ops_users",           # INTERSECT/EXCEPT surface: both component queries (intersect_users, except_users) were driver-verified hash-green in r02 and the physical set-op family is unchanged since; locally hash-green
     "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green
     "c4_quality_filter_stats", # C4 line filtering: line-split ratio accounting shared with in-window repetition_quality_by_lang (Gopher rules) and the Arrow path via normalize_text_stats; locally hash-green
     "funnel_stages",           # strictly-ordered funnel: chained conditional min-ts aggregates — the same per-user conditional-agg core as retention_cohorts (tail) and in-window sessionize_events (per-user ordered aggregation); locally hash-green

@@ -1168,3 +1168,65 @@ try:
     ORACLE_SQL["ann_pq_topk"] = _pq_oracle_sql()
 except OSError:  # pragma: no cover - oracle fixture missing
     pass
+
+
+# ---------------------------------------------------------------------------
+# diversity selection: farthest-point (k-center greedy) coreset
+# ---------------------------------------------------------------------------
+
+
+def kcenter_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic farthest-point selection (operators/diversity.py):
+    4 maximally-spread exemplars under cosine distance, seeded at the
+    lowest vec_id, ties by id. The DuckDB twin replays the greedy with
+    chained argmax CTEs — the selection ORDER is part of the contract,
+    not just the selected set."""
+    from anomalydetection_spark.operators.diversity import kcenter_select
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_select(em, k=4)
+
+
+KCENTER_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+s1 AS (SELECT vec_id, v, nrm FROM e ORDER BY vec_id LIMIT 1),
+d1 AS (
+  SELECT e.vec_id, e.v, e.nrm,
+         1 - list_inner_product(e.v, s1.v) / (e.nrm * s1.nrm) AS md
+  FROM e, s1
+),
+s2 AS (SELECT * FROM d1 WHERE vec_id <> (SELECT vec_id FROM s1)
+       ORDER BY md DESC, vec_id ASC LIMIT 1),
+d2 AS (
+  SELECT d1.vec_id, d1.v, d1.nrm,
+         least(d1.md,
+               1 - list_inner_product(d1.v, s2.v) / (d1.nrm * s2.nrm)) AS md
+  FROM d1, s2
+),
+s3 AS (SELECT * FROM d2
+       WHERE vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+       ORDER BY md DESC, vec_id ASC LIMIT 1),
+d3 AS (
+  SELECT d2.vec_id, d2.v, d2.nrm,
+         least(d2.md,
+               1 - list_inner_product(d2.v, s3.v) / (d2.nrm * s3.nrm)) AS md
+  FROM d2, s3
+),
+s4 AS (SELECT * FROM d3
+       WHERE vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                            UNION SELECT vec_id FROM s3)
+       ORDER BY md DESC, vec_id ASC LIMIT 1)
+SELECT 1 AS rank, (SELECT vec_id FROM s1) AS vec_id,
+       CAST(NULL AS DOUBLE) AS min_dist
+UNION ALL SELECT 2, vec_id, round(md, 6) FROM s2
+UNION ALL SELECT 3, vec_id, round(md, 6) FROM s3
+UNION ALL SELECT 4, vec_id, round(md, 6) FROM s4
+"""
+
+QUERIES["kcenter_diverse_embeddings"] = kcenter_diverse_embeddings
+ORACLE_SQL["kcenter_diverse_embeddings"] = KCENTER_SQL
