@@ -84,7 +84,7 @@ _PRIORITY = [
     "drift_wasserstein_chisq_by_source",  # new: distance-aware drift pair (W1 CDF-gap + chi-square homogeneity)
     "multimodal_decode_stats",
     "stats_documents",
-    "uniqueness_partkey",
+    "fd_audit_events",         # new: functional-dependency audit (uniqueness generalized to key→dependent consistency)
     "referential_orphans",
     "freshness_events_by_type",  # new: event-time recency audit (opt-in constraint core)
     "threshold_verdict_events",
@@ -100,6 +100,7 @@ _PRIORITY = [
     "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
 ]
 _TAIL = [
+    "uniqueness_partkey",      # uniqueness VERDICT family: suite_verdicts (in-window) hash-checks the uniqueness constraint end-to-end in its DuckDB twin, and fd_audit_events generalizes the same distinct-per-key core; r02 driver-verified green, operator unchanged
     "set_ops_users",           # INTERSECT/EXCEPT surface: both component queries (intersect_users, except_users) were driver-verified hash-green in r02 and the physical set-op family is unchanged since; locally hash-green
     "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green
     "c4_quality_filter_stats", # C4 line filtering: line-split ratio accounting shared with in-window repetition_quality_by_lang (Gopher rules) and the Arrow path via normalize_text_stats; locally hash-green

@@ -121,3 +121,34 @@ def check(
         ).alias("metrics"),
     )
     return verdicts, violations
+
+
+def fd_audit(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
+    """Functional-dependency audit: does ``determinant → dependent`` hold?
+
+    Uniqueness generalized: a key column must determine its dependents
+    even when the key itself legitimately repeats (user → country,
+    order → status, doc → language). A violated FD is how denormalized
+    tables silently fork: the same key carries two versions of the truth
+    and every join afterwards picks one at random.
+
+    One summary row: (determinant, dependent, n_keys, n_violating_keys,
+    max_distinct, fd_holds). NULL dependents are ignored (a key whose only
+    dependent is NULL has n_vals 0 and violates nothing — missingness is
+    column_stats' jurisdiction, not consistency's).
+
+    Scale: groupBy(determinant) + count(DISTINCT dependent) plans as the
+    standard two-phase Expand aggregate (map-side partial distinct), then
+    a scalar fold over |keys| rows. One scan of two columns, no joins.
+    """
+    per_key = df.groupBy(determinant).agg(
+        F.countDistinct(dependent).alias("_n_vals")
+    )
+    return per_key.agg(
+        F.lit(determinant).alias("determinant"),
+        F.lit(dependent).alias("dependent"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum((F.col("_n_vals") > 1).cast("long")).alias("n_violating_keys"),
+        F.max("_n_vals").cast("long").alias("max_distinct"),
+        (F.sum((F.col("_n_vals") > 1).cast("long")) == 0).alias("fd_holds"),
+    )

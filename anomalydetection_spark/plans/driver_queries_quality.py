@@ -859,3 +859,46 @@ QUERIES["skew_audit_user_events"] = skew_audit_user_events
 ORACLE_SQL["skew_audit_user_events"] = SKEW_AUDIT_SQL
 QUERIES["benford_totalprice"] = benford_totalprice
 ORACLE_SQL["benford_totalprice"] = BENFORD_SQL
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency audit
+# ---------------------------------------------------------------------------
+
+
+def fd_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD audit (operators/uniqueness.fd_audit) over the event stream: the
+    identity FD event_id → user_id must hold (event ids are unique), the
+    behavioral non-FD user_id → event_type must not (users emit many
+    types) — one green row, one red row, both integer-exact."""
+    from anomalydetection_spark.operators.uniqueness import fd_audit
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fd_audit(e, "event_id", "user_id").unionByName(
+        fd_audit(e, "user_id", "event_type")
+    )
+
+
+FD_AUDIT_SQL = """
+WITH a AS (
+  SELECT event_id, count(DISTINCT user_id) AS nv FROM events GROUP BY 1
+),
+b AS (
+  SELECT user_id, count(DISTINCT event_type) AS nv FROM events GROUP BY 1
+)
+SELECT 'event_id' AS determinant, 'user_id' AS dependent,
+       count(*)::bigint AS n_keys,
+       sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::bigint AS n_violating_keys,
+       max(nv)::bigint AS max_distinct,
+       sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+FROM a
+UNION ALL
+SELECT 'user_id', 'event_type', count(*)::bigint,
+       sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::bigint,
+       max(nv)::bigint,
+       sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0
+FROM b
+"""
+
+QUERIES["fd_audit_events"] = fd_audit_events
+ORACLE_SQL["fd_audit_events"] = FD_AUDIT_SQL
