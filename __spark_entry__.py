@@ -57,16 +57,17 @@ _PRIORITY = [
     "placement_audit_docs",        # new: partition-transform consistency audit (map-only)
     "pca_anomaly_by_label",    # new model-literal oracle this round
     "ann_pq_topk",             # new PQ ADC oracle this round
+    "drift_ks_js_hellinger_by_source",  # new: bounded drift triple (KS exact CDF-gap max, smoothing-free JS, Hellinger)
+    "moments_n_chars_by_lang",     # new: Deequ shape analyzers (variance/skewness/kurtosis) from exact power sums
+    "hybrid_rrf_topk",             # new: reciprocal-rank fusion of BM25 + dense cosine (int64 fixed-point fusion)
     "pii_scan_by_source",      # new: PII scan + redaction accounting
     "pack_chunks_stats",       # new: concat-and-chunk sequence packing
     "skew_audit_user_events",  # new: hot-key audit (share-of-total + multiple-of-mean, TakeOrdered top-k)
-    "url_domain_stats_blocked",  # new: URL/domain blocklist accounting
     "temperature_sample_sources",  # new: deterministic temperature sampling
     "decontaminate_docs",      # new: benchmark n-gram decontamination
     "repetition_quality_by_lang",  # new: Gopher-rules repetition metrics
     "domain_mixture_weights",  # new: training-mix planning
     "normalize_text_stats",    # new: markup strip + Unicode NFC (Arrow UDF)
-    "benford_totalprice",      # new: Benford first-digit conformance (string-extracted digits)
     "mad_outlier_hours",       # new: median/MAD robust outlier flags
     "dedup_incremental",       # new: ingest-batch dedup vs corpus (bloom short-circuit)
     "dup_ngram_coverage",      # new: substring-level duplicate-window coverage
@@ -77,7 +78,6 @@ _PRIORITY = [
     "unigram_nll_by_source",   # new: self-trained unigram LM scoring (perplexity-filter analog)
     "q4_priority_late_exists", # new: EXISTS decorrelated to a conditioned semi-join (TPC-H Q4 shape)
     "q17_small_quantity_share",  # new: correlated scalar-avg predicate, integer cross-multiplied (Q17 shape)
-    "q21_sole_blame_suppliers",  # new: EXISTS + NOT EXISTS self-join chain (Q21 shape)
     "shard_assignment_stats",  # new: deterministic hash-mod training shards
     "dedup_keep_best_quality", # new: quality-argmax cluster canonicalization (components in-plan)
     "tdigest_bounds_events",
@@ -100,6 +100,9 @@ _PRIORITY = [
     "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
 ]
 _TAIL = [
+    "q21_sole_blame_suppliers",  # EXISTS + NOT EXISTS self-join chain: the conditioned semi-join (EXISTS) is q4_priority_late_exists in-window and the anti-join (NOT EXISTS) is referential_orphans in-window; locally hash-green, operator unchanged this session
+    "url_domain_stats_blocked",  # blocklist accounting: regex-extract scan accounting is pii_scan_by_source in-window; broadcast membership anti-join is referential_orphans in-window; locally hash-green, unchanged
+    "benford_totalprice",      # first-digit conformance: the histogram + broadcast-baseline-grid core is the in-window drift family (drift_ks_js_hellinger/wasserstein) and skew_audit_user_events keeps the audit family in-window; locally hash-green, unchanged
     "uniqueness_partkey",      # uniqueness VERDICT family: suite_verdicts (in-window) hash-checks the uniqueness constraint end-to-end in its DuckDB twin, and fd_audit_events generalizes the same distinct-per-key core; r02 driver-verified green, operator unchanged
     "set_ops_users",           # INTERSECT/EXCEPT surface: both component queries (intersect_users, except_users) were driver-verified hash-green in r02 and the physical set-op family is unchanged since; locally hash-green
     "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green

@@ -117,6 +117,46 @@ def kl_psi(
     )
 
 
+def _dense_grid(
+    cur_counts: DataFrame, base_counts: DataFrame, group_col: str
+) -> DataFrame:
+    """Dense (group × bucket) count grid shared by the distance-drift
+    metrics: (group_col, bucket, np, nq, tg, tq) with missing buckets
+    carrying n=0 on either side.
+
+    Every group gets every baseline bucket (so cumulative sums see n=0
+    rows); current-only buckets (absent from baseline) get nq=0 — they
+    contribute to CDF-gap metrics and are excluded from chi-square
+    (E=0 is outside the statistic's support, the standard convention).
+    Inputs are post-aggregation histograms (≤ groups × buckets rows — KB
+    at any corpus size); the baseline and the totals are broadcast.
+    """
+    tg = cur_counts.groupBy(group_col).agg(F.sum("n").cast("long").alias("tg"))
+    base_tot = base_counts.agg(F.sum("n").cast("long").alias("tq"))
+    base = base_counts.select(
+        F.col("bucket"), F.col("n").cast("long").alias("nq")
+    ).crossJoin(F.broadcast(base_tot))
+
+    grid = tg.crossJoin(F.broadcast(base))
+    joined = grid.join(
+        cur_counts.select(
+            group_col, "bucket", F.col("n").cast("long").alias("np")
+        ),
+        [group_col, "bucket"],
+        "full_outer",
+    ).select(
+        group_col,
+        "bucket",
+        F.coalesce(F.col("np"), F.lit(0)).alias("np"),
+        F.coalesce(F.col("nq"), F.lit(0)).alias("nq"),
+        "tg",
+        "tq",
+    )
+    # rows from current-only buckets have NULL tg/tq — rebroadcast totals
+    totals = tg.crossJoin(F.broadcast(base_tot))
+    return joined.drop("tg", "tq").join(F.broadcast(totals), group_col)
+
+
 def wasserstein_chisq(
     cur_counts: DataFrame,
     base_counts: DataFrame,
@@ -150,35 +190,7 @@ def wasserstein_chisq(
     group grid and the cumulative windows partition BY GROUP (never a
     partition-less window). Returns (group_col, w1, chisq).
     """
-    tg = cur_counts.groupBy(group_col).agg(F.sum("n").cast("long").alias("tg"))
-    base_tot = base_counts.agg(F.sum("n").cast("long").alias("tq"))
-    base = base_counts.select(
-        F.col("bucket"), F.col("n").cast("long").alias("nq")
-    ).crossJoin(F.broadcast(base_tot))
-
-    # dense (group × baseline-bucket) grid so missing buckets carry n=0 in
-    # the cumulative sums; current-only buckets (absent from baseline) get
-    # nq=0 — they contribute to W1 via the CDF gap and are excluded from
-    # chi-square (E=0 is outside the statistic's support, the standard
-    # convention)
-    grid = tg.crossJoin(F.broadcast(base))
-    joined = grid.join(
-        cur_counts.select(
-            group_col, "bucket", F.col("n").cast("long").alias("np")
-        ),
-        [group_col, "bucket"],
-        "full_outer",
-    ).select(
-        group_col,
-        "bucket",
-        F.coalesce(F.col("np"), F.lit(0)).alias("np"),
-        F.coalesce(F.col("nq"), F.lit(0)).alias("nq"),
-        "tg",
-        "tq",
-    )
-    # rows from current-only buckets have NULL tg/tq — rebroadcast totals
-    totals = tg.crossJoin(F.broadcast(base_tot))
-    joined = joined.drop("tg", "tq").join(F.broadcast(totals), group_col)
+    joined = _dense_grid(cur_counts, base_counts, group_col)
 
     w = (
         Window.partitionBy(group_col)
@@ -215,6 +227,78 @@ def wasserstein_chisq(
             / (F.first("tg").cast("double") * F.first("tq").cast("double"))
         ).alias("w1"),
         F.sum("chisq_term").alias("chisq"),
+    )
+
+
+def ks_js_hellinger(
+    cur_counts: DataFrame,
+    base_counts: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """Kolmogorov–Smirnov statistic + Jensen–Shannon divergence +
+    Hellinger distance between per-group bucket histograms and a global
+    baseline — the three classical bounded drift metrics completing the
+    family next to KL/PSI (support-sensitive, unbounded) and
+    W1/chi-square (distance-aware, unbounded):
+
+        KS  = max_b |cumP(b) − cumQ(b)|           ∈ [0, 1]
+        JS  = ½ Σ p·ln(p/m) + ½ Σ q·ln(q/m),  m = (p+q)/2   ∈ [0, ln 2]
+        H   = sqrt(½ Σ (√p − √q)²)                ∈ [0, 1]
+
+    KS is the two-sample test's statistic on the bucketed CDFs (the
+    critical-value scaling is the caller's policy knob); JS is the
+    symmetric, always-finite KL variant (no epsilon smoothing needed —
+    zero-mass terms vanish exactly, so unlike ``kl_psi`` the score is
+    independent of any smoothing constant); Hellinger is the bounded
+    geometric distance alert thresholds compose best with.
+
+    Determinism: the KS numerator max|cum_np·Tq − cum_nq·Tg| is
+    decimal(38,0)-exact with ONE terminal double division (the W1
+    contract, above). JS/Hellinger need per-bucket probabilities, so p
+    and q are formed by single exact-integer divisions and every
+    subsequent op is double-on-double in a fixed expression shape —
+    mirror it verbatim in SQL twins. Zero-mass conventions: p·ln(p/m)
+    contributes only where np > 0 (limit 0 at p→0), likewise q; the
+    dense grid never emits a both-zero bucket.
+
+    Scale: identical to ``wasserstein_chisq`` — post-aggregation inputs,
+    broadcast baseline/totals, cumulative window partitioned BY GROUP.
+    Returns (group_col, ks, js, hellinger).
+    """
+    joined = _dense_grid(cur_counts, base_counts, group_col)
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("bucket").cast("long"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d38 = "decimal(38,0)"
+    cum_gap = F.abs(
+        F.sum("np").over(w).cast(d38) * F.col("tq").cast(d38)
+        - F.sum("nq").over(w).cast(d38) * F.col("tg").cast(d38)
+    )
+    p = F.col("np").cast("double") / F.col("tg").cast("double")
+    q = F.col("nq").cast("double") / F.col("tq").cast("double")
+    m = (p + q) / F.lit(2.0)
+    js_term = F.when(F.col("np") > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        F.col("nq") > 0, q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    hell_term = (F.sqrt(p) - F.sqrt(q)) * (F.sqrt(p) - F.sqrt(q))
+    per_bucket = joined.select(
+        group_col,
+        "tg",
+        "tq",
+        cum_gap.alias("cum_gap"),
+        js_term.alias("js_term"),
+        hell_term.alias("hell_term"),
+    )
+    return per_bucket.groupBy(group_col).agg(
+        (
+            F.max("cum_gap").cast("double")
+            / (F.first("tg").cast("double") * F.first("tq").cast("double"))
+        ).alias("ks"),
+        (F.lit(0.5) * F.sum("js_term")).alias("js"),
+        F.sqrt(F.lit(0.5) * F.sum("hell_term")).alias("hellinger"),
     )
 
 

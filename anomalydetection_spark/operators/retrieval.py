@@ -110,3 +110,67 @@ def bm25_topk(
     scores = bm25_scores(docs, queries, id_col, text_col, qid_col, qtext_col, k1, b)
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col).asc())
     return scores.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    qid_col: str,
+    id_col: str,
+    rk_col: str = "rk",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rank lists (Cormack/Clarke/
+    Buettcher SIGIR'09): score(d) = Σ_lists 1/(k + rank_list(d)) — the
+    standard hybrid-retrieval combiner (lexical BM25 + dense ANN), robust
+    because it consumes only RANKS, so the lists' incomparable raw score
+    scales never need calibration.
+
+    Each input frame carries (qid_col, id_col, rk_col) with rk ≥ 1;
+    candidates absent from a list contribute 0 from it (the standard
+    convention). Returns (qid_col, id_col, rrf_fp, n_lists[, rk]).
+
+    Determinism: each contribution is quantized to 1e-9 fixed point —
+    round(1e9/(k+rk)) as int64 — and INTEGER-summed, so float summation
+    order can never flip a fused score (the BM25 contract, above). No
+    tie sits on a .5 rounding boundary for k=60 and any plausible depth:
+    1e9/(60+rk) = z+0.5 needs 60+rk to be an odd divisor of 2·10⁹, and
+    the smallest such above 60 is 125.
+
+    Scale: inputs are already per-query top-depth lists (bounded rows);
+    the union + one hash aggregate is the only shuffle, keyed by
+    (query, doc). With ``topk`` a per-query rank window follows —
+    partitioned by query, never partition-less. Deterministic ties:
+    (rrf_fp desc, id asc).
+    """
+    contrib = F.round(F.lit(1e9) / (F.lit(k) + F.col(rk_col).cast("double")), 0).cast(
+        "long"
+    )
+    parts = [
+        r.select(
+            F.col(qid_col).alias("_qid"),
+            F.col(id_col).alias("_id"),
+            contrib.alias("_fp"),
+        )
+        for r in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy("_qid", "_id")
+        .agg(
+            F.sum("_fp").cast("long").alias("rrf_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+        .select(
+            F.col("_qid").alias(qid_col),
+            F.col("_id").alias(id_col),
+            "rrf_fp",
+            "n_lists",
+        )
+    )
+    if topk is None:
+        return fused
+    w = Window.partitionBy(qid_col).orderBy(F.desc("rrf_fp"), F.col(id_col).asc())
+    return fused.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= topk)

@@ -459,6 +459,74 @@ FROM cums GROUP BY source
 """
 
 
+def drift_ks_js_hellinger_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded drift-metric triple (operators/drift.py ks_js_hellinger):
+    per-source n_chars histograms vs the global baseline → KS statistic
+    (decimal-exact CDF-gap max, ONE terminal division), Jensen–Shannon
+    divergence (smoothing-free symmetric KL), Hellinger distance. Same
+    bucketing as the KL/PSI and W1/chi-square entries so all three drift
+    families are comparable on one feature."""
+    from anomalydetection_spark.operators.drift import ks_js_hellinger
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 50), F.lit(19)).cast("long")
+    b = d.select("source", bucket.alias("bucket"))
+    cur = b.groupBy("source", "bucket").agg(F.count("*").alias("n"))
+    base = b.groupBy("bucket").agg(F.count("*").alias("n"))
+    scores = ks_js_hellinger(cur, base, "source")
+    return scores.select(
+        "source",
+        F.round("ks", 6).alias("ks"),
+        F.round("js", 6).alias("js"),
+        F.round("hellinger", 6).alias("hellinger"),
+    )
+
+
+KS_JS_HELLINGER_SQL = """
+WITH buck AS (
+  SELECT source, cast(least(floor(n_chars / 50), 19) AS bigint) AS bucket
+  FROM documents
+),
+cur AS (SELECT source, bucket, count(*) AS np FROM buck GROUP BY 1, 2),
+base AS (SELECT bucket, count(*) AS nq FROM buck GROUP BY 1),
+tg AS (SELECT source, sum(np) AS tg FROM cur GROUP BY 1),
+tq AS (SELECT sum(nq) AS tq FROM base),
+grid AS (
+  SELECT g.source, b.bucket, coalesce(c.np, 0) AS np, b.nq, g.tg,
+         (SELECT tq FROM tq) AS tq
+  FROM tg g CROSS JOIN base b
+  LEFT JOIN cur c ON c.source = g.source AND c.bucket = b.bucket
+),
+cums AS (
+  SELECT source, bucket, np, nq, tg, tq,
+         sum(np) OVER (PARTITION BY source ORDER BY bucket) AS cum_np,
+         sum(nq) OVER (PARTITION BY source ORDER BY bucket) AS cum_nq
+  FROM grid
+),
+probs AS (
+  SELECT source, np, nq, tg, tq, cum_np, cum_nq,
+         cast(np AS double) / cast(tg AS double) AS p,
+         cast(nq AS double) / cast(tq AS double) AS q
+  FROM cums
+),
+terms AS (
+  SELECT source, tg, tq,
+         abs(cast(cum_np AS hugeint) * tq - cast(cum_nq AS hugeint) * tg) AS cum_gap,
+         (CASE WHEN np > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+          + CASE WHEN nq > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END) AS js_term,
+         (sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)) AS hell_term
+  FROM probs
+)
+SELECT source,
+       round(cast(max(cum_gap) AS double)
+             / (cast(any_value(tg) AS double) * cast(any_value(tq) AS double)),
+             6) AS ks,
+       round(0.5 * sum(js_term), 6) AS js,
+       round(sqrt(0.5 * sum(hell_term)), 6) AS hellinger
+FROM terms GROUP BY source
+"""
+
+
 def threshold_verdict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 + P7: the reference's score→quantile-threshold→verdict chain
     (end_to_end_prediction.py:447-451) per event_type: threshold at the
@@ -1451,6 +1519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_n_chars": histogram_n_chars,
     "drift_kl_psi_by_source": drift_kl_psi_by_source,
     "drift_wasserstein_chisq_by_source": drift_wasserstein_chisq_by_source,
+    "drift_ks_js_hellinger_by_source": drift_ks_js_hellinger_by_source,
     "threshold_verdict_events": threshold_verdict_events,
     "topk_users_by_type": topk_users_by_type,
     "confusion_matrix_embeddings": confusion_matrix_embeddings,
@@ -1493,6 +1562,7 @@ ORACLE_SQL: dict[str, str] = {
     "histogram_n_chars": HISTOGRAM_SQL,
     "drift_kl_psi_by_source": DRIFT_SQL,
     "drift_wasserstein_chisq_by_source": WASSERSTEIN_SQL,
+    "drift_ks_js_hellinger_by_source": KS_JS_HELLINGER_SQL,
     "threshold_verdict_events": THRESHOLD_SQL,
     "topk_users_by_type": TOPK_SQL,
     "confusion_matrix_embeddings": CONFUSION_SQL,

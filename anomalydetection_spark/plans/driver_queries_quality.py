@@ -902,3 +902,58 @@ FROM b
 
 QUERIES["fd_audit_events"] = fd_audit_events
 ORACLE_SQL["fd_audit_events"] = FD_AUDIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# higher-moment shape analyzers
+# ---------------------------------------------------------------------------
+
+
+def moments_n_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language shape summary of document lengths (operators/
+    moments.skewness_kurtosis): exact decimal(38,0) power-sum anchors
+    Σx..Σx⁴ plus population variance, skewness, and excess kurtosis from
+    the cancelled-n-power formulas (A/B^1.5, C/B²−3) — the Deequ
+    StandardDeviation/Skewness/Kurtosis analyzer family as ONE mergeable
+    hash aggregate."""
+    from anomalydetection_spark.operators.moments import skewness_kurtosis
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return skewness_kurtosis(d, "n_chars", ["lang"])
+
+
+MOMENTS_SQL = """
+WITH s AS (
+  SELECT lang,
+         count(n_chars)::bigint AS n,
+         cast(sum(cast(n_chars AS hugeint)) AS decimal(38,0)) AS s1,
+         cast(sum(cast(n_chars AS hugeint) * n_chars) AS decimal(38,0)) AS s2,
+         cast(sum(cast(n_chars AS hugeint) * n_chars * n_chars) AS decimal(38,0)) AS s3,
+         cast(sum(cast(n_chars AS hugeint) * n_chars * n_chars * n_chars) AS decimal(38,0)) AS s4
+  FROM documents GROUP BY lang
+),
+d AS (
+  SELECT lang, n, s1, s2, s3, s4,
+         cast(n AS double) AS nd,
+         cast(s1 AS double) AS d1, cast(s2 AS double) AS d2,
+         cast(s3 AS double) AS d3, cast(s4 AS double) AS d4
+  FROM s
+),
+e AS (
+  SELECT *,
+         nd * d2 - d1 * d1 AS b,
+         nd * nd * d3 - 3.0 * nd * d1 * d2 + 2.0 * d1 * d1 * d1 AS a,
+         nd * nd * nd * d4 - 4.0 * nd * nd * d1 * d3
+           + 6.0 * nd * d1 * d1 * d2 - 3.0 * d1 * d1 * d1 * d1 AS c
+  FROM d
+)
+SELECT lang, n, s1, s2, s3, s4,
+       CASE WHEN n >= 1 THEN round(d1 / nd, 6) END AS mean,
+       CASE WHEN n >= 1 THEN round(b / (nd * nd), 6) END AS variance,
+       CASE WHEN n >= 2 AND b > 0 THEN round(a / (b * sqrt(b)), 6) END AS skewness,
+       CASE WHEN n >= 2 AND b > 0 THEN round(c / (b * b) - 3.0, 6) END AS kurtosis
+FROM e
+"""
+
+QUERIES["moments_n_chars_by_lang"] = moments_n_chars_by_lang
+ORACLE_SQL["moments_n_chars_by_lang"] = MOMENTS_SQL

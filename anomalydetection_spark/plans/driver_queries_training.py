@@ -328,6 +328,112 @@ QUERIES["bm25_topk_docs"] = bm25_topk_docs
 ORACLE_SQL["bm25_topk_docs"] = BM25_SQL
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine
+# ---------------------------------------------------------------------------
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.rrf_fuse): the first 10 docs
+    query the rest of the corpus through BOTH retrievers — BM25 over
+    `documents.text` and brute-force cosine over the aligned
+    `embeddings` row — each to depth 20, fused by reciprocal-rank
+    (k=60, the SIGIR'09 constant), fused top-5 per query. Scores are
+    exact int64 fixed-point rank reciprocals, so the fusion itself is
+    float-free."""
+    from anomalydetection_spark.operators import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_lex = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    lex = retrieval.bm25_topk(
+        docs.filter(F.col("doc_id") >= 10), q_lex, "doc_id", "text", k=20
+    ).select("query_id", "doc_id", "rk")
+    dense = similarity.brute_force_topk(
+        em.filter(F.col("vec_id") >= 10),
+        em.filter(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k=20,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rk")
+    return retrieval.rrf_fuse([lex, dense], "query_id", "doc_id", k=60, topk=5)
+
+
+HYBRID_RRF_SQL = r"""
+WITH qdocs AS (SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 10),
+lcorpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+qterms AS (
+  SELECT DISTINCT query_id,
+    unnest(string_split_regex(trim(qtext), '\s+')) AS term
+  FROM qdocs),
+toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::bigint AS dl,
+         unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM lcorpus),
+cstats AS (
+  SELECT count(*)::bigint AS n_docs, sum(dl)::bigint AS total_len
+  FROM (SELECT len(string_split_regex(trim(text), '\s+'))::bigint AS dl
+        FROM lcorpus)),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::bigint AS tf
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+    cast(round(
+      ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * ((tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (c.total_len / c.n_docs))))
+      * 1000000000.0, 0) AS bigint) AS fp
+  FROM tf JOIN dft USING (term) JOIN qterms qt USING (term) CROSS JOIN cstats c),
+bm AS (
+  SELECT query_id, doc_id, round(sum(fp) / 1000000000.0, 6) AS score
+  FROM contrib GROUP BY query_id, doc_id),
+lexrank AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id ASC) AS rk
+    FROM bm) WHERE rk <= 20),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+dscored AS (
+  SELECT query_id, doc_id,
+    round(
+      list_sum(list_transform(generate_series(1, len(qv)),
+                              i -> cast(qv[i] AS double) * cast(cv[i] AS double)))
+      / (sqrt(list_sum(list_transform(qv, x -> cast(x AS double) * cast(x AS double))))
+       * sqrt(list_sum(list_transform(cv, x -> cast(x AS double) * cast(x AS double))))),
+      6) AS cos
+  FROM q CROSS JOIN c),
+denserank AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, doc_id ASC) AS rk
+    FROM dscored) WHERE rk <= 20),
+allfp AS (
+  SELECT query_id, doc_id,
+         cast(round(1000000000.0 / (60 + rk), 0) AS bigint) AS fp
+  FROM lexrank
+  UNION ALL
+  SELECT query_id, doc_id,
+         cast(round(1000000000.0 / (60 + rk), 0) AS bigint) AS fp
+  FROM denserank),
+fused AS (
+  SELECT query_id, doc_id, sum(fp)::bigint AS rrf_fp, count(*)::bigint AS n_lists
+  FROM allfp GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rrf_fp, n_lists, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_fp DESC, doc_id ASC) AS rk
+  FROM fused)
+WHERE rk <= 5
+"""
+
+QUERIES["hybrid_rrf_topk"] = hybrid_rrf_topk
+ORACLE_SQL["hybrid_rrf_topk"] = HYBRID_RRF_SQL
+
+# ---------------------------------------------------------------------------
 # self-trained unigram LM scoring (perplexity-filter analog)
 # ---------------------------------------------------------------------------
 

@@ -177,6 +177,80 @@ def test_wasserstein_identical_distributions_zero(spark):
     assert got["novel"]["chisq"] == pytest.approx(4.0, abs=1e-12)
 
 
+def test_ks_js_hellinger_hand_computed(spark):
+    """KS/JS/Hellinger vs hand-derived values on the disjoint-mass example.
+
+    Groups a/b each hold 4 rows in opposite buckets; baseline = union
+    (p=[1,0] vs q=[.5,.5] for group a): KS = max CDF gap = 0.5;
+    JS(p||q) with m=[.75,.25]: ½(1·ln(1/.75)) + ½(.5·ln(.5/.75) +
+    .5·ln(.5/.25)); Hellinger = sqrt(½((1−√.5)² + (0−√.5)²)).
+    """
+    cur = spark.createDataFrame(
+        [("a", 0, 4), ("b", 1, 4)], "g string, bucket int, n long"
+    )
+    base = spark.createDataFrame([(0, 4), (1, 4)], "bucket int, n long")
+    got = {r["g"]: r for r in drift.ks_js_hellinger(cur, base, "g").collect()}
+    js_expect = 0.5 * (1.0 * math.log(1 / 0.75)) + 0.5 * (
+        0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    )
+    hell_expect = math.sqrt(
+        0.5 * ((1 - math.sqrt(0.5)) ** 2 + math.sqrt(0.5) ** 2)
+    )
+    for g in ("a", "b"):
+        assert got[g]["ks"] == pytest.approx(0.5, abs=1e-12)
+        assert got[g]["js"] == pytest.approx(js_expect, rel=1e-12)
+        assert got[g]["hellinger"] == pytest.approx(hell_expect, rel=1e-12)
+
+
+def test_ks_js_hellinger_bounds_and_zero(spark):
+    """Identical distributions score exactly 0 on all three; fully
+    disjoint support drives JS to its ln 2 ceiling and KS/Hellinger to 1
+    (current-only bucket exercises the dense-grid nq=0 path)."""
+    cur = spark.createDataFrame(
+        [("same", 0, 2), ("same", 1, 6), ("novel", 9, 8)],
+        "g string, bucket int, n long",
+    )
+    base = spark.createDataFrame([(0, 2), (1, 6)], "bucket int, n long")
+    got = {r["g"]: r for r in drift.ks_js_hellinger(cur, base, "g").collect()}
+    assert got["same"]["ks"] == pytest.approx(0.0, abs=1e-12)
+    assert got["same"]["js"] == pytest.approx(0.0, abs=1e-12)
+    assert got["same"]["hellinger"] == pytest.approx(0.0, abs=1e-12)
+    assert got["novel"]["ks"] == pytest.approx(1.0, abs=1e-12)
+    assert got["novel"]["js"] == pytest.approx(math.log(2), rel=1e-12)
+    assert got["novel"]["hellinger"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ks_js_hellinger_numpy_reference(spark):
+    """Randomized histograms vs a NumPy mirror of the three formulas."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    buckets = list(range(12))
+    cur_rows = [
+        (f"g{gi}", b, int(rng.randint(0, 50) + 1)) for gi in range(4) for b in buckets
+    ]
+    base_rows = [(b, int(rng.randint(1, 80))) for b in buckets]
+    cur = spark.createDataFrame(cur_rows, "g string, bucket int, n long")
+    base = spark.createDataFrame(base_rows, "bucket int, n long")
+    got = {r["g"]: r for r in drift.ks_js_hellinger(cur, base, "g").collect()}
+    q = np.array([n for _, n in base_rows], dtype=float)
+    q /= q.sum()
+    for gi in range(4):
+        p = np.array(
+            [n for g, _, n in cur_rows if g == f"g{gi}"], dtype=float
+        )
+        p /= p.sum()
+        ks = np.max(np.abs(np.cumsum(p) - np.cumsum(q)))
+        m = (p + q) / 2
+        js = 0.5 * np.sum(np.where(p > 0, p * np.log(np.where(p > 0, p, 1) / m), 0)) + \
+            0.5 * np.sum(np.where(q > 0, q * np.log(np.where(q > 0, q, 1) / m), 0))
+        hell = math.sqrt(0.5 * np.sum((np.sqrt(p) - np.sqrt(q)) ** 2))
+        r = got[f"g{gi}"]
+        assert r["ks"] == pytest.approx(ks, rel=1e-9)
+        assert r["js"] == pytest.approx(js, rel=1e-9)
+        assert r["hellinger"] == pytest.approx(hell, rel=1e-9)
+
+
 def test_benford_string_digit_extraction(spark):
     """Dense 9-digit grid; sign, leading zeros, NULL, and zero handled via
     the string rendering (no float log10 anywhere near a power of ten)."""

@@ -213,3 +213,47 @@ def test_unigram_broadcast_vs_shuffle_identical(spark):
     a = textops.unigram_logprob_scores(docs, "doc_id", "text", broadcast_vocab=True)
     b = textops.unigram_logprob_scores(docs, "doc_id", "text", broadcast_vocab=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Fused scores are exact int64 reciprocal sums; a doc on both lists
+    beats a better-ranked doc on one list when the sums say so."""
+    from anomalydetection_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3)], "qid long, id string, rk int"
+    )
+    dense = spark.createDataFrame(
+        [(1, "d2", 1), (1, "d4", 2)], "qid long, id string, rk int"
+    )
+    got = {r["id"]: r for r in rrf_fuse([lex, dense], "qid", "id").collect()}
+    fp = lambda rk: round(1e9 / (60 + rk))  # noqa: E731
+    assert got["d2"]["rrf_fp"] == fp(2) + fp(1) and got["d2"]["n_lists"] == 2
+    assert got["d1"]["rrf_fp"] == fp(1) and got["d1"]["n_lists"] == 1
+    assert got["d4"]["rrf_fp"] == fp(2)
+    # both-lists d2 outranks single-list rank-1 d1
+    assert got["d2"]["rrf_fp"] > got["d1"]["rrf_fp"]
+
+
+def test_rrf_topk_deterministic_ties(spark):
+    """Equal fused scores break by id ascending; topk truncates per query
+    independently."""
+    from anomalydetection_spark.operators.retrieval import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(1, "b", 1), (1, "a", 2), (2, "z", 1)], "qid long, id string, rk int"
+    )
+    l2 = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "y", 1)], "qid long, id string, rk int"
+    )
+    out = rrf_fuse([l1, l2], "qid", "id", topk=1).collect()
+    by_q = {r["qid"]: r for r in out}
+    # q1: a and b tie exactly (ranks {1,2} vs {2,1}) → id asc wins
+    assert by_q[1]["id"] == "a" and by_q[1]["rk"] == 1
+    # q2: y and z tie on single rank-1 entries → y first
+    assert by_q[2]["id"] == "y"
