@@ -33,9 +33,22 @@ LENGTH_BUCKET_MAX = 19  # lengths ≥ max*width collapse into the last bucket
 
 @dataclass(frozen=True)
 class DriftThresholds:
+    """KL/PSI always run; the bounded pair is opt-in (None = off).
+
+    ``max_js`` / ``max_hellinger`` gate on Jensen–Shannon divergence
+    (≤ ln 2) and Hellinger distance (≤ 1) — both defined for categorical
+    AND ordinal features, both smoothing-free (zero-mass terms vanish
+    exactly, so unlike KL/PSI the scores carry no epsilon dependence),
+    and both bounded, which makes fixed thresholds meaningful across
+    features with different support sizes. KS needs ordered buckets, so
+    it stays in the standalone ``ks_js_hellinger`` analyzer rather than
+    the per-feature suite constraint."""
+
     max_kl: float = 0.05
     max_psi: float = 0.1
     epsilon: float = 1e-6
+    max_js: float | None = None
+    max_hellinger: float | None = None
 
 
 def _bucketed(exploded: DataFrame) -> DataFrame:
@@ -312,7 +325,13 @@ def check(
     """distribution_drift constraint → (verdicts, violations).
 
     Violations are partition-level (doc_id NULL): one row per
-    (partition, feature) whose KL or PSI exceeds threshold.
+    (partition, feature) whose KL or PSI — or, when the opt-in bounded
+    thresholds ``max_js`` / ``max_hellinger`` are set, JS divergence or
+    Hellinger distance — exceeds its threshold. The bounded pair rides
+    the SAME smoothed-join frame as extra aggregate columns (no
+    additional scan or shuffle) but reads the raw un-smoothed
+    probabilities; with both unset the output is byte-identical to the
+    KL/PSI-only contract.
 
     ``persist_scores`` caches the per-(partition, feature) score frame —
     it is tiny (partitions × 2 rows) but everything upstream of it (the
@@ -350,32 +369,73 @@ def check(
     # miss baseline buckets and vice versa → epsilon smoothing.
     parts = counts.select("partition_id").distinct()
     base_x = parts.crossJoin(F.broadcast(base))
+    # the bounded pair (JS/Hellinger, opt-in) reads the RAW probabilities —
+    # its zero-mass terms vanish exactly, so smoothing would only distort it
+    bounded = th.max_js is not None or th.max_hellinger is not None
+    raw_cols = (
+        [
+            F.coalesce(F.col("p"), F.lit(0.0)).alias("p0"),
+            F.coalesce(F.col("q"), F.lit(0.0)).alias("q0"),
+        ]
+        if bounded
+        else []
+    )
     joined = base_x.join(cur, ["partition_id", "feature", "bucket"], "full_outer").select(
         "partition_id",
         "feature",
         "bucket",
         (F.coalesce(F.col("p"), F.lit(0.0)) + F.lit(th.epsilon)).alias("p"),
         (F.coalesce(F.col("q"), F.lit(0.0)) + F.lit(th.epsilon)).alias("q"),
+        *raw_cols,
     )
 
-    scores = joined.groupBy("partition_id", "feature").agg(
+    aggs = [
         F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl"),
         F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
-    )
-    scored = scores.withColumn(
-        "ok", (F.col("kl") <= F.lit(th.max_kl)) & (F.col("psi") <= F.lit(th.max_psi))
-    )
+    ]
+    if bounded:
+        p0, q0 = F.col("p0"), F.col("q0")
+        m = (p0 + q0) / F.lit(2.0)
+        js_term = F.when(p0 > 0, p0 * F.log(p0 / m)).otherwise(F.lit(0.0)) + F.when(
+            q0 > 0, q0 * F.log(q0 / m)
+        ).otherwise(F.lit(0.0))
+        aggs.append((F.lit(0.5) * F.sum(js_term)).alias("js"))
+        aggs.append(
+            F.sqrt(
+                F.lit(0.5)
+                * F.sum((F.sqrt(p0) - F.sqrt(q0)) * (F.sqrt(p0) - F.sqrt(q0)))
+            ).alias("hellinger")
+        )
+    scores = joined.groupBy("partition_id", "feature").agg(*aggs)
+    ok = (F.col("kl") <= F.lit(th.max_kl)) & (F.col("psi") <= F.lit(th.max_psi))
+    if th.max_js is not None:
+        ok = ok & (F.col("js") <= F.lit(th.max_js))
+    if th.max_hellinger is not None:
+        ok = ok & (F.col("hellinger") <= F.lit(th.max_hellinger))
+    scored = scores.withColumn("ok", ok)
     if persist_scores:
         scored = scored.persist()
 
+    detail = (
+        F.format_string(
+            "drift on %s: kl=%.6f psi=%.6f js=%.6f hellinger=%.6f",
+            F.col("feature"),
+            F.col("kl"),
+            F.col("psi"),
+            F.col("js"),
+            F.col("hellinger"),
+        )
+        if bounded
+        else F.format_string(
+            "drift on %s: kl=%.6f psi=%.6f", F.col("feature"), F.col("kl"), F.col("psi")
+        )
+    )
     violations = scored.filter(~F.col("ok")).select(
         "partition_id",
         F.lit(CONSTRAINT).alias("constraint"),
         F.lit(None).cast("string").alias("doc_id"),
         F.lit(None).cast("int").alias("pos"),
-        F.format_string(
-            "drift on %s: kl=%.6f psi=%.6f", F.col("feature"), F.col("kl"), F.col("psi")
-        ).alias("detail"),
+        detail.alias("detail"),
     )
 
     # every span contributes exactly one span_kind bucket row (NULL kinds
@@ -386,20 +446,34 @@ def check(
         .groupBy("partition_id")
         .agg(F.sum("n").cast("long").alias("row_count"))
     )
+    metric_keys = [
+        F.lit("kl_span_kind"), F.lit("psi_span_kind"),
+        F.lit("kl_span_length"), F.lit("psi_span_length"),
+    ]
+    metric_vals = [
+        F.max(F.when(F.col("feature") == "span_kind", F.col("kl"))),
+        F.max(F.when(F.col("feature") == "span_kind", F.col("psi"))),
+        F.max(F.when(F.col("feature") == "span_length", F.col("kl"))),
+        F.max(F.when(F.col("feature") == "span_length", F.col("psi"))),
+    ]
+    if bounded:
+        metric_keys += [
+            F.lit("js_span_kind"), F.lit("hellinger_span_kind"),
+            F.lit("js_span_length"), F.lit("hellinger_span_length"),
+        ]
+        metric_vals += [
+            F.max(F.when(F.col("feature") == "span_kind", F.col("js"))),
+            F.max(F.when(F.col("feature") == "span_kind", F.col("hellinger"))),
+            F.max(F.when(F.col("feature") == "span_length", F.col("js"))),
+            F.max(F.when(F.col("feature") == "span_length", F.col("hellinger"))),
+        ]
     verdicts = (
         scored.groupBy("partition_id")
         .agg(
             F.bool_and("ok").alias("passed"),
             F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("long").alias("violation_count"),
             F.map_from_arrays(
-                F.array(F.lit("kl_span_kind"), F.lit("psi_span_kind"),
-                        F.lit("kl_span_length"), F.lit("psi_span_length")),
-                F.array(
-                    F.max(F.when(F.col("feature") == "span_kind", F.col("kl"))),
-                    F.max(F.when(F.col("feature") == "span_kind", F.col("psi"))),
-                    F.max(F.when(F.col("feature") == "span_length", F.col("kl"))),
-                    F.max(F.when(F.col("feature") == "span_length", F.col("psi"))),
-                ),
+                F.array(*metric_keys), F.array(*metric_vals)
             ).alias("metrics"),
         )
         .join(row_counts, "partition_id", "left")

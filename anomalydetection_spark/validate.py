@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-null-text-rate", type=float, default=0.05)
     ap.add_argument("--max-kl", type=float, default=0.05)
     ap.add_argument("--max-psi", type=float, default=0.1)
+    ap.add_argument("--max-js", type=float, default=None,
+                    help="drift: opt-in Jensen-Shannon bound (smoothing-free, <= ln 2)")
+    ap.add_argument("--max-hellinger", type=float, default=None,
+                    help="drift: opt-in Hellinger-distance bound (<= 1)")
     ap.add_argument("--max-ref-share", type=float, default=0.05,
                     help="frequent_items: max share of a partition's refs one media_ref may hold")
     ap.add_argument("--min-refs", type=int, default=50,
@@ -121,7 +125,12 @@ def main(argv: list[str] | None = None) -> int:
 
         suite_cfg = SuiteConfig(
             stats=StatsThresholds(max_null_text_rate=args.max_null_text_rate),
-            drift=DriftThresholds(max_kl=args.max_kl, max_psi=args.max_psi),
+            drift=DriftThresholds(
+                max_kl=args.max_kl,
+                max_psi=args.max_psi,
+                max_js=args.max_js,
+                max_hellinger=args.max_hellinger,
+            ),
             freq=FreqThresholds(max_ref_share=args.max_ref_share, min_refs=args.min_refs),
             volume=VolumeThresholds(min_docs=args.min_docs, max_docs=args.max_docs),
             pattern=(

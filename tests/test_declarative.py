@@ -69,6 +69,29 @@ def test_thresholds_wired_through(spark, inputs):
     assert not all(r["passed"] for r in strict.verdicts.collect())
 
 
+def test_bounded_drift_thresholds_via_spec(spark, inputs):
+    """The opt-in JS/Hellinger bounds flow through the declarative layer:
+    loose KL/PSI alone pass the drifted partition, adding a tight
+    Hellinger bound flags it again."""
+    docs, media, baseline = inputs
+    loose = {
+        "constraints": [{"type": "distribution_drift", "max_kl": 100.0, "max_psi": 100.0}]
+    }
+    res = run_declarative(loose, docs, media, baseline)
+    assert all(r["passed"] for r in res.verdicts.collect())
+    bounded = {
+        "constraints": [{
+            "type": "distribution_drift",
+            "max_kl": 100.0, "max_psi": 100.0, "max_hellinger": 1e-3,
+        }]
+    }
+    res2 = run_declarative(bounded, docs, media, baseline)
+    rows = {r["partition_id"]: r for r in res2.verdicts.collect()}
+    assert not all(r["passed"] for r in rows.values())
+    # the bounded scores surface in the verdict metrics map
+    assert any("hellinger_span_length" in r["metrics"] for r in rows.values())
+
+
 def test_spec_matches_programmatic_config(spark, inputs):
     docs, media, baseline = inputs
     spec = {

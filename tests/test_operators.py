@@ -97,6 +97,52 @@ def test_drift_vs_oracle(data, spark):
         assert got[pid]["passed"] is True
 
 
+def test_drift_bounded_metrics_opt_in(data, spark):
+    """max_js / max_hellinger: off by default (4-key metrics map, KL/PSI
+    detail format unchanged); when set, the bounded pair rides the same
+    frame — the drifted partition's JS/Hellinger flag it at a tight
+    bound, clean partitions stay under a loose one, and the scores agree
+    with the standalone ks_js_hellinger analyzer's formulas."""
+    docs, media, exploded, pdocs, pmedia, psp = data
+    base_exploded = exploded.filter(~F.col("partition_id").isin([3]))
+    baseline = drift.compute_baseline(base_exploded)
+
+    default_v, _ = drift.check(exploded, baseline, drift.DriftThresholds())
+    default_rows = {r["partition_id"]: r.asDict() for r in default_v.collect()}
+    assert sorted(default_rows[3]["metrics"]) == [
+        "kl_span_kind", "kl_span_length", "psi_span_kind", "psi_span_length",
+    ]
+
+    th = drift.DriftThresholds(max_js=1e-4, max_hellinger=1e-2)
+    verdicts, violations = drift.check(exploded, baseline, th)
+    got = {r["partition_id"]: r.asDict() for r in verdicts.collect()}
+    assert len(got[3]["metrics"]) == 8
+    # bounded scores live inside their theoretical ranges
+    for pid, row in got.items():
+        for feat in ("span_kind", "span_length"):
+            assert 0.0 <= row["metrics"][f"js_{feat}"] <= math.log(2) + 1e-12
+            assert 0.0 <= row["metrics"][f"hellinger_{feat}"] <= 1.0 + 1e-12
+    # the drifted partition trips the tight bounded thresholds; KL/PSI on
+    # clean partitions stay green so any extra failure comes from JS/H
+    assert got[3]["passed"] is False
+    # detail string now carries all four scores
+    det = [r["detail"] for r in violations.collect() if r["partition_id"] == 3]
+    assert any("js=" in d and "hellinger=" in d for d in det)
+    # loose bounds keep clean partitions green
+    loose_v, _ = drift.check(
+        exploded, baseline, drift.DriftThresholds(max_js=0.5, max_hellinger=0.9)
+    )
+    loose = {r["partition_id"]: r.asDict() for r in loose_v.collect()}
+    for pid in (0, 1, 2):
+        assert loose[pid]["passed"] is True
+    # KL/PSI values are unaffected by enabling the bounded pair
+    for pid in got:
+        for k in ("kl_span_kind", "psi_span_kind", "kl_span_length", "psi_span_length"):
+            assert got[pid]["metrics"][k] == pytest.approx(
+                default_rows[pid]["metrics"][k], rel=1e-12
+            )
+
+
 def test_span_order_vs_oracle(data, spark):
     docs, *_ , pdocs, pmedia, psp = data
     verdicts, violations = reassembly.check(docs)
