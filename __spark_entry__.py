@@ -82,7 +82,7 @@ _PRIORITY = [
     "dedup_keep_best_quality", # new: quality-argmax cluster canonicalization (components in-plan)
     "tdigest_bounds_events",
     "drift_wasserstein_chisq_by_source",  # new: distance-aware drift pair (W1 CDF-gap + chi-square homogeneity)
-    "multimodal_decode_stats",
+    "media_near_dup_pairs",    # new: media near-dup (average-hash banding over byte histograms, capped buckets, exact integer L1 verify)
     "stats_documents",
     "fd_audit_events",         # new: functional-dependency audit (uniqueness generalized to key→dependent consistency)
     "referential_orphans",
@@ -103,6 +103,7 @@ _TAIL = [
     "q21_sole_blame_suppliers",  # EXISTS + NOT EXISTS self-join chain: the conditioned semi-join (EXISTS) is q4_priority_late_exists in-window and the anti-join (NOT EXISTS) is referential_orphans in-window; locally hash-green, operator unchanged this session
     "url_domain_stats_blocked",  # blocklist accounting: regex-extract scan accounting is pii_scan_by_source in-window; broadcast membership anti-join is referential_orphans in-window; locally hash-green, unchanged
     "benford_totalprice",      # first-digit conformance: the histogram + broadcast-baseline-grid core is the in-window drift family (drift_ks_js_hellinger/wasserstein) and skew_audit_user_events keeps the audit family in-window; locally hash-green, unchanged
+    "multimodal_decode_stats", # multimodal Arrow family: media_near_dup_pairs in-window drives the same mapInPandas byte path (byte_histograms) plus banding; decode accounting itself locally hash-green, operator unchanged
     "uniqueness_partkey",      # uniqueness VERDICT family: suite_verdicts (in-window) hash-checks the uniqueness constraint end-to-end in its DuckDB twin, and fd_audit_events generalizes the same distinct-per-key core; r02 driver-verified green, operator unchanged
     "set_ops_users",           # INTERSECT/EXCEPT surface: both component queries (intersect_users, except_users) were driver-verified hash-green in r02 and the physical set-op family is unchanged since; locally hash-green
     "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green

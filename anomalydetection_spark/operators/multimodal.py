@@ -200,3 +200,162 @@ def frame_offsets(df: DataFrame, id_col: str, n_bytes_col: str, frame_size: int 
         F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: (i * frame_size).cast("long")),
     ).otherwise(F.array().cast("array<bigint>"))
     return df.select(id_col, offs.alias("frame_offsets"))
+
+
+def byte_histograms(
+    df: DataFrame, id_col: str, content_col: str, n_buckets: int = 16
+) -> DataFrame:
+    """(id, n_bytes, hist array<bigint>) — dense byte-value histogram
+    (byte % n_buckets) per payload, the perceptual fingerprint the media
+    near-dup pass blocks on. Arrow-batched mapInPandas: one numpy
+    bincount per payload, no Spark-row crossings. A real deployment
+    swaps the raw-byte histogram for decoded-pixel / spectrogram
+    histograms with the identical (id, n, counts) contract. Empty/NULL
+    payloads emit n_bytes=0 with an all-zero histogram."""
+    id_type = dict(zip(df.schema.names, (f.dataType.simpleString() for f in df.schema.fields)))[id_col]
+    out_schema = f"`{id_col}` {id_type}, n_bytes bigint, hist array<bigint>"
+    narrow = df.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, hists = [], []
+            for b in pdf[content_col]:
+                data = np.frombuffer(bytes(b) if b is not None else b"", dtype=np.uint8)
+                ns.append(int(data.size))
+                hists.append(
+                    np.bincount(data % n_buckets, minlength=n_buckets).astype(np.int64)
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "n_bytes": ns, "hist": hists}
+            )
+
+    return narrow.mapInPandas(run, out_schema)
+
+
+def media_near_dup(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    max_l1_ppm: int = 100_000,
+    n_buckets: int = 16,
+    bands: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Media near-duplicate pairs via perceptual-hash banding: the media
+    leg of the dedup matrix (text has exact/MinHash/SimHash/n-gram/
+    embedding-cosine; binary payloads get average-hash blocking over
+    their byte histograms + an exact integer distance verify).
+
+    Pipeline (every step float-free):
+      1. histogram h per payload (``byte_histograms``, one Arrow pass);
+      2. difference-hash bits: bit_j = 1 ⇔ h[j] > h[(j+1) mod n_buckets]
+         (dHash, public literature — gradient SIGNS, not absolute
+         levels: absolute thresholds like aHash's bucket-above-mean
+         collapse on corpora whose payloads share one byte-value
+         expectation profile, e.g. a single codec's output, because
+         every bit is then pinned by the profile rather than the
+         payload; adjacent-bucket orderings stay payload-specific);
+      3. bits split into ``bands`` bands; payloads sharing any
+         (band, value) are candidates — but buckets holding more than
+         ``max_bucket`` payloads are skipped as non-discriminative (the
+         LSH frequency cap, same role as the df cap in
+         dedup.ngram_jaccard: a corpus whose members all share one
+         signature must not degrade to all-pairs);
+      4. exact verify: normalized-L1 distance cross-multiplied to
+         integers — keep when 10⁶·Σ_j |h_a[j]·n_b − h_b[j]·n_a|
+         div (n_a·n_b) ≤ ``max_l1_ppm`` (L1 ∈ [0, 2·10⁶] ppm; identical
+         payloads score 0). Zero-length payloads carry no signature and
+         are excluded.
+
+    Band width trades recall for selectivity exactly as in MinHash-LSH:
+    narrower bands (more of them) tolerate more flipped bits per
+    near-dup at the cost of more candidate pairs; the cap bounds the
+    damage either way.
+
+    Scale: the banded self-join shuffles on (band, band_val) with bucket
+    size bounded by ``max_bucket``, so candidate count is ≤
+    bands·Σ_buckets C(cap, 2) — never quadratic in the corpus. The
+    verify join carries only (n_bytes, hist) — n_buckets+1 integers per
+    side, KB-scale rows. Returns (id_a, id_b, l1_ppm).
+    """
+    assert n_buckets % bands == 0, "bands must divide n_buckets"
+    width = n_buckets // bands
+    h = byte_histograms(df, id_col, content_col, n_buckets).filter(
+        F.col("n_bytes") > 0
+    )
+
+    bit = lambda j: (  # noqa: E731
+        F.col("hist")[j] > F.col("hist")[(j + 1) % n_buckets]
+    ).cast("long")
+    band_rows = h.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    sum(
+                        (bit(b * width + t) * F.lit(1 << t) for t in range(width)),
+                        F.lit(0),
+                    ).alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bv"),
+    ).select("_id", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+
+    sizes = band_rows.groupBy("band", "band_val").agg(F.count("*").alias("_bsz"))
+    kept = band_rows.join(
+        F.broadcast(sizes.filter(F.col("_bsz") <= max_bucket)), ["band", "band_val"]
+    )
+    cand = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    ha = h.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_bytes").alias("na"),
+        F.col("hist").alias("hist_a"),
+    )
+    hb = h.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_bytes").alias("nb"),
+        F.col("hist").alias("hist_b"),
+    )
+    cross_l1 = sum(
+        (
+            F.abs(
+                F.col("hist_a")[j] * F.col("nb") - F.col("hist_b")[j] * F.col("na")
+            )
+            for j in range(n_buckets)
+        ),
+        F.lit(0),
+    )
+    scored = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.lit(1_000_000) * cross_l1.cast("decimal(38,0)")).alias("_num"),
+            (
+                F.col("na").cast("decimal(38,0)") * F.col("nb").cast("decimal(38,0)")
+            ).alias("_den"),
+        )
+        # integer DIV, not float-divide-then-truncate (the entropy_fp
+        # precedent): a correctly-rounded double quotient can land on the
+        # next integer and truncate high
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("cast(_num div _den AS bigint)").alias("l1_ppm"),
+        )
+    )
+    return scored.filter(F.col("l1_ppm") <= F.lit(max_l1_ppm))

@@ -1230,3 +1230,119 @@ UNION ALL SELECT 4, vec_id, round(md, 6) FROM s4
 
 QUERIES["kcenter_diverse_embeddings"] = kcenter_diverse_embeddings
 ORACLE_SQL["kcenter_diverse_embeddings"] = KCENTER_SQL
+
+
+# ---------------------------------------------------------------------------
+# media near-duplicate pairs (perceptual-hash banding)
+# ---------------------------------------------------------------------------
+
+
+_MEDIA_LEN = 2048
+_MEDIA_PERTURB_FROM = _MEDIA_LEN - 64
+
+
+def _media_payload_expr(perturbed: bool) -> str:
+    """Deterministic pseudo-media payload as a SQL expression both engines
+    share: 2048 printable-ASCII chars char(32 + (131·doc_id + 7t² +
+    (doc_id%13)·t) mod 95) — the quadratic term gives each doc a lumpy,
+    doc-specific byte distribution (the residue multiset of a quadratic
+    mod 95 depends on the doc's coefficients), which is what perceptual
+    signatures need; md5-hex payloads collapse to a 16-symbol alphabet
+    whose histogram is pinned by the alphabet, not the payload. The
+    near-dup variant swaps the quadratic for the last 64 positions."""
+    alt = "true" if perturbed else "false"
+    body = (
+        f"CASE WHEN t >= {_MEDIA_PERTURB_FROM} AND {alt} "
+        "THEN 11*t*t + pmod(doc_id, 17)*t "
+        "ELSE 7*t*t + pmod(doc_id, 13)*t END"
+    )
+    return (
+        f"array_join(transform(sequence(0, {_MEDIA_LEN - 1}), "
+        f"t -> char(32 + pmod(doc_id*131 + {body}, 95))), '')"
+    )
+
+
+def media_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup (operators/multimodal.media_near_dup): deterministic
+    pseudo-media payloads (doc-keyed quadratic byte patterns — diverse
+    histograms) with near-dup copies injected for doc_id % 23 == 0 (last
+    64 bytes re-patterned, id+100000). dHash banding blocks (4 bands ×
+    4 gradient bits, capped buckets), exact integer L1-ppm verifies at
+    30000: all injected pairs land under the bound; pattern-coincident
+    doc pairs that the metric genuinely places nearby are reported too —
+    identically by both engines."""
+    from anomalydetection_spark.operators import multimodal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    base = d.select("doc_id", F.expr(_media_payload_expr(False)).alias("ptext"))
+    dup = d.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.expr(_media_payload_expr(True)).alias("ptext"),
+    )
+    corpus = base.unionByName(dup).select(
+        "doc_id", F.encode("ptext", "utf-8").alias("content")
+    )
+    return multimodal.media_near_dup(
+        corpus, "doc_id", "content", max_l1_ppm=30_000, bands=4
+    )
+
+
+MEDIA_NEAR_DUP_SQL = """
+WITH ids AS (SELECT doc_id FROM documents),
+corpus AS (
+  SELECT doc_id,
+    list_aggregate(list_transform(generate_series(0, 2047),
+      t -> chr((32 + (doc_id*131 + 7*t*t + (doc_id%13)*t) % 95)::int)),
+      'string_agg', '') AS ptext
+  FROM ids
+  UNION ALL
+  SELECT doc_id + 100000,
+    list_aggregate(list_transform(generate_series(0, 2047),
+      t -> chr((32 + (doc_id*131 +
+        CASE WHEN t >= 1984 THEN 11*t*t + (doc_id%17)*t
+             ELSE 7*t*t + (doc_id%13)*t END) % 95)::int)),
+      'string_agg', '') AS ptext
+  FROM ids WHERE doc_id % 23 = 0),
+ex AS (
+  SELECT doc_id, length(ptext)::bigint AS n_bytes,
+         unnest(list_transform(generate_series(1, length(ptext)),
+                i -> ascii(substr(ptext, i, 1)) % 16)) AS b
+  FROM corpus),
+hm AS (SELECT doc_id, any_value(n_bytes) AS n_bytes, histogram(b) AS m
+       FROM ex GROUP BY doc_id),
+h AS (
+  SELECT doc_id, n_bytes,
+    list_transform(generate_series(0, 15),
+                   k -> coalesce(m[k][1], 0)::bigint) AS hist
+  FROM hm),
+bits AS (
+  SELECT doc_id, n_bytes, hist,
+    list_transform(generate_series(1, 16),
+      j -> CASE WHEN hist[j] > hist[j % 16 + 1] THEN 1 ELSE 0 END) AS bit
+  FROM h),
+bandrows AS (
+  SELECT doc_id, band,
+    list_sum(list_transform(generate_series(1, 4),
+      t -> bit[band * 4 + t] * (1 << (t - 1)))) AS band_val
+  FROM (SELECT doc_id, bit, unnest([0, 1, 2, 3]) AS band FROM bits)),
+sizes AS (SELECT band, band_val, count(*) AS bsz FROM bandrows GROUP BY 1, 2),
+kept AS (
+  SELECT br.* FROM bandrows br JOIN sizes s USING (band, band_val)
+  WHERE s.bsz <= 64),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT id_a, id_b,
+    ((1000000 * list_sum(list_transform(generate_series(1, 16),
+        j -> abs(ha.hist[j] * hb.n_bytes - hb.hist[j] * ha.n_bytes))))
+     // (ha.n_bytes * hb.n_bytes))::bigint AS l1_ppm
+  FROM cand
+  JOIN h ha ON ha.doc_id = cand.id_a
+  JOIN h hb ON hb.doc_id = cand.id_b)
+SELECT id_a, id_b, l1_ppm FROM scored WHERE l1_ppm <= 30000
+"""
+
+QUERIES["media_near_dup_pairs"] = media_near_dup_pairs
+ORACLE_SQL["media_near_dup_pairs"] = MEDIA_NEAR_DUP_SQL

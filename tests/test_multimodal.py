@@ -137,3 +137,72 @@ def test_decoder_loader_contract_load_once(spark, media_df, tmp_path):
     # one load per process that participated — never one per task
     assert len(loads) == len(load_pids)
     assert len(loads) < 32
+
+
+# ---------------------------------------------------------------------------
+# media near-dup (dHash banding over byte histograms)
+# ---------------------------------------------------------------------------
+
+
+def _pattern_payload(seed: int, n: int = 1024, tweak: int = 0) -> bytes:
+    """Doc-specific lumpy byte pattern; ``tweak`` perturbs the tail."""
+    out = bytearray()
+    for t in range(n):
+        v = (seed * 131 + 7 * t * t + (seed % 13) * t) % 251
+        if tweak and t >= n - 32:
+            v = (v + tweak) % 251
+        out.append(v)
+    return bytes(out)
+
+
+def test_byte_histograms_vs_numpy(spark):
+    import numpy as np
+
+    from anomalydetection_spark.operators.multimodal import byte_histograms
+
+    rows = [(1, _pattern_payload(1)), (2, _pattern_payload(2)), (3, b""), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in byte_histograms(df, "media_id", "content").collect()}
+    for mid in (1, 2):
+        data = np.frombuffer(_pattern_payload(mid), dtype=np.uint8)
+        assert got[mid]["n_bytes"] == 1024
+        assert list(got[mid]["hist"]) == list(np.bincount(data % 16, minlength=16))
+    assert got[3]["n_bytes"] == 0 and sum(got[3]["hist"]) == 0
+    assert got[4]["n_bytes"] == 0
+
+
+def test_media_near_dup_finds_perturbed_copy(spark):
+    from anomalydetection_spark.operators.multimodal import media_near_dup
+
+    rows = [(i, _pattern_payload(i)) for i in range(20)]
+    rows.append((1000, _pattern_payload(7, tweak=3)))  # near-dup of 7
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = media_near_dup(df, "media_id", "content", max_l1_ppm=30_000, bands=4)
+    pairs = {(r["id_a"], r["id_b"]): r["l1_ppm"] for r in out.collect()}
+    assert (7, 1000) in pairs
+    # the injected pair is the closest pair in the output
+    assert pairs[(7, 1000)] == min(pairs.values())
+    # exact copies score 0
+    df2 = spark.createDataFrame(
+        [(1, _pattern_payload(3)), (2, _pattern_payload(3))],
+        "media_id long, content binary",
+    )
+    out2 = media_near_dup(df2, "media_id", "content", max_l1_ppm=30_000, max_bucket=10)
+    got2 = [(r["id_a"], r["id_b"], r["l1_ppm"]) for r in out2.collect()]
+    assert got2 == [(1, 2, 0)]
+
+
+def test_media_near_dup_cap_skips_degenerate_buckets(spark):
+    """A corpus of identical payloads shares one signature per band; with
+    bucket size above max_bucket every band is non-discriminative and the
+    cap must yield ZERO candidates instead of all-pairs."""
+    from anomalydetection_spark.operators.multimodal import media_near_dup
+
+    rows = [(i, _pattern_payload(42)) for i in range(30)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = media_near_dup(df, "media_id", "content", max_l1_ppm=2_000_000, max_bucket=20)
+    assert out.count() == 0
+    # raising the cap re-admits the bucket: all pairs, distance 0
+    out2 = media_near_dup(df, "media_id", "content", max_l1_ppm=2_000_000, max_bucket=64)
+    assert out2.count() == 30 * 29 // 2
+    assert out2.agg({"l1_ppm": "max"}).collect()[0][0] == 0
