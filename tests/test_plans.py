@@ -443,3 +443,59 @@ def test_reconcile_summary_no_fact_side_key_shuffle(spark):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "o_orderkey" not in line
+
+
+def test_moments_one_scan_partial_agg_no_window(spark):
+    """The shape analyzers are ONE mergeable hash aggregate: a single
+    parquet scan, map-side partial aggregation, no window, no join."""
+    from anomalydetection_spark.plans import driver_queries_quality as dqq
+
+    plan = _formatted(spark, dqq.moments_n_chars_by_lang(spark, SF))
+    assert plan.count("Scan parquet  (") == 1  # one tree node (details repeat the name)
+    assert "partial_" in plan  # map-side partials before the exchange
+    assert "windowspecdefinition" not in plan
+    assert "Join" not in plan
+
+
+def test_drift_bounded_windows_are_group_partitioned(spark):
+    """KS's cumulative CDF windows partition by the drift group — never a
+    partition-less (single-task) window."""
+    plan = _formatted(spark, dq.drift_ks_js_hellinger_by_source(spark, SF))
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    for line in specs:
+        assert "], [], [" not in line, line
+        assert "source" in line
+
+
+def test_rrf_fusion_windows_per_query_no_cartesian(spark):
+    """Both retriever rank windows and the fused top-k window partition by
+    query_id; the only cross product is the broadcast query-corpus score
+    grid (dense retrieval), never an unbroadcast cartesian."""
+    from anomalydetection_spark.plans import driver_queries_training as dqt
+
+    plan = _formatted(spark, dqt.hybrid_rrf_topk(spark, SF))
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    for line in specs:
+        assert "], [], [" not in line, line
+        assert "query_id" in line
+    assert "CartesianProduct" not in plan
+
+
+def test_media_near_dup_hash_joins_only(spark):
+    """The banded self-join and the verify joins are hash equi-joins with
+    the bucket-size filter broadcast — no nested-loop/cartesian path, and
+    the verify side shuffles (n_bytes, hist) summaries, never payloads."""
+    from anomalydetection_spark.plans import driver_queries_dedup as dqd
+
+    df = dqd.media_near_dup_pairs(spark, SF)
+    plan = _formatted(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # bucket-size cap + verify sides
+    # the candidate/verify exchanges never carry the payload bytes
+    exchange_lines = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert exchange_lines
+    for line in exchange_lines:
+        assert "content" not in line, line
