@@ -43,10 +43,55 @@ division error.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _D38 = "decimal(38,0)"
+
+
+def power_sum_aggs(value_col: str, prefix: str = "") -> list[Column]:
+    """The five aggregate expressions of the exact anchors — importable
+    into a caller's own single-pass groupBy (the suite's column_stats
+    constraint rides them inside its existing span aggregate rather than
+    paying a second scan). Emits {prefix}n, {prefix}s1..{prefix}s4."""
+    x = F.col(value_col).cast("long")
+    x2 = x * x
+    return [
+        F.count(x).cast("long").alias(f"{prefix}n"),
+        F.sum(x.cast(_D38)).cast(_D38).alias(f"{prefix}s1"),
+        F.sum(x2.cast(_D38)).cast(_D38).alias(f"{prefix}s2"),
+        F.sum((x2 * x).cast(_D38)).cast(_D38).alias(f"{prefix}s3"),
+        F.sum((x2 * x2).cast(_D38)).cast(_D38).alias(f"{prefix}s4"),
+    ]
+
+
+def shape_cols(prefix: str = "") -> dict[str, Column]:
+    """Derived shape columns (mean/variance/skewness/kurtosis, round-6
+    doubles) over the {prefix}n..{prefix}s4 anchor columns, in the
+    module-docstring expression shapes — mirror them verbatim in SQL
+    twins."""
+    n = F.col(f"{prefix}n").cast("double")
+    s1 = F.col(f"{prefix}s1").cast("double")
+    s2 = F.col(f"{prefix}s2").cast("double")
+    s3 = F.col(f"{prefix}s3").cast("double")
+    s4 = F.col(f"{prefix}s4").cast("double")
+    b = n * s2 - s1 * s1
+    a = n * n * s3 - F.lit(3.0) * n * s1 * s2 + F.lit(2.0) * s1 * s1 * s1
+    c = (
+        n * n * n * s4
+        - F.lit(4.0) * n * n * s1 * s3
+        + F.lit(6.0) * n * s1 * s1 * s2
+        - F.lit(3.0) * s1 * s1 * s1 * s1
+    )
+    nn = F.col(f"{prefix}n")
+    return {
+        "mean": F.when(nn >= 1, F.round(s1 / n, 6)),
+        "variance": F.when(nn >= 1, F.round(b / (n * n), 6)),
+        "skewness": F.when((nn >= 2) & (b > 0), F.round(a / (b * F.sqrt(b)), 6)),
+        "kurtosis": F.when(
+            (nn >= 2) & (b > 0), F.round(c / (b * b) - F.lit(3.0), 6)
+        ),
+    }
 
 
 def power_sums_exact(
@@ -55,16 +100,7 @@ def power_sums_exact(
     """Exact mergeable moment anchors per group: (``n``, ``s1``..``s4``)
     with n bigint and s1..s4 decimal(38,0). One hash aggregate."""
     gcols = group_cols or []
-    x = F.col(value_col).cast("long")
-    x2 = x * x
-    agg = df.groupBy(*gcols).agg(
-        F.count(x).cast("long").alias("n"),
-        F.sum(x.cast(_D38)).cast(_D38).alias("s1"),
-        F.sum(x2.cast(_D38)).cast(_D38).alias("s2"),
-        F.sum((x2 * x).cast(_D38)).cast(_D38).alias("s3"),
-        F.sum((x2 * x2).cast(_D38)).cast(_D38).alias("s4"),
-    )
-    return agg
+    return df.groupBy(*gcols).agg(*power_sum_aggs(value_col))
 
 
 def skewness_kurtosis(
@@ -75,21 +111,8 @@ def skewness_kurtosis(
     (excess). Derivations follow the module-docstring expression shapes
     exactly — mirror them verbatim in any SQL twin."""
     sums = power_sums_exact(df, value_col, group_cols)
-    # promote once; every arithmetic op below is double-on-double
-    n = F.col("n").cast("double")
-    s1 = F.col("s1").cast("double")
-    s2 = F.col("s2").cast("double")
-    s3 = F.col("s3").cast("double")
-    s4 = F.col("s4").cast("double")
-    b = n * s2 - s1 * s1
-    a = n * n * s3 - F.lit(3.0) * n * s1 * s2 + F.lit(2.0) * s1 * s1 * s1
-    c = (
-        n * n * n * s4
-        - F.lit(4.0) * n * n * s1 * s3
-        + F.lit(6.0) * n * s1 * s1 * s2
-        - F.lit(3.0) * s1 * s1 * s1 * s1
-    )
     gcols = group_cols or []
+    shapes = shape_cols()
     return sums.select(
         *gcols,
         "n",
@@ -97,12 +120,5 @@ def skewness_kurtosis(
         "s2",
         "s3",
         "s4",
-        F.when(F.col("n") >= 1, F.round(s1 / n, 6)).alias("mean"),
-        F.when(F.col("n") >= 1, F.round(b / (n * n), 6)).alias("variance"),
-        F.when((F.col("n") >= 2) & (b > 0), F.round(a / (b * F.sqrt(b)), 6)).alias(
-            "skewness"
-        ),
-        F.when((F.col("n") >= 2) & (b > 0), F.round(c / (b * b) - F.lit(3.0), 6)).alias(
-            "kurtosis"
-        ),
+        *[expr.alias(name) for name, expr in shapes.items()],
     )

@@ -34,6 +34,13 @@ class StatsThresholds:
     max_empty_spans_rate: float = 0.05
     min_rows: int = 1
     exact_quantiles: bool = True       # False → percentile_approx at scale
+    # opt-in shape moments (operators/moments.py): adds text_len_skewness /
+    # text_len_kurtosis to the verdict metrics map — report-only signals
+    # for the metrics ledger's anomaly detection (a length distribution
+    # growing a heavy tail moves kurtosis long before mean/p95 move).
+    # Rides the SAME span aggregate (exact int64 power sums as extra
+    # map-side partials, no second scan); default off → byte-identical.
+    collect_moments: bool = False
 
 
 def check(
@@ -93,6 +100,11 @@ def check(
         .cast("long")
         .alias("n_null_text")
     )
+    moment_aggs = []
+    if th.collect_moments:
+        from anomalydetection_spark.operators.moments import power_sum_aggs
+
+        moment_aggs = power_sum_aggs("text_len", "_mom_")
     span_stats = exploded.groupBy("partition_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.when(texty, 1).otherwise(0)).cast("long").alias("n_texty"),
@@ -104,6 +116,7 @@ def check(
         p50.alias("text_len_p50"),
         p95.alias("text_len_p95"),
         F.approx_count_distinct("media_ref").cast("double").alias("media_ref_approx_distinct"),
+        *moment_aggs,
     )
 
     joined = doc_stats.join(span_stats, "partition_id", "left")
@@ -121,6 +134,29 @@ def check(
         & (null_text_rate <= F.lit(th.max_null_text_rate))
     )
 
+    metric_keys = [
+        F.lit("n_docs"), F.lit("n_spans"), F.lit("empty_spans_rate"),
+        F.lit("spans_per_doc_mean"), F.lit("spans_per_doc_max"),
+        F.lit("null_text_rate"), F.lit("text_len_mean"), F.lit("text_len_std"),
+        F.lit("text_len_min"), F.lit("text_len_max"),
+        F.lit("text_len_p50"), F.lit("text_len_p95"),
+        F.lit("media_ref_approx_distinct"),
+    ]
+    metric_vals = [
+        F.col("n_docs").cast("double"), F.col("n_spans").cast("double"),
+        F.col("empty_spans_rate"), F.col("spans_per_doc_mean"),
+        F.col("spans_per_doc_max"), null_text_rate,
+        F.col("text_len_mean"), F.col("text_len_std"),
+        F.col("text_len_min"), F.col("text_len_max"),
+        F.col("text_len_p50"), F.col("text_len_p95"),
+        F.col("media_ref_approx_distinct"),
+    ]
+    if th.collect_moments:
+        from anomalydetection_spark.operators.moments import shape_cols
+
+        shapes = shape_cols("_mom_")
+        metric_keys += [F.lit("text_len_skewness"), F.lit("text_len_kurtosis")]
+        metric_vals += [shapes["skewness"], shapes["kurtosis"]]
     verdicts = joined.select(
         "partition_id",
         F.lit(CONSTRAINT).alias("constraint"),
@@ -128,23 +164,7 @@ def check(
         F.coalesce(F.col("n_null_text"), F.lit(0)).cast("long").alias("violation_count"),
         F.col("n_docs").cast("long").alias("row_count"),
         F.map_from_arrays(
-            F.array(
-                F.lit("n_docs"), F.lit("n_spans"), F.lit("empty_spans_rate"),
-                F.lit("spans_per_doc_mean"), F.lit("spans_per_doc_max"),
-                F.lit("null_text_rate"), F.lit("text_len_mean"), F.lit("text_len_std"),
-                F.lit("text_len_min"), F.lit("text_len_max"),
-                F.lit("text_len_p50"), F.lit("text_len_p95"),
-                F.lit("media_ref_approx_distinct"),
-            ),
-            F.array(
-                F.col("n_docs").cast("double"), F.col("n_spans").cast("double"),
-                F.col("empty_spans_rate"), F.col("spans_per_doc_mean"),
-                F.col("spans_per_doc_max"), null_text_rate,
-                F.col("text_len_mean"), F.col("text_len_std"),
-                F.col("text_len_min"), F.col("text_len_max"),
-                F.col("text_len_p50"), F.col("text_len_p95"),
-                F.col("media_ref_approx_distinct"),
-            ),
+            F.array(*metric_keys), F.array(*metric_vals)
         ).alias("metrics"),
     )
 

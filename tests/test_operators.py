@@ -97,6 +97,39 @@ def test_drift_vs_oracle(data, spark):
         assert got[pid]["passed"] is True
 
 
+def test_stats_collect_moments_opt_in(data, spark):
+    """collect_moments: off by default (13-key metrics map); when set the
+    span aggregate carries exact power-sum partials and the verdict map
+    gains text_len skewness/kurtosis that agree with the standalone
+    moments operator on the same span view."""
+    from anomalydetection_spark.operators.moments import skewness_kurtosis
+
+    docs, media, exploded, pdocs, pmedia, psp = data
+    default_v, _ = stats.check(docs, exploded, stats.StatsThresholds())
+    d0 = default_v.collect()[0].asDict()
+    assert len(d0["metrics"]) == 13 and "text_len_skewness" not in d0["metrics"]
+
+    verdicts, _ = stats.check(
+        docs, exploded, stats.StatsThresholds(collect_moments=True)
+    )
+    got = {r["partition_id"]: r.asDict() for r in verdicts.collect()}
+    want = {
+        r["partition_id"]: r
+        for r in skewness_kurtosis(exploded, "text_len", ["partition_id"]).collect()
+    }
+    for pid, row in got.items():
+        assert row["metrics"]["text_len_skewness"] == pytest.approx(
+            want[pid]["skewness"], abs=1e-9
+        )
+        assert row["metrics"]["text_len_kurtosis"] == pytest.approx(
+            want[pid]["kurtosis"], abs=1e-9
+        )
+        # the non-moment metrics are unchanged by the opt-in
+        for k, v in d0["metrics"].items():
+            if pid == d0["partition_id"]:
+                assert row["metrics"][k] == pytest.approx(v, rel=1e-12)
+
+
 def test_drift_bounded_metrics_opt_in(data, spark):
     """max_js / max_hellinger: off by default (4-key metrics map, KL/PSI
     detail format unchanged); when set, the bounded pair rides the same
