@@ -78,7 +78,7 @@ _PRIORITY = [
     "unigram_nll_by_source",   # new: self-trained unigram LM scoring (perplexity-filter analog)
     "q4_priority_late_exists", # new: EXISTS decorrelated to a conditioned semi-join (TPC-H Q4 shape)
     "q17_small_quantity_share",  # new: correlated scalar-avg predicate, integer cross-multiplied (Q17 shape)
-    "shard_assignment_stats",  # new: deterministic hash-mod training shards
+    "epoch_order_stats",       # new: deterministic epoch shuffle (seed-keyed rank within seed-free shards, no global sort)
     "dedup_keep_best_quality", # new: quality-argmax cluster canonicalization (components in-plan)
     "tdigest_bounds_events",
     "drift_wasserstein_chisq_by_source",  # new: distance-aware drift pair (W1 CDF-gap + chi-square homogeneity)
@@ -104,6 +104,7 @@ _TAIL = [
     "url_domain_stats_blocked",  # blocklist accounting: regex-extract scan accounting is pii_scan_by_source in-window; broadcast membership anti-join is referential_orphans in-window; locally hash-green, unchanged
     "benford_totalprice",      # first-digit conformance: the histogram + broadcast-baseline-grid core is the in-window drift family (drift_ks_js_hellinger/wasserstein) and skew_audit_user_events keeps the audit family in-window; locally hash-green, unchanged
     "multimodal_decode_stats", # multimodal Arrow family: media_near_dup_pairs in-window drives the same mapInPandas byte path (byte_histograms) plus banding; decode accounting itself locally hash-green, operator unchanged
+    "shard_assignment_stats",  # shard family: epoch_order_stats in-window re-derives the identical md5-mod shard column before ranking (strictly stronger coverage); locally hash-green, operator unchanged
     "uniqueness_partkey",      # uniqueness VERDICT family: suite_verdicts (in-window) hash-checks the uniqueness constraint end-to-end in its DuckDB twin, and fd_audit_events generalizes the same distinct-per-key core; r02 driver-verified green, operator unchanged
     "set_ops_users",           # INTERSECT/EXCEPT surface: both component queries (intersect_users, except_users) were driver-verified hash-green in r02 and the physical set-op family is unchanged since; locally hash-green
     "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green

@@ -140,6 +140,41 @@ def shard_assign(docs: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     )
 
 
+def epoch_order(
+    docs: DataFrame, id_col: str, n_shards: int, seed: int
+) -> DataFrame:
+    """Deterministic epoch shuffle: adds (``shard``, ``pos``) giving each
+    document a reproducible pseudo-random training position WITHOUT a
+    global sort — the order a data loader consumes a 10^12-doc corpus in
+    epoch ``seed``.
+
+    Shard membership comes from ``shard_assign`` (id-only, seed-FREE: a
+    new epoch re-orders within shards but never moves a doc between
+    shard files, so the expensive partitioned export is written once and
+    every epoch is just a new read order). Within a shard, position is
+    the rank of the seed-keyed portable hash (ties broken by id — ranks
+    are total), so each seed yields an independent permutation. The
+    loader interleaves shards round-robin; (pos, shard) is the global
+    order key.
+
+    Scale: ONE shuffle on the shard key; the rank window partitions BY
+    SHARD (each holds ~1/n_shards of the corpus — never a partition-less
+    window), and Spark plans it as an in-partition sort after the
+    exchange. No driver-side state, no RNG: reruns and other engines
+    reproduce the identical order (the shard_assign portability
+    contract).
+    """
+    from anomalydetection_spark.operators.dedup import portable_hash60
+    from pyspark.sql.window import Window
+
+    sharded = shard_assign(docs, id_col, n_shards)
+    order_key = portable_hash60(
+        F.concat(F.lit(str(int(seed))), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy(order_key.asc(), F.col(id_col).asc())
+    return sharded.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
 def chunk_stats(packed: DataFrame) -> DataFrame:
     """Per-chunk rollup of ``pack_chunks`` output: docs per chunk, packed
     tokens, straddling docs, fill ratio vs the dominant (full) chunk size —

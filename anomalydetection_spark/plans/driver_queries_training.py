@@ -561,6 +561,48 @@ SELECT ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint % 64 AS sha
 FROM documents GROUP BY 1
 """
 
+
+def epoch_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (packing.epoch_order, 16 shards, epoch
+    seed 3): per-shard doc counts, a position-weighted integer checksum
+    pinning the exact permutation, and the first/last doc each shard's
+    loader would see. Shard membership is seed-free (the partitioned
+    export is written once; an epoch is just a new read order); the rank
+    window partitions by shard — never a global sort."""
+    from anomalydetection_spark.operators import packing
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ordered = packing.epoch_order(d, "doc_id", 16, seed=3)
+    return ordered.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("pos") * F.pmod(F.col("doc_id") + 7, F.lit(1_000_003)))
+        .cast("long")
+        .alias("order_checksum"),
+        F.min_by("doc_id", "pos").alias("first_doc"),
+        F.max_by("doc_id", "pos").alias("last_doc"),
+    )
+
+
+EPOCH_ORDER_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::bigint % 16 AS shard,
+    ('0x' || substr(md5('3:' || cast(doc_id AS varchar)), 1, 15))::bigint AS ok
+  FROM documents),
+ordered AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS pos
+  FROM sh)
+SELECT shard, count(*)::bigint AS n_docs,
+       sum(pos * ((doc_id + 7) % 1000003))::bigint AS order_checksum,
+       min_by(doc_id, pos) AS first_doc,
+       max_by(doc_id, pos) AS last_doc
+FROM ordered GROUP BY shard
+"""
+
+QUERIES["epoch_order_stats"] = epoch_order_stats
+ORACLE_SQL["epoch_order_stats"] = EPOCH_ORDER_SQL
+
 QUERIES["shard_assignment_stats"] = shard_assignment_stats
 ORACLE_SQL["shard_assignment_stats"] = SHARD_ASSIGNMENT_SQL
 
