@@ -150,3 +150,6 @@ def test_shipped_example_spec_compiles():
     assert "schema" in selected and "placement" in selected
     assert cfg.placement.expr  # example must carry a real transform
     assert cfg.violation_sample_ppm == 1_000_000
+    # the example exercises the opt-in bounded-drift and shape-moment knobs
+    assert cfg.drift.max_js == 0.05 and cfg.drift.max_hellinger == 0.25
+    assert cfg.stats.collect_moments is True
