@@ -87,7 +87,7 @@ _PRIORITY = [
     "fd_audit_events",         # new: functional-dependency audit (uniqueness generalized to key→dependent consistency)
     "referential_orphans",
     "freshness_events_by_type",  # new: event-time recency audit (opt-in constraint core)
-    "threshold_verdict_events",
+    "topk_rank_drift_events",  # new: heavy-hitter rank drift (membership/order churn vs global top-k, exact integer output)
     "template_merge_events",
     "sessionize_events",
     "topk_users_by_type",
@@ -105,6 +105,7 @@ _TAIL = [
     "benford_totalprice",      # first-digit conformance: the histogram + broadcast-baseline-grid core is the in-window drift family (drift_ks_js_hellinger/wasserstein) and skew_audit_user_events keeps the audit family in-window; locally hash-green, unchanged
     "multimodal_decode_stats", # multimodal Arrow family: media_near_dup_pairs in-window drives the same mapInPandas byte path (byte_histograms) plus banding; decode accounting itself locally hash-green, operator unchanged
     "shard_assignment_stats",  # shard family: epoch_order_stats in-window re-derives the identical md5-mod shard column before ranking (strictly stronger coverage); locally hash-green, operator unchanged
+    "threshold_verdict_events",  # r02 driver-verified green (hash), operator unchanged; percentile-threshold family in-window via mad_outlier_hours (percentile scalar-agg crossJoin) and pca_anomaly_by_label (q95 threshold verdicts)
     "uniqueness_partkey",      # uniqueness VERDICT family: suite_verdicts (in-window) hash-checks the uniqueness constraint end-to-end in its DuckDB twin, and fd_audit_events generalizes the same distinct-per-key core; r02 driver-verified green, operator unchanged
     "set_ops_users",           # INTERSECT/EXCEPT surface: both component queries (intersect_users, except_users) were driver-verified hash-green in r02 and the physical set-op family is unchanged since; locally hash-green
     "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green

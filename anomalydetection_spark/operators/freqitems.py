@@ -268,3 +268,85 @@ def merged_sketch(df: DataFrame, col: str, capacity: int = 256) -> MisraGries:
     for r in partition_sketches(df, col, capacity).collect():
         out.merge(MisraGries.from_bytes(r["mg_blob"]))
     return out
+
+
+def topk_rank_drift(
+    df: DataFrame, group_col: str, value_col: str, k: int = 10
+) -> DataFrame:
+    """Heavy-hitter RANK drift per group vs the global baseline — the
+    categorical complement of the histogram drift metrics: KL/W1/KS see
+    mass move between buckets, but a support change in a high-cardinality
+    column (yesterday's top user gone, a new key flooding in) shows up
+    first as top-k membership and ORDER churn.
+
+    Per group: top-k values by (count desc, value asc — total order,
+    deterministic ties) compared against the global top-k:
+
+      - ``n_common``          top-k values shared with the baseline
+      - ``n_new``             group-top-k values absent from baseline top-k
+      - ``rank_displacement`` Σ |rank_group − rank_global| over shared
+      - ``jaccard_ppm``       ⌊n_common·10⁶ / |union|⌋ (exact integer DIV)
+
+    All-integer output: equal inputs hash equal across engines.
+
+    Scale shape: one hash aggregate to (group, value, n) — the shuffle
+    carries distinct keys, never rows. The per-group rank window
+    partitions BY GROUP; the global top-k avoids a partition-less rank
+    window entirely: ``orderBy().limit(k)`` plans TakeOrderedAndProject
+    (per-partition top-k, then a k-row merge on the driver-less single
+    reduce), and the k-row frame's ranks come from a broadcast
+    beats-self-join (k² comparisons on k rows) — nothing global ever
+    sorts the full domain. The baseline ranks broadcast into the final
+    per-group join.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.filter(F.col(value_col).isNotNull()).groupBy(
+        group_col, value_col
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n"), F.col(value_col).asc()
+    )
+    cur_topk = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, value_col, F.col("rk").alias("rk_cur"))
+    )
+
+    base_counts = counts.groupBy(value_col).agg(F.sum("n").alias("n"))
+    base_topk = base_counts.orderBy(F.desc("n"), F.col(value_col).asc()).limit(k)
+    a, b = base_topk.alias("a"), base_topk.alias("b")
+    beats = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b." + value_col) < F.col("a." + value_col))
+    )
+    base_ranked = (
+        a.join(F.broadcast(b), beats, "left")
+        .groupBy(F.col("a." + value_col).alias(value_col))
+        .agg((F.count(F.col("b." + value_col)) + F.lit(1)).cast("int").alias("rk_base"))
+    )
+
+    # |baseline top-k| as a broadcast scalar (min(k, |domain|) — the
+    # jaccard union must use the real size, not k)
+    base_k = base_ranked.agg(F.count(F.lit(1)).cast("long").alias("_base_k"))
+    joined = cur_topk.join(F.broadcast(base_ranked), value_col, "left").crossJoin(
+        F.broadcast(base_k)
+    )
+    n_common = F.sum(F.when(F.col("rk_base").isNotNull(), 1).otherwise(0)).cast("long")
+    k_cur = F.count(F.lit(1)).cast("long")
+    return joined.groupBy(group_col).agg(
+        n_common.alias("n_common"),
+        (k_cur - n_common).cast("long").alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("rk_base").isNotNull(),
+                F.abs(F.col("rk_cur") - F.col("rk_base")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rank_displacement"),
+        F.expr(
+            "cast((sum(CASE WHEN rk_base IS NOT NULL THEN 1 ELSE 0 END) * 1000000) div "
+            "(count(1) + first(_base_k) - sum(CASE WHEN rk_base IS NOT NULL THEN 1 ELSE 0 END)) AS bigint)"
+        ).alias("jaccard_ppm"),
+    )

@@ -381,3 +381,55 @@ FROM events GROUP BY event_type
 
 QUERIES["freshness_events_by_type"] = freshness_events_by_type
 ORACLE_SQL["freshness_events_by_type"] = FRESHNESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitter rank drift
+# ---------------------------------------------------------------------------
+
+
+def topk_rank_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical rank drift (operators/freqitems.topk_rank_drift): each
+    event_type's top-10 users by event count vs the global top-10 —
+    membership churn (n_common/n_new), order churn (rank_displacement),
+    and an exact integer Jaccard in ppm. The global baseline is a
+    TakeOrdered top-k + broadcast beats-join, never a partition-less
+    rank window."""
+    from anomalydetection_spark.operators.freqitems import topk_rank_drift
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return topk_rank_drift(e, "event_type", "user_id", k=10)
+
+
+TOPK_RANK_DRIFT_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id, count(*)::bigint AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+cur AS (
+  SELECT event_type, user_id, rk_cur FROM (
+    SELECT event_type, user_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, user_id ASC) AS rk_cur
+    FROM counts) WHERE rk_cur <= 10),
+base AS (SELECT user_id, sum(n) AS n FROM counts GROUP BY 1),
+base_topk AS (
+  SELECT user_id,
+         row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk_base
+  FROM base QUALIFY rk_base <= 10),
+bk AS (SELECT count(*)::bigint AS base_k FROM base_topk),
+j AS (
+  SELECT c.event_type, c.rk_cur, b.rk_base
+  FROM cur c LEFT JOIN base_topk b USING (user_id))
+SELECT event_type,
+  sum(CASE WHEN rk_base IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_common,
+  (count(*) - sum(CASE WHEN rk_base IS NOT NULL THEN 1 ELSE 0 END))::bigint AS n_new,
+  sum(CASE WHEN rk_base IS NOT NULL THEN abs(rk_cur - rk_base) ELSE 0 END)::bigint
+    AS rank_displacement,
+  ((sum(CASE WHEN rk_base IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+   // (count(*) + (SELECT base_k FROM bk)
+       - sum(CASE WHEN rk_base IS NOT NULL THEN 1 ELSE 0 END)))::bigint AS jaccard_ppm
+FROM j GROUP BY event_type
+"""
+
+QUERIES["topk_rank_drift_events"] = topk_rank_drift_events
+ORACLE_SQL["topk_rank_drift_events"] = TOPK_RANK_DRIFT_SQL

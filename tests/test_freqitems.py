@@ -191,3 +191,41 @@ try:
 
 except ImportError:  # hypothesis is baked in, but stay import-safe
     pass
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitter rank drift
+# ---------------------------------------------------------------------------
+
+
+def test_topk_rank_drift_hand_computed(spark):
+    from anomalydetection_spark.operators.freqitems import topk_rank_drift
+
+    rows = (
+        [("g1", "a")] * 30 + [("g1", "b")] * 20 + [("g1", "c")] * 10
+        + [("g2", "a")] * 5 + [("g2", "d")] * 40 + [("g2", "b")] * 1
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: r for r in topk_rank_drift(df, "g", "v", k=3).collect()}
+    # global: d=40, a=35, b=21, c=10 → base top-3 = d(1), a(2), b(3)
+    g1 = got["g1"]  # top-3 a(1), b(2), c(3): shares a,b
+    assert g1["n_common"] == 2 and g1["n_new"] == 1
+    assert g1["rank_displacement"] == abs(1 - 2) + abs(2 - 3)
+    assert g1["jaccard_ppm"] == 2 * 1_000_000 // 4
+    g2 = got["g2"]  # top-3 d(1), a(2), b(3): identical to baseline
+    assert g2["n_common"] == 3 and g2["n_new"] == 0
+    assert g2["rank_displacement"] == 0 and g2["jaccard_ppm"] == 1_000_000
+
+
+def test_topk_rank_drift_small_domain(spark):
+    """Domain smaller than k: the jaccard union uses the REAL baseline
+    size, and ties rank deterministically by value."""
+    from anomalydetection_spark.operators.freqitems import topk_rank_drift
+
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", "y")], "g string, v string"
+    )
+    r = topk_rank_drift(df, "g", "v", k=10).collect()[0]
+    assert r["n_common"] == 2 and r["n_new"] == 0
+    assert r["rank_displacement"] == 0
+    assert r["jaccard_ppm"] == 1_000_000

@@ -499,3 +499,18 @@ def test_media_near_dup_hash_joins_only(spark):
     assert exchange_lines
     for line in exchange_lines:
         assert "content" not in line, line
+
+
+def test_topk_rank_drift_baseline_avoids_global_window(spark):
+    """The global baseline top-k plans as TakeOrderedAndProject (+ a k-row
+    broadcast beats-join); only the per-group rank uses a window, and it
+    partitions by the group column."""
+    from anomalydetection_spark.plans import driver_queries_events as dqe
+
+    plan = _formatted(spark, dqe.topk_rank_drift_events(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    for line in specs:
+        assert "], [], [" not in line, line
+        assert "event_type" in line
