@@ -432,11 +432,23 @@ WITH s AS (
          count(source) AS nn_src, count(DISTINCT source) AS nd_src,
          count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS nd_nc,
          min(doc_id) AS mn_doc, max(doc_id) AS mx_doc,
-         min(n_chars) AS mn_nc, max(n_chars) AS mx_nc
+         min(n_chars) AS mn_nc, max(n_chars) AS mx_nc,
+         count(DISTINCT regexp_replace(regexp_replace(text, '[0-9]+', '9', 'g'),
+                                       '[A-Za-z]+', 'A', 'g')) AS nskel_text,
+         count(DISTINCT regexp_replace(regexp_replace(lang, '[0-9]+', '9', 'g'),
+                                       '[A-Za-z]+', 'A', 'g')) AS nskel_lang,
+         count(DISTINCT regexp_replace(regexp_replace(source, '[0-9]+', '9', 'g'),
+                                       '[A-Za-z]+', 'A', 'g')) AS nskel_src
   FROM documents),
 doms AS (
   SELECT string_agg(DISTINCT lang, '|' ORDER BY lang) AS dom_lang,
-         string_agg(DISTINCT source, '|' ORDER BY source) AS dom_src
+         string_agg(DISTINCT source, '|' ORDER BY source) AS dom_src,
+         max(regexp_replace(regexp_replace(text, '[0-9]+', '9', 'g'),
+                            '[A-Za-z]+', 'A', 'g')) AS sk_text,
+         max(regexp_replace(regexp_replace(lang, '[0-9]+', '9', 'g'),
+                            '[A-Za-z]+', 'A', 'g')) AS sk_lang,
+         max(regexp_replace(regexp_replace(source, '[0-9]+', '9', 'g'),
+                            '[A-Za-z]+', 'A', 'g')) AS sk_src
   FROM documents),
 rules AS (
   -- completeness / null-rate per column
@@ -465,7 +477,11 @@ rules AS (
   UNION ALL SELECT 'source', 'isin', dom_src FROM s, doms WHERE nd_src <= 8
   -- numeric ranges
   UNION ALL SELECT 'doc_id', 'value_range', mn_doc || '..' || mx_doc FROM s
-  UNION ALL SELECT 'n_chars', 'value_range', mn_nc || '..' || mx_nc FROM s)
+  UNION ALL SELECT 'n_chars', 'value_range', mn_nc || '..' || mx_nc FROM s
+  -- single-skeleton string shapes
+  UNION ALL SELECT 'text', 'pattern_skeleton', sk_text FROM s, doms WHERE nskel_text = 1
+  UNION ALL SELECT 'lang', 'pattern_skeleton', sk_lang FROM s, doms WHERE nskel_lang = 1
+  UNION ALL SELECT 'source', 'pattern_skeleton', sk_src FROM s, doms WHERE nskel_src = 1)
 SELECT col AS column, rule, param FROM rules
 """
 

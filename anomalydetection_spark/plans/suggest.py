@@ -60,12 +60,24 @@ def profile_suggest(
     - ``isin``                — at most ``max_domain`` distinct non-null
       values; param = sorted values joined with '|'
     - ``value_range``         — numeric columns; param = 'min..max'
+    - ``pattern_skeleton``    — string columns where EVERY non-null value
+      collapses to one character-class skeleton (digit runs → '9',
+      letter runs → 'A', other chars literal — both replacements are
+      idempotent, so skeletons are fixed points and the fingerprint is
+      unambiguous); param = the skeleton, e.g. 'A9' for src17. High-
+      entropy text never satisfies the single-skeleton proof, so the
+      rule self-selects identifier-shaped columns.
 
     Row order is data-independent (column then rule); all params are
     deterministic strings.
     """
     cols = columns or df.columns
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+
+    def skel(c: str):
+        return F.regexp_replace(
+            F.regexp_replace(F.col(c), "[0-9]+", "9"), "[A-Za-z]+", "A"
+        )
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
@@ -80,12 +92,28 @@ def profile_suggest(
         if isinstance(dtypes[c], _NUMERIC):
             aggs.append(F.min(c).cast("string").alias(f"{c}__mn"))
             aggs.append(F.max(c).cast("string").alias(f"{c}__mx"))
+        if isinstance(dtypes[c], T.StringType):
+            # distinct SKELETON count rides the same pass; == 1 proves the
+            # column has a single shape (any sketch estimates 1 exactly)
+            aggs.append(
+                (
+                    F.count_distinct(skel(c))
+                    if exact_distinct
+                    else F.approx_count_distinct(skel(c))
+                ).alias(f"{c}__nskel")
+            )
     stats = df.agg(*aggs)
     row = stats.collect()[0].asDict()  # one KB-sized row — the Deequ pass-1 action
 
     low_card = [c for c in cols if row[f"{c}__nd"] <= max_domain]
+    skel_cols = [
+        c
+        for c in cols
+        if isinstance(dtypes[c], T.StringType) and row.get(f"{c}__nskel") == 1
+    ]
     domains: dict[str, str] = {}
-    if low_card:
+    skeletons: dict[str, str] = {}
+    if low_card or skel_cols:
         dom_row = (
             df.agg(
                 *[
@@ -96,7 +124,8 @@ def profile_suggest(
                         F.size(F.collect_set(F.col(c).cast("string"))).alias("n"),
                     ).alias(c)
                     for c in low_card
-                ]
+                ],
+                *[F.max(skel(c)).alias(f"{c}__skel") for c in skel_cols],
             )
             .collect()[0]
             .asDict()
@@ -104,7 +133,10 @@ def profile_suggest(
         # the domain pass is exact even when pass 1 used sketches: a column
         # whose approx distinct slipped under the gate but whose true
         # cardinality exceeds max_domain is dropped here, never suggested
-        domains = {c: v["dom"] for c, v in dom_row.items() if v["n"] <= max_domain}
+        domains = {
+            c: dom_row[c]["dom"] for c in low_card if dom_row[c]["n"] <= max_domain
+        }
+        skeletons = {c: dom_row[f"{c}__skel"] for c in skel_cols}
 
     n = row["__n"]
     out: list[tuple[str, str, str]] = []
@@ -127,6 +159,8 @@ def profile_suggest(
             out.append((c, "isin", domains[c]))
         if isinstance(dtypes[c], _NUMERIC):
             out.append((c, "value_range", f"{row[f'{c}__mn']}..{row[f'{c}__mx']}"))
+        if c in skeletons and skeletons[c] is not None:
+            out.append((c, "pattern_skeleton", skeletons[c]))
     out.sort()
     return df.sparkSession.createDataFrame(out, "column string, rule string, param string")
 

@@ -132,3 +132,28 @@ def test_suggested_volume_bounds_catch_partition_loss(spark):
     }
     assert vol[3] is False  # collapsed partition breaches suggested min_docs
     assert all(v for p, v in vol.items() if p != 3)
+
+
+def test_pattern_skeleton_rule(spark):
+    """pattern_skeleton fires only when every non-null value collapses to
+    ONE skeleton; placeholders are idempotent (literal '9'/'A' values
+    cannot fake a different shape); all-null and mixed-shape columns
+    never get the rule."""
+    from anomalydetection_spark.plans.suggest import profile_suggest
+
+    df = spark.createDataFrame(
+        [
+            ("m-00123", "x1", None, "free text one"),
+            ("m-9", "y42", None, "2 totally !! different"),
+            ("m-777", "A9", None, "shapes"),
+        ],
+        "ref string, code string, empty string, prose string",
+    )
+    rules = {
+        (r["column"], r["rule"]): r["param"] for r in profile_suggest(df).collect()
+    }
+    assert rules[("ref", "pattern_skeleton")] == "A-9"
+    # 'x1', 'y42', and the literal 'A9' all collapse to 'A9'
+    assert rules[("code", "pattern_skeleton")] == "A9"
+    assert ("empty", "pattern_skeleton") not in rules
+    assert ("prose", "pattern_skeleton") not in rules
