@@ -253,3 +253,58 @@ def group_bounds(
 def _types(df, cols: list[str]) -> list[tuple[str, str]]:
     m = dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))
     return [(c, m[c]) for c in cols]
+
+
+def quantile_drift(
+    digests,
+    group_cols: list[str],
+    baseline_blob: bytes,
+    probes: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    max_rel_gap: float = 0.2,
+):
+    """Quantile-function drift per group vs a baseline digest — the
+    sketch-side drift check for RESUMED runs: the manifest already holds
+    per-partition t-digest blobs (plans/manifest.py), so a quantile
+    distribution shift on previously-validated partitions is detectable
+    from KB of state without rescanning a single row.
+
+    Compares the group digest's quantile function against the baseline's
+    at ``probes``: rel_gap(p) = |q_cur(p) − q_base(p)| / max(|q_base(p)|,
+    1e-12). Emits (group_cols..., max_rel_gap, worst_probe, flagged)
+    with flagged ⇔ max_rel_gap > ``max_rel_gap``. Probing the quantile
+    function (not bucket mass) makes the signal scale-aware the same way
+    W1 is, but on mergeable state: baselines can be last month's blobs
+    merged driver-side.
+
+    Approximate by design (t-digest error concentrates at the tails —
+    probe the body, not p999); thresholds should sit well above the
+    sketch's relative error at the chosen compression. The input frame
+    is post-aggregation (one KB blob per group); the baseline rides the
+    task closure, deserialized once per batch.
+    """
+    schema = ", ".join(f"`{c}` {t}" for c, t in _types(digests.select(*group_cols), group_cols))
+    schema += ", max_rel_gap double, worst_probe double, flagged boolean"
+    probes_t = tuple(float(p) for p in probes)
+    thresh = float(max_rel_gap)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = TDigest.from_bytes(baseline_blob)
+        base_q = {p: base.quantile(p) for p in probes_t}
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                td = TDigest.from_bytes(bytes(r["digest"]))
+                worst, worst_p = 0.0, probes_t[0]
+                for p in probes_t:
+                    qb = base_q[p]
+                    gap = abs(td.quantile(p) - qb) / max(abs(qb), 1e-12)
+                    if gap > worst:
+                        worst, worst_p = gap, p
+                rows.append(
+                    (*[r[c] for c in group_cols], worst, worst_p, worst > thresh)
+                )
+            yield pd.DataFrame(
+                rows, columns=[*group_cols, "max_rel_gap", "worst_probe", "flagged"]
+            )
+
+    return digests.mapInPandas(score, schema)

@@ -445,6 +445,34 @@ class ResumableValidator:
             thresholds=thresholds or AnomalyThresholds(),
         )
 
+    def quantile_drift_report(
+        self,
+        baseline_blob: bytes,
+        probes: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+        max_rel_gap: float = 0.2,
+    ) -> DataFrame:
+        """Sketch-side quantile drift over ALREADY-VALIDATED partitions —
+        from the manifest's stored t-digest blobs alone, no rescan: a
+        resumable deployment can ask "did any finished partition's
+        text-length distribution shift vs last month's blessed baseline?"
+        for the cost of reading KB of manifest state
+        (operators/tdigest.quantile_drift; baseline = a merged digest
+        from any prior run's blobs). Returns (partition_id, max_rel_gap,
+        worst_probe, flagged); partitions whose manifest rows predate the
+        sketch column are absent, not erred."""
+        from anomalydetection_spark.operators.tdigest import quantile_drift
+
+        schema = "partition_id int, max_rel_gap double, worst_probe double, flagged boolean"
+        m = self.manifest.read()
+        if m is None:
+            return self.spark.createDataFrame([], schema)
+        digests = m.filter(
+            (F.col("status") == STATUS_DONE) & F.col("sketch_blob").isNotNull()
+        ).select("partition_id", F.col("sketch_blob").alias("digest"))
+        return quantile_drift(
+            digests, ["partition_id"], baseline_blob, probes, max_rel_gap
+        )
+
     def run_reports(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out_dir}/run_reports")
 

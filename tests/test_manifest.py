@@ -327,3 +327,44 @@ def test_metadata_partition_list_arms_missing_partition_volume(spark, tmp_path, 
     }
     assert not vol[3]["passed"] and vol[3]["row_count"] == 0
     assert all(vol[p]["passed"] for p in (0, 1, 2, 4, 5))
+
+
+def test_quantile_drift_report_from_stored_blobs(spark, tmp_path, inputs):
+    """Sketch-side drift over validated partitions: self-baseline (merged
+    from the run's own blobs) flags nothing; a scaled baseline flags
+    every partition — no raw-row rescan, only manifest state."""
+    from anomalydetection_spark.operators.tdigest import TDigest
+
+    docs, media, baseline = inputs
+    v = ResumableValidator(spark, str(tmp_path / "state"), str(tmp_path / "out"))
+    v.run(docs, media, baseline)
+
+    merged = TDigest()
+    rows = v.manifest.read().collect()
+    for r in rows:
+        merged.merge(TDigest.from_bytes(bytes(r["sketch_blob"])))
+
+    clean = {r["partition_id"]: r for r in v.quantile_drift_report(merged.to_bytes()).collect()}
+    assert len(clean) == len(rows)
+    # the length-drift-injected partition (CFG drift_partitions=(5,)) is a
+    # REAL quantile shift and must flag even against the self-baseline;
+    # the clean partitions stay under the bound
+    assert clean[5]["flagged"] is True
+    for pid in range(5):
+        assert clean[pid]["flagged"] is False, clean[pid]
+        assert clean[pid]["max_rel_gap"] < 0.2
+
+    # baseline from a different regime: every quantile ~2x the observed
+    import numpy as np
+
+    shifted = TDigest()
+    lens = (
+        docs.selectExpr("explode(spans) s")
+        .selectExpr("length(s.text) l")
+        .filter("l is not null")
+        .toPandas()["l"]
+        .to_numpy(dtype=float)
+    )
+    shifted.add(lens * 2.0)
+    hot = {r["partition_id"]: r for r in v.quantile_drift_report(shifted.to_bytes()).collect()}
+    assert all(r["flagged"] for r in hot.values())

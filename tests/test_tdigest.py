@@ -81,3 +81,33 @@ def test_nan_values_mask_applies_to_weights():
     td.add(vals, wts)
     assert td.total_weight() == pytest.approx(3.0)
     assert td.quantile(0.5) == pytest.approx(3.0)
+
+
+def test_quantile_drift_flags_shifted_group(spark):
+    """Sketch-side drift: a group drawn from the baseline distribution
+    stays under a 20% relative-gap bound; a 1.5x-scaled group flags —
+    computed entirely from digest blobs, no raw-row rescan."""
+    import numpy as np
+
+    from anomalydetection_spark.operators.tdigest import (
+        TDigest,
+        group_digests,
+        quantile_drift,
+    )
+
+    rng = np.random.RandomState(5)
+    base_vals = rng.gamma(3.0, 100.0, 20000)
+    base_td = TDigest()
+    base_td.add(base_vals)
+
+    rows = [("same", float(v)) for v in base_vals[:10000]] + [
+        ("shifted", float(v * 1.5)) for v in base_vals[10000:]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    digests = group_digests(df, "v", ["g"])
+    got = {r["g"]: r for r in quantile_drift(digests, ["g"], base_td.to_bytes()).collect()}
+    assert got["same"]["flagged"] is False
+    assert got["same"]["max_rel_gap"] < 0.05
+    assert got["shifted"]["flagged"] is True
+    # a uniform 1.5x scale moves every quantile by ~50%
+    assert got["shifted"]["max_rel_gap"] == pytest.approx(0.5, abs=0.1)
