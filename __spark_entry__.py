@@ -70,7 +70,7 @@ _PRIORITY = [
     "normalize_text_stats",    # new: markup strip + Unicode NFC (Arrow UDF)
     "mad_outlier_hours",       # new: median/MAD robust outlier flags
     "dedup_incremental",       # new: ingest-batch dedup vs corpus (bloom short-circuit)
-    "dup_ngram_coverage",      # new: substring-level duplicate-window coverage
+    "frame_near_dup_docs",     # new: frame-level media near-dup (capped frame-hash blocking, video analog of substring dedup)
     "semdedup_clusters",       # new: cluster-blocked semantic dedup (SemDeDup)
     "quality_classifier_stats",  # new: hashed linear quality classifier filter
     "q18_large_orders",        # new: group-filter-then-join-back (TPC-H Q18 shape)
@@ -106,6 +106,7 @@ _TAIL = [
     "multimodal_decode_stats", # multimodal Arrow family: media_near_dup_pairs in-window drives the same mapInPandas byte path (byte_histograms) plus banding; decode accounting itself locally hash-green, operator unchanged
     "shard_assignment_stats",  # shard family: epoch_order_stats in-window re-derives the identical md5-mod shard column before ranking (strictly stronger coverage); locally hash-green, operator unchanged
     "threshold_verdict_events",  # r02 driver-verified green (hash), operator unchanged; percentile-threshold family in-window via mad_outlier_hours (percentile scalar-agg crossJoin) and pca_anomaly_by_label (q95 threshold verdicts)
+    "dup_ngram_coverage",      # windowed-exact-hash family: frame_near_dup_docs in-window shares the capped window-hash self-join core (binary frames vs token windows); locally hash-green, operator unchanged
     "uniqueness_partkey",      # uniqueness VERDICT family: suite_verdicts (in-window) hash-checks the uniqueness constraint end-to-end in its DuckDB twin, and fd_audit_events generalizes the same distinct-per-key core; r02 driver-verified green, operator unchanged
     "set_ops_users",           # INTERSECT/EXCEPT surface: both component queries (intersect_users, except_users) were driver-verified hash-green in r02 and the physical set-op family is unchanged since; locally hash-green
     "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green

@@ -359,3 +359,58 @@ def media_near_dup(
         )
     )
     return scored.filter(F.col("l1_ppm") <= F.lit(max_l1_ppm))
+
+
+def frame_near_dup(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    frame_size: int = 4096,
+    max_frames: int = 16,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """Frame-level media near-duplicate pairs — the video analog of
+    substring dedup: two payloads sharing ≥ ``min_shared`` identical
+    sampled frames are near-dups (re-encodes with a changed intro, clips
+    embedded in compilations), even when their byte histograms diverge
+    (``media_near_dup`` sees global distribution; this sees exact local
+    content).
+
+    Pipeline: ``extract_frames`` (JVM substring slices, no Python) →
+    posexplode → md5 per frame → frequency cap (frames appearing in more
+    than ``max_df`` payloads are boilerplate — black frames, silence,
+    station idents — and are skipped, the df-cap that keeps the
+    self-join from going quadratic on stock footage) → hash equi-join on
+    frame hash → per-pair distinct-frame count ≥ ``min_shared``.
+
+    Scale: the shuffle carries (frame_hash, id) pairs — 16 hashes per
+    payload max, never frame bytes; candidate pairs are bounded by
+    Σ_frames C(df_cap, 2). Returns (id_a, id_b, n_shared).
+    """
+    frames = extract_frames(df, id_col, content_col, frame_size, max_frames)
+    fh = frames.select(
+        F.col(id_col).alias("_id"), F.explode("frames").alias("_frame")
+    ).select("_id", F.md5("_frame").alias("_fhash"))
+
+    freq = fh.groupBy("_fhash").agg(F.count_distinct("_id").alias("_df"))
+    kept = fh.join(
+        F.broadcast(freq.filter(F.col("_df") <= max_df).select("_fhash")), "_fhash"
+    ).distinct()
+
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a._fhash") == F.col("b._fhash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._fhash").alias("_fhash"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("_fhash").cast("long").alias("n_shared"))
+    )
+    return pairs.filter(F.col("n_shared") >= min_shared)

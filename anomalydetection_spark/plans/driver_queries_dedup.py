@@ -1346,3 +1346,62 @@ SELECT id_a, id_b, l1_ppm FROM scored WHERE l1_ppm <= 30000
 
 QUERIES["media_near_dup_pairs"] = media_near_dup_pairs
 ORACLE_SQL["media_near_dup_pairs"] = MEDIA_NEAR_DUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# frame-level media near-dup (video frame sampling analog)
+# ---------------------------------------------------------------------------
+
+
+def frame_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level media near-dup (operators/multimodal.frame_near_dup):
+    synthetic 6-frame payloads — 4 doc-unique frames + 2 frames shared by
+    the doc's group (doc_id % 37, ~13 docs each, under the df-cap) — so
+    every in-group pair shares exactly 2 sampled frames. Frame slices are
+    JVM substrings, hashes md5, the self-join is frequency-capped."""
+    from anomalydetection_spark.operators import multimodal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    uniq = F.concat(*[
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":u:"), F.lit(str(j))))
+        for j in range(8)
+    ])
+    grp = (F.col("doc_id") % 37).cast("string")
+    shared = F.concat(*[
+        F.md5(F.concat(grp, F.lit(":s:"), F.lit(str(j)))) for j in range(4)
+    ])
+    corpus = d.select(
+        "doc_id", F.encode(F.concat(uniq, shared), "utf-8").alias("content")
+    )
+    return multimodal.frame_near_dup(
+        corpus, "doc_id", "content", frame_size=64, max_frames=16, min_shared=2
+    )
+
+
+FRAME_NEAR_DUP_SQL = """
+WITH p AS (
+  SELECT doc_id,
+    list_aggregate(list_transform(generate_series(0, 7),
+      j -> md5(doc_id || ':u:' || j)), 'string_agg', '')
+    || list_aggregate(list_transform(generate_series(0, 3),
+      j -> md5((doc_id % 37) || ':s:' || j)), 'string_agg', '') AS ptext
+  FROM documents),
+fr AS (
+  SELECT doc_id,
+    md5(unnest(list_transform(
+      generate_series(0, least(length(ptext) // 64, 16) - 1),
+      i -> substr(ptext, i * 64 + 1, 64)))) AS fhash
+  FROM p),
+freq AS (SELECT fhash, count(DISTINCT doc_id) AS dfv FROM fr GROUP BY 1),
+kept AS (
+  SELECT DISTINCT doc_id, fhash FROM fr JOIN freq USING (fhash) WHERE dfv <= 64),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(DISTINCT a.fhash)::bigint AS n_shared
+  FROM kept a JOIN kept b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2
+"""
+
+QUERIES["frame_near_dup_docs"] = frame_near_dup_docs
+ORACLE_SQL["frame_near_dup_docs"] = FRAME_NEAR_DUP_SQL

@@ -65,6 +65,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --state-dir: after the run, flag each partition's "
                          "latest row/violation counts against its own run history "
                          "(plans/manifest.metric_anomalies)")
+    ap.add_argument("--save-quantile-baseline", metavar="PATH",
+                    help="with --state-dir: after the run, merge the manifest's "
+                         "per-partition t-digest blobs into one baseline digest "
+                         "and write it to PATH (the blessed-snapshot artifact "
+                         "--quantile-baseline consumes on later runs)")
+    ap.add_argument("--quantile-baseline", metavar="PATH",
+                    help="with --state-dir: after the run, compare every validated "
+                         "partition's stored t-digest against the baseline digest "
+                         "at PATH and print per-partition quantile-drift flags — "
+                         "sketch state only, no row rescan "
+                         "(plans/manifest.quantile_drift_report)")
+    ap.add_argument("--max-quantile-gap", type=float, default=0.2,
+                    help="--quantile-baseline: max relative quantile gap before a "
+                         "partition flags")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -175,6 +189,34 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"  history partition={r['partition_id']:>4} {r['metric']:<16}"
                     f" value={r['value']} hist_n={r['hist_n']} {mark}"
+                )
+        if args.save_quantile_baseline:
+            from anomalydetection_spark.operators.tdigest import TDigest
+
+            merged = TDigest()
+            n_blobs = 0
+            for r in v.manifest.read().collect():
+                if r["sketch_blob"] is not None:
+                    merged.merge(TDigest.from_bytes(bytes(r["sketch_blob"])))
+                    n_blobs += 1
+            with open(args.save_quantile_baseline, "wb") as f:
+                f.write(merged.to_bytes())
+            print(json.dumps({
+                "quantile_baseline": args.save_quantile_baseline,
+                "merged_partitions": n_blobs,
+            }))
+        if args.quantile_baseline:
+            with open(args.quantile_baseline, "rb") as f:
+                base_blob = f.read()
+            report = v.quantile_drift_report(
+                base_blob, max_rel_gap=args.max_quantile_gap
+            ).orderBy("partition_id").collect()
+            for r in report:
+                mark = "DRIFT" if r["flagged"] else "ok"
+                print(
+                    f"  qdrift partition={r['partition_id']:>4}"
+                    f" max_rel_gap={r['max_rel_gap']:.4f}"
+                    f" worst_probe={r['worst_probe']:.2f} {mark}"
                 )
         return 0
 

@@ -206,3 +206,44 @@ def test_media_near_dup_cap_skips_degenerate_buckets(spark):
     out2 = media_near_dup(df, "media_id", "content", max_l1_ppm=2_000_000, max_bucket=64)
     assert out2.count() == 30 * 29 // 2
     assert out2.agg({"l1_ppm": "max"}).collect()[0][0] == 0
+
+
+def test_frame_near_dup_shared_frames(spark):
+    """Payloads sharing two aligned frames pair up with n_shared=2;
+    payloads with only unique frames never pair; a frame present in more
+    payloads than max_df is boilerplate and produces no candidates."""
+    from anomalydetection_spark.operators.multimodal import frame_near_dup
+
+    FR = 32
+    uniq = lambda i, j: bytes([(i * 31 + j * 7 + t) % 251 for t in range(FR)])  # noqa: E731
+    shared = bytes(range(FR))
+    boiler = bytes([7] * FR)
+    rows = []
+    # docs 0,1: two shared frames after two unique ones → pair (n_shared=2)
+    for i in (0, 1):
+        rows.append((i, uniq(i, 0) + uniq(i, 1) + shared + shared[::-1]))
+    # docs 2..9: boilerplate frame in every payload + unique rest
+    for i in range(2, 10):
+        rows.append((i, boiler + uniq(i, 0) + uniq(i, 1) + uniq(i, 2)))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+
+    out = frame_near_dup(
+        df, "media_id", "content", frame_size=FR, max_frames=16,
+        min_shared=2, max_df=4,
+    )
+    got = [(r["id_a"], r["id_b"], r["n_shared"]) for r in out.collect()]
+    assert got == [(0, 1, 2)]
+
+    # raising the cap admits the boilerplate frame, but min_shared=2 still
+    # keeps single-shared-frame pairs out
+    out2 = frame_near_dup(
+        df, "media_id", "content", frame_size=FR, max_frames=16,
+        min_shared=2, max_df=64,
+    )
+    assert [(r["id_a"], r["id_b"]) for r in out2.collect()] == [(0, 1)]
+    # ...and min_shared=1 surfaces the boilerplate clique
+    out3 = frame_near_dup(
+        df, "media_id", "content", frame_size=FR, max_frames=16,
+        min_shared=1, max_df=64,
+    )
+    assert out3.count() == 1 + 8 * 7 // 2
