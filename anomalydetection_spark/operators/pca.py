@@ -82,17 +82,14 @@ def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
     return df.select(vec_col).mapInPandas(gen, "n long, s array<double>, g array<double>")
 
 
-def fit_pca(df: DataFrame, vec_col: str, k: int = 8) -> PCAModel:
-    """Fit top-k principal components in one distributed pass.
+def _reduce_moments(rows) -> tuple[int, np.ndarray, np.ndarray]:
+    """Canonical driver-side reduce of moment partials → (n, mean, cov).
 
-    Partial rows are reduced on the driver in a canonical sorted order so
-    two fits over differently-partitioned copies of the same data agree to
-    float addition error (and two fits of the same physical layout agree
-    exactly)."""
-    rows = _moment_partials(df, vec_col).collect()
+    Partials are summed in a sorted order so two fits over differently-
+    partitioned copies of the same data agree to float addition error
+    (and two fits of the same physical layout agree exactly)."""
     if not rows:
-        raise ValueError("fit_pca: empty input")
-    # canonical reduce order: sort partials by their serialized content
+        raise ValueError("moment fit: empty input")
     parts = sorted(
         ((int(r["n"]), np.array(r["s"]), np.array(r["g"])) for r in rows),
         key=lambda t: (t[0], t[1].tobytes()),
@@ -103,8 +100,15 @@ def fit_pca(df: DataFrame, vec_col: str, k: int = 8) -> PCAModel:
     d = s.shape[0]
     mean = s / n
     cov = g.reshape(d, d) / n - np.outer(mean, mean)
-    # symmetrize against float drift before eigh
+    # symmetrize against float drift before the factorization
     cov = (cov + cov.T) / 2.0
+    return n, mean, cov
+
+
+def fit_pca(df: DataFrame, vec_col: str, k: int = 8) -> PCAModel:
+    """Fit top-k principal components in one distributed pass (see
+    ``_reduce_moments`` for the determinism contract)."""
+    n, mean, cov = _reduce_moments(_moment_partials(df, vec_col).collect())
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T            # (k, d)
@@ -165,3 +169,67 @@ def anomaly_verdicts(scores: DataFrame, id_col: str, q: float = 0.95) -> DataFra
         "score",
         (F.col("score") > F.col("_thr")).alias("is_anomaly"),
     )
+
+
+@dataclass(frozen=True)
+class MahalanobisModel:
+    mean: np.ndarray       # (d,)
+    precision: np.ndarray  # (d, d) = (cov + ridge·I)⁻¹, symmetric
+    n_rows: int
+
+    @property
+    def dim(self) -> int:
+        return self.precision.shape[0]
+
+
+def fit_mahalanobis(
+    df: DataFrame, vec_col: str, ridge: float = 1e-6
+) -> MahalanobisModel:
+    """Fit a full-covariance anomaly model in one distributed pass — the
+    correlation-aware sibling of the PCA scorer: PCA flags distance from
+    the dominant subspace, Mahalanobis flags improbability under the full
+    fitted Gaussian (a point can sit ON the principal plane yet be far
+    outside the data's density along it).
+
+    Same one-pass (n, Σx, ΣxxT) partials and canonical driver reduce as
+    ``fit_pca``; the d×d inverse runs driver-side in milliseconds for
+    d ≤ ~10³ (the big-n/small-d split). ``ridge`` regularizes singular
+    covariances (constant dimensions) — the standard shrinkage floor, and
+    part of the model's deterministic identity."""
+    n, mean, cov = _reduce_moments(_moment_partials(df, vec_col).collect())
+    d = cov.shape[0]
+    prec = np.linalg.inv(cov + float(ridge) * np.eye(d))
+    prec = (prec + prec.T) / 2.0
+    return MahalanobisModel(mean=mean, precision=np.ascontiguousarray(prec), n_rows=n)
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    model: MahalanobisModel,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, score): score = √max(0, (x−μ)ᵀ P (x−μ)) — map-only, one gemm
+    per Arrow batch against the closure-shipped (d×d) precision matrix;
+    rounded before any thresholding so a last-ulp difference cannot flip
+    a verdict (the ``reconstruction_scores`` contract). Compose with
+    ``anomaly_verdicts`` for the quantile-threshold pipeline."""
+    mean = model.mean
+    P = model.precision
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - mean
+            q = np.maximum(np.einsum("ij,ij->i", X @ P, X), 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "score": np.round(np.sqrt(q), round_to),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, f"{id_col} {id_type}, score double")

@@ -1405,3 +1405,77 @@ SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2
 
 QUERIES["frame_near_dup_docs"] = frame_near_dup_docs
 ORACLE_SQL["frame_near_dup_docs"] = FRAME_NEAR_DUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis anomaly scoring (full-covariance sibling of the PCA scorer)
+# ---------------------------------------------------------------------------
+
+
+def mahalanobis_anomaly_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-covariance Mahalanobis anomaly scoring (operators/pca.py
+    fit_mahalanobis): the correlation-aware sibling of pca_anomaly_by_label
+    — same one-pass moment partials and q95-threshold pipeline, but the
+    score is improbability under the fitted Gaussian, not subspace
+    distance. Model-literal DuckDB oracle (the PCA pattern): (μ, P)
+    embedded as literals, scoring + threshold + verdict counts re-derived
+    in SQL."""
+    from anomalydetection_spark.operators import pca
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca.fit_mahalanobis(e, "embedding", ridge=1e-6)
+    scores = pca.mahalanobis_scores(e, "vec_id", "embedding", model)
+    verdicts = pca.anomaly_verdicts(scores, "vec_id", q=0.95)
+    labeled = verdicts.join(e.select("vec_id", "label"), "vec_id")
+    return labeled.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )
+
+
+def _mahal_oracle_sql(sf_dir: str = _ORACLE_SF_DIR, ridge: float = 1e-6) -> str:
+    """Single-node twin of operators/pca.fit_mahalanobis over the
+    oracle-scale parquet; (μ, P) embedded as literals, the quadratic form
+    re-derived in SQL. The matrix inverse stays NumPy-side (pytest-gated
+    agreement, tests/test_pca.py) — the twin hash-checks everything
+    downstream: scoring, q95 threshold, verdict counts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    X = np.stack(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")
+        .to_pylist()
+    ).astype(np.float64)
+    n, d = X.shape
+    mean = X.sum(axis=0) / n
+    cov = (X.T @ X) / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0
+    prec = np.linalg.inv(cov + ridge * np.eye(d))
+    prec = (prec + prec.T) / 2.0
+    return f"""
+WITH mu AS (SELECT {_mat_literal(mean)} AS m),
+pp AS (SELECT {_mat_literal(prec)} AS p),
+r AS (
+  SELECT vec_id, label,
+    list_transform(generate_series(1, {d}), i -> cast(embedding[i] AS double) - m[i]) AS x
+  FROM embeddings, mu),
+s AS (
+  SELECT vec_id, label,
+    round(sqrt(greatest(
+      list_sum(list_transform(generate_series(1, {d}), j ->
+        list_sum(list_transform(generate_series(1, {d}), i -> x[i] * p[i][j])) * x[j])),
+      0)), 6) AS score
+  FROM r, pp),
+thr AS (SELECT quantile_cont(score, 0.95) AS t FROM s)
+SELECT label, count(*) AS n,
+  cast(sum(CASE WHEN score > t THEN 1 ELSE 0 END) AS bigint) AS n_anomalies,
+  round(avg(score), 4) AS avg_score
+FROM s, thr
+GROUP BY label
+"""
+
+
+QUERIES["mahalanobis_anomaly_by_label"] = mahalanobis_anomaly_by_label
+ORACLE_SQL["mahalanobis_anomaly_by_label"] = _mahal_oracle_sql()

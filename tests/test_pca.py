@@ -102,3 +102,51 @@ def test_verdict_threshold_semantics(spark, lowrank):
     assert 0 < n_anom <= int(0.05 * N) + 1
     flagged = {r["vec_id"] for r in verdicts if r["is_anomaly"]}
     assert set(range(8)) <= flagged
+
+
+def test_mahalanobis_vs_numpy_mirror(spark):
+    """Distributed fit + map-only scoring equals the direct single-node
+    quadratic form; the known outlier carries the largest score."""
+    import numpy as np
+
+    from anomalydetection_spark.operators.pca import (
+        fit_mahalanobis,
+        mahalanobis_scores,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(400, 6) @ rng.randn(6, 6) + rng.randn(6)
+    X[7] += 25.0  # gross outlier
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = fit_mahalanobis(df, "embedding", ridge=1e-9)
+    got = {r["vec_id"]: r["score"] for r in mahalanobis_scores(df, "vec_id", "embedding", model).collect()}
+
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    prec = np.linalg.inv((cov + cov.T) / 2.0 + 1e-9 * np.eye(6))
+    C = X - mean
+    want = np.sqrt(np.maximum(np.einsum("ij,ij->i", C @ prec, C), 0.0))
+    for i in range(len(X)):
+        assert got[i] == pytest.approx(want[i], abs=1e-5)
+    assert max(got, key=got.get) == 7
+
+
+def test_mahalanobis_partition_invariance_and_ridge(spark):
+    """Refits over a repartitioned copy agree to float error; a constant
+    dimension (singular covariance) is handled by the ridge, never a
+    LinAlgError."""
+    import numpy as np
+
+    from anomalydetection_spark.operators.pca import fit_mahalanobis
+
+    rng = np.random.RandomState(9)
+    X = np.c_[rng.randn(300, 4), np.full(300, 3.0)]  # constant 5th dim
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m1 = fit_mahalanobis(df, "embedding")
+    m2 = fit_mahalanobis(df.repartition(7), "embedding")
+    assert np.allclose(m1.precision, m2.precision, atol=1e-6)
+    assert np.allclose(m1.mean, m2.mean, atol=1e-12)
+    assert np.isfinite(m1.precision).all()
