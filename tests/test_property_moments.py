@@ -1,0 +1,80 @@
+"""Property test: the moment analyzer's decimal(38,0) power-sum anchors
+equal exact Python big-int arithmetic on arbitrary int lists within the
+documented domain bound (|x| ≤ 55,108 keeps per-row x⁴ in int64), and
+the derived shape stats equal a Python mirror of the DOCUMENTED raw-sum
+expression shapes (the engine/oracle contract — the centered-moment
+formula agrees only on well-conditioned input, which the fixed-seed unit
+tests in test_moments.py cover)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from anomalydetection_spark.operators.moments import skewness_kurtosis
+
+_session = {}
+
+
+def _spark():
+    # hypothesis re-invokes the test body many times; reuse one session
+    if "s" not in _session:
+        from anomalydetection_spark.session import get_spark
+
+        _session["s"] = get_spark(master="local[2]", shuffle_partitions=2)
+    return _session["s"]
+
+
+def _mirror(xs):
+    """The module-docstring expression shapes, literally, in Python floats
+    (IEEE doubles with the same op order as the Spark/SQL expressions)."""
+    nn = len(xs)
+    n = float(nn)
+    s1 = float(sum(int(v) for v in xs))
+    s2 = float(sum(int(v) ** 2 for v in xs))
+    s3 = float(sum(int(v) ** 3 for v in xs))
+    s4 = float(sum(int(v) ** 4 for v in xs))
+    b = n * s2 - s1 * s1
+    a = n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1
+    c = (
+        n * n * n * s4
+        - 4.0 * n * n * s1 * s3
+        + 6.0 * n * s1 * s1 * s2
+        - 3.0 * s1 * s1 * s1 * s1
+    )
+    mean = round(s1 / n, 6) if nn >= 1 else None
+    var = round(b / (n * n), 6) if nn >= 1 else None
+    if nn >= 2 and b > 0:
+        skew = round(a / (b * math.sqrt(b)), 6)
+        kurt = round(c / (b * b) - 3.0, 6)
+    else:
+        skew = kurt = None
+    return mean, var, skew, kurt
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-55_108, max_value=55_108), min_size=1, max_size=60
+    )
+)
+def test_power_sums_and_shapes_match_mirror(xs):
+    spark = _spark()
+    df = spark.createDataFrame([(int(v),) for v in xs], "v long")
+    r = skewness_kurtosis(df, "v").collect()[0]
+    assert r["n"] == len(xs)
+    for p, col in ((1, "s1"), (2, "s2"), (3, "s3"), (4, "s4")):
+        assert int(r[col]) == sum(int(v) ** p for v in xs)  # exact big-int
+    mean, var, skew, kurt = _mirror(xs)
+    # Spark's decimal→double cast and Python's int→float both round to
+    # nearest; identical op order ⇒ identical doubles ⇒ identical round-6
+    assert r["mean"] == mean
+    assert r["variance"] == var
+    assert r["skewness"] == skew
+    assert r["kurtosis"] == kurt
