@@ -62,8 +62,14 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-STATS_COLUMN = "partition_id"
+STATS_COLUMN = "partition_id"  # always-tracked layout column (back-compat)
 _HINT = "version-hint.text"
+
+
+def _stat_safe(v):
+    """min/max values the manifest JSON can carry; anything else (nested,
+    binary, temporal) is skipped — pruning on it simply never happens."""
+    return v if isinstance(v, (int, float, str, bool)) else None
 
 
 # ---------------------------------------------------------------------------
@@ -152,13 +158,19 @@ class DocStoreReader(DataSourceReader):
         self.pruned_scan = str(options.get("pruned_scan", "")).lower() == "true"
         v = options.get("version")
         self.manifest = load_manifest(self.table_dir, int(v) if v is not None else None)
-        self._bounds: tuple[float | None, float | None] = (None, None)
-        self._in_set: set | None = None
+        self._bounds: dict[str, tuple] = {}
+        self._in_sets: dict[str, set] = {}
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Accept range/equality/in filters on the stats column; everything
-        else is returned as unsupported (Spark re-applies it post-scan, so
-        pruning is an optimization, never a correctness dependency).
+        """Accept range/equality/in filters on ANY column the manifest
+        carries min/max stats for (every primitive column since the
+        multi-column stats writer; legacy manifests carry only
+        ``partition_id``); everything else is returned as unsupported
+        (Spark re-applies it post-scan, so pruning is an optimization,
+        never a correctness dependency). Per-column stats are what let a
+        table's layout EVOLVE: files clustered by the old layout column
+        keep pruning on it while files from the new layout prune on
+        theirs — no partition-spec registry needed.
 
         State discipline: accumulators reset here (pushFilters opens a
         plan) and are consumed by partitions(). EVERY filter is returned
@@ -168,16 +180,16 @@ class DocStoreReader(DataSourceReader):
         and only under ``pruned_scan`` (see the module docstring: Spark
         caches pushed-down read info per relation, so filter-dependent
         planning is only safe when one query is planned per load())."""
-        self._bounds = (None, None)
-        self._in_set = None
+        self._bounds = {}
+        self._in_sets = {}
         if not self.pruned_scan:
             return iter(filters)
-        lo, hi = self._bounds
         for flt in filters:
             attr = getattr(flt, "attribute", None)  # e.g. Not has none
             col = attr[0] if attr is not None and len(attr) == 1 else None
-            if col != STATS_COLUMN:
+            if col is None:
                 continue
+            lo, hi = self._bounds.get(col, (None, None))
             if isinstance(flt, (EqualTo, EqualNullSafe)):
                 lo = flt.value if lo is None else max(lo, flt.value)
                 hi = flt.value if hi is None else min(hi, flt.value)
@@ -187,26 +199,39 @@ class DocStoreReader(DataSourceReader):
                 hi = flt.value if hi is None else min(hi, flt.value)
             elif isinstance(flt, In):
                 s = set(flt.values)
-                self._in_set = s if self._in_set is None else (self._in_set & s)
-        self._bounds = (lo, hi)
+                prev = self._in_sets.get(col)
+                self._in_sets[col] = s if prev is None else (prev & s)
+            self._bounds[col] = (lo, hi)
         return iter(filters)  # all unsupported: Spark re-applies post-scan
 
+    @staticmethod
+    def _file_pruned(stats: dict, bounds: dict, in_sets: dict) -> bool:
+        """True when the file's per-column min/max proves NO row can match.
+        Columns without recorded stats never prune (safe default); value
+        comparisons happen within the column's own type."""
+        for col, (lo, hi) in bounds.items():
+            fmin, fmax = stats.get(col, (None, None))
+            if fmin is None:
+                continue
+            if lo is not None and fmax < lo:
+                return True
+            if hi is not None and fmin > hi:
+                return True
+        for col, s in in_sets.items():
+            fmin, fmax = stats.get(col, (None, None))
+            if fmin is None:
+                continue
+            if not any(fmin <= v <= fmax for v in s):
+                return True
+        return False
+
     def partitions(self) -> Sequence[InputPartition]:
-        lo, hi = self._bounds
-        in_set, self._in_set = self._in_set, None
-        self._bounds = (None, None)  # consumed: next scan starts clean
+        bounds, self._bounds = self._bounds, {}
+        in_sets, self._in_sets = self._in_sets, {}  # consumed: next scan clean
         splits = []
         for f in self.manifest["files"]:
-            fmin, fmax = f["stats"].get(STATS_COLUMN, (None, None))
-            if fmin is not None:
-                if lo is not None and fmax < lo:
-                    continue
-                if hi is not None and fmin > hi:
-                    continue
-                if in_set is not None and not any(
-                    fmin <= v <= fmax for v in in_set
-                ):
-                    continue
+            if self._file_pruned(f["stats"], bounds, in_sets):
+                continue
             splits.append(
                 _FileSplit(
                     os.path.join(self.table_dir, f["path"]),
@@ -329,31 +354,46 @@ class DocStoreWriter(DataSourceArrowWriter):
 
     def write(self, batches) -> _FilesWritten:
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         name = f"data-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self.table_dir, f"._tmp.{name}")
         writer = None
         rows = 0
-        cmin = cmax = None
+        # per-file min/max for EVERY primitive column (the Iceberg
+        # manifest-stats model): pruning then works on whatever column a
+        # file's layout happens to cluster — which is what makes reads
+        # survive partition/layout evolution (old files prune by the old
+        # layout column, new files by the new one, with no spec registry)
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
         for batch in batches:
             if writer is None:
                 writer = pq.ParquetWriter(tmp, batch.schema)
             writer.write_batch(batch)
             rows += batch.num_rows
-            if STATS_COLUMN in batch.schema.names:
-                import pyarrow.compute as pc
-
-                col = batch.column(STATS_COLUMN)
-                mm = pc.min_max(col).as_py()
-                if mm["min"] is not None:
-                    cmin = mm["min"] if cmin is None else min(cmin, mm["min"])
-                    cmax = mm["max"] if cmax is None else max(cmax, mm["max"])
+            for field in batch.schema:
+                t = field.type
+                if not (
+                    pa.types.is_integer(t)
+                    or pa.types.is_floating(t)
+                    or pa.types.is_string(t)
+                    or pa.types.is_boolean(t)
+                ):
+                    continue
+                mm = pc.min_max(batch.column(field.name)).as_py()
+                lo, hi = _stat_safe(mm["min"]), _stat_safe(mm["max"])
+                if lo is None or hi is None:
+                    continue
+                c = field.name
+                mins[c] = lo if c not in mins else min(mins[c], lo)
+                maxs[c] = hi if c not in maxs else max(maxs[c], hi)
         if writer is None:
             return _FilesWritten([])
         writer.close()
         os.replace(tmp, os.path.join(self.table_dir, name))
-        stats = {STATS_COLUMN: [cmin, cmax]} if cmin is not None else {}
+        stats = {c: [mins[c], maxs[c]] for c in mins}
         return _FilesWritten([{"path": name, "rows": rows, "stats": stats}])
 
     def commit(self, messages: list[_FilesWritten]) -> None:
@@ -485,22 +525,35 @@ def compact_snapshot(
 
 def _footer_stats(path: str) -> tuple[int, dict]:
     """(rows, stats) for a data file from its parquet FOOTER only — no
-    data pages read; the rewrite path builds manifest entries from this."""
+    data pages read; the rewrite paths build manifest entries from this.
+    Multi-column: every top-level column whose footer carries usable
+    min/max (and whose values the manifest JSON can hold) gets an entry —
+    the same contract as the write path's batch stats."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     rows = md.num_rows
-    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    if STATS_COLUMN not in idx:
-        return rows, {}
-    cmin = cmax = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx[STATS_COLUMN]).statistics
-        if st is None or not st.has_min_max:
-            return rows, {}
-        cmin = st.min if cmin is None else min(cmin, st.min)
-        cmax = st.max if cmax is None else max(cmax, st.max)
-    return rows, ({STATS_COLUMN: [cmin, cmax]} if cmin is not None else {})
+    stats: dict[str, list] = {}
+    for i in range(md.num_columns):
+        name = md.schema.column(i).name
+        if "." in name:  # nested leaf — not a top-level prunable column
+            continue
+        cmin = cmax = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = _stat_safe(st.min), _stat_safe(st.max)
+            if lo is None or hi is None:
+                ok = False
+                break
+            cmin = lo if cmin is None else min(cmin, lo)
+            cmax = hi if cmax is None else max(cmax, hi)
+        if ok and cmin is not None:
+            stats[name] = [cmin, cmax]
+    return rows, stats
 
 
 def _read_files_visible(spark, table_dir: str, entries: list[dict]):

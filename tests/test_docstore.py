@@ -469,3 +469,70 @@ def test_reader_state_never_leaks_across_actions(spark, tmp_path):
     # the unfiltered action after a filtered one must see every file
     assert len(head.select("doc_id").collect()) == total
     assert head.count() == total
+
+
+def test_layout_evolution_prunes_per_files_own_cluster_column(spark, tmp_path):
+    """Partition/layout evolution without a spec registry: snapshot 1's
+    files cluster by partition_id, an appended snapshot clusters by
+    user_id — per-column manifest stats let a partition_id predicate
+    prune within the OLD files and a user_id predicate prune within the
+    NEW ones, while results stay exact either way."""
+    import glob as _glob
+
+    path = str(tmp_path / "evolving")
+    old = spark.range(0, 400).select(
+        (F.col("id") % 4).cast("int").alias("partition_id"),
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("payload"),
+    )
+    # layout 1: files carry one partition_id each (tight partition_id stats)
+    write_table(old.repartition(4, "partition_id"), path, fmt="docstore")
+    new = spark.range(400, 800).select(
+        F.lit(9).cast("int").alias("partition_id"),
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("payload"),
+    )
+    # layout 2: files carry user_id RANGES (tight user_id stats)
+    new.repartitionByRange(4, "user_id").write.format("docstore").option(
+        "path", path
+    ).mode("append").save()
+
+    man = json.load(
+        open(os.path.join(path, f"manifest-v{docstore.current_version(path)}.json"))
+    )
+    # 4 range files from the new layout + however many non-empty hash
+    # partitions the old layout produced (hash collisions may merge ids)
+    n_files = len(man["files"])
+    assert n_files >= 6
+    # every file carries stats for BOTH columns (multi-column manifest stats)
+    assert all(
+        "partition_id" in f["stats"] and "user_id" in f["stats"]
+        for f in man["files"]
+    )
+
+    docstore.register(spark)
+
+    def scan(journal, col, val):
+        os.makedirs(journal)
+        df = (
+            spark.read.format("docstore")
+            .option("path", path)
+            .option("journal", journal)
+            .option("pruned_scan", "true")
+            .load()
+            .filter(F.col(col) == val)
+        )
+        rows = sorted(r["user_id"] for r in df.collect())
+        return rows, len(_glob.glob(f"{journal}/opened-*"))
+
+    # old-layout predicate: prunes down to ~1 old file (+ all 4 new files,
+    # whose partition_id stats [9,9] exclude them entirely → also pruned)
+    rows, opened = scan(str(tmp_path / "j1"), "partition_id", 2)
+    assert rows == [u for u in range(400) if u % 4 == 2]
+    assert opened <= 2
+
+    # new-layout predicate: user_id 650 lives in exactly one range file;
+    # old files (user_id stats cover 0..399) are all excluded
+    rows, opened = scan(str(tmp_path / "j2"), "user_id", 650)
+    assert rows == [650]
+    assert opened == 1
