@@ -9,11 +9,20 @@ tests in test_moments.py cover)."""
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from anomalydetection_spark.operators.moments import skewness_kurtosis
+
+
+def _round6(v: float) -> float:
+    """Spark's round(double, 6): HALF_UP over the double's SHORTEST
+    decimal repr (BigDecimal.valueOf semantics) — differs from Python's
+    built-in round (half-even over the exact binary expansion) exactly
+    when the value needs ~15+ significant digits."""
+    return float(Decimal(repr(v)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
 
 _session = {}
 
@@ -44,11 +53,11 @@ def _mirror(xs):
         + 6.0 * n * s1 * s1 * s2
         - 3.0 * s1 * s1 * s1 * s1
     )
-    mean = round(s1 / n, 6) if nn >= 1 else None
-    var = round(b / (n * n), 6) if nn >= 1 else None
+    mean = _round6(s1 / n) if nn >= 1 else None
+    var = _round6(b / (n * n)) if nn >= 1 else None
     if nn >= 2 and b > 0:
-        skew = round(a / (b * math.sqrt(b)), 6)
-        kurt = round(c / (b * b) - 3.0, 6)
+        skew = _round6(a / (b * math.sqrt(b)))
+        kurt = _round6(c / (b * b) - 3.0)
     else:
         skew = kurt = None
     return mean, var, skew, kurt
