@@ -22,7 +22,11 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="interleaved-documents validation suite")
-    ap.add_argument("--docs-path", help="parquet of documents (doc_id, spans, partition_id)")
+    ap.add_argument("--docs-path", help="documents table (doc_id, spans, partition_id)")
+    ap.add_argument("--docs-format", default="parquet", choices=["parquet", "docstore"],
+                    help="--docs-path format: plain parquet, or the docstore "
+                         "snapshot table format (sources/docstore.py — the "
+                         "Iceberg-shaped path; reads the current snapshot)")
     ap.add_argument("--media-path", help="parquet of media_assets")
     ap.add_argument("--baseline-path", help="parquet of baseline histograms")
     ap.add_argument("--n-docs", type=int, default=10_000)
@@ -105,7 +109,12 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
         drift_partitions=tuple(args.drift_partitions),
     )
-    if args.docs_path:
+    if args.docs_path and args.docs_format == "docstore":
+        from anomalydetection_spark.sources import docstore as _ds
+
+        _ds.register(spark)
+        docs = spark.read.format("docstore").option("path", args.docs_path).load()
+    elif args.docs_path:
         docs = spark.read.parquet(args.docs_path)
     else:
         docs = generate_documents(spark, cfg)
