@@ -16,6 +16,11 @@ from hypothesis import strategies as st
 
 from anomalydetection_spark.operators.moments import skewness_kurtosis
 
+# NB: this module must NOT call get_spark() with its own shuffle/master
+# settings — getOrCreate applies builder SQL confs to the EXISTING shared
+# session, and a leaked spark.sql.shuffle.partitions broke the AQE skew
+# test downstream. Use the conftest fixture like every other test.
+
 
 def _round6(v: float) -> float:
     """Spark's round(double, 6): HALF_UP over the double's SHORTEST
@@ -23,18 +28,6 @@ def _round6(v: float) -> float:
     built-in round (half-even over the exact binary expansion) exactly
     when the value needs ~15+ significant digits."""
     return float(Decimal(repr(v)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
-
-_session = {}
-
-
-def _spark():
-    # hypothesis re-invokes the test body many times; reuse one session
-    if "s" not in _session:
-        from anomalydetection_spark.session import get_spark
-
-        _session["s"] = get_spark(master="local[2]", shuffle_partitions=2)
-    return _session["s"]
-
 
 def _mirror(xs):
     """The module-docstring expression shapes, literally, in Python floats
@@ -66,15 +59,14 @@ def _mirror(xs):
 @settings(
     max_examples=12,
     deadline=None,
-    suppress_health_check=[HealthCheck.too_slow],
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(
     st.lists(
         st.integers(min_value=-55_108, max_value=55_108), min_size=1, max_size=60
     )
 )
-def test_power_sums_and_shapes_match_mirror(xs):
-    spark = _spark()
+def test_power_sums_and_shapes_match_mirror(spark, xs):
     df = spark.createDataFrame([(int(v),) for v in xs], "v long")
     r = skewness_kurtosis(df, "v").collect()[0]
     assert r["n"] == len(xs)
