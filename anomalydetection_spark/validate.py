@@ -61,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
                                    "overrides the individual threshold flags")
     ap.add_argument("--quarantine", action="store_true",
                     help="additionally write full offending document rows to <out>/quarantine")
+    ap.add_argument("--clean", action="store_true",
+                    help="additionally write the promote-path complement — documents "
+                         "with NO row-level violation — to <out>/clean (what a "
+                         "curation pipeline forwards to training)")
     ap.add_argument("--suggest", action="store_true",
                     help="profile the input and print a suggested constraint spec "
                          "(plans/suggest.py) instead of validating; pipe to a file "
@@ -241,6 +245,12 @@ def main(argv: list[str] | None = None) -> int:
 
             quarantine_documents(docs, res.violations).write.mode("overwrite").parquet(
                 f"{args.out}/quarantine"
+            )
+        if args.clean:
+            from anomalydetection_spark.plans.suite import clean_documents
+
+            clean_documents(docs, res.violations).write.mode("overwrite").parquet(
+                f"{args.out}/clean"
             )
         n_viol = spark.read.parquet(f"{args.out}/violations").count()
         rows = spark.read.parquet(f"{args.out}/verdicts").collect()

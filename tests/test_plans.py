@@ -514,3 +514,17 @@ def test_topk_rank_drift_baseline_avoids_global_window(spark):
     for line in specs:
         assert "], [], [" not in line, line
         assert "event_type" in line
+
+
+def test_epoch_order_no_global_sort(spark):
+    """The epoch shuffle's rank window partitions by shard — the plan must
+    show shard-partitioned window specs and no global (partition-less)
+    Sort feeding a single task."""
+    from anomalydetection_spark.plans import driver_queries_training as dqt
+
+    plan = _formatted(spark, dqt.epoch_order_stats(spark, SF))
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    for line in specs:
+        assert "], [], [" not in line, line
+        assert "shard" in line
