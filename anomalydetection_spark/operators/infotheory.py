@@ -158,3 +158,67 @@ def correlation_exact(
         F.round(num / F.sqrt(varx.cast("double") * vary.cast("double")), 6),
     )
     return agg.select(*gcols, "n", "sx", "sy", "sxy", "sxx", "syy", corr.alias("corr"))
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All-pairs Pearson correlation over a fixed INTEGER column list in
+    ONE hash aggregate — the matrix form of ``correlation_exact``: Deequ
+    runs one analyzer per pair (p·(p−1)/2 table passes); here every
+    pair's exact bigint moment sums (n, Σx, Σy, Σxy, Σx², Σy²) ride a
+    single scan as map-side partials, and the long-form pivot happens on
+    the one aggregated row.
+
+    Emits one row per unordered pair (col_x < col_y by list position):
+    the exact sums plus round-6 ``corr``. Pairwise NULL exclusion per
+    pair. Scale: the aggregate width is O(p²) columns — fine to p ~ 50;
+    the scan stays single-pass regardless, and the long-form pivot
+    happens driver-side on the ONE aggregated row (model-sized, the
+    pca.py moment-collect precedent — a plan-side union of p²/2 selects
+    would re-run the aggregate per branch, Catalyst does not dedupe
+    common subtrees). Derived corr: exact Python big-int cross products
+    (overflow-free by construction), ONE float division — int→float and
+    decimal→double both round to nearest, so the value matches an
+    engine-side decimal derivation bit for bit.
+    """
+    import math
+
+    aggs = []
+    pairs = [(cx, cy) for i, cx in enumerate(cols) for cy in cols[i + 1 :]]
+    for cx, cy in pairs:
+        both = F.col(cx).isNotNull() & F.col(cy).isNotNull()
+        x = F.when(both, F.col(cx)).cast("long")
+        y = F.when(both, F.col(cy)).cast("long")
+        p = f"{cx}__{cy}"
+        aggs += [
+            F.count(x).cast("long").alias(f"{p}__n"),
+            F.sum(x).cast("long").alias(f"{p}__sx"),
+            F.sum(y).cast("long").alias(f"{p}__sy"),
+            F.sum(x * y).cast("long").alias(f"{p}__sxy"),
+            F.sum(x * x).cast("long").alias(f"{p}__sxx"),
+            F.sum(y * y).cast("long").alias(f"{p}__syy"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    out = []
+    for cx, cy in pairs:
+        p = f"{cx}__{cy}"
+        n = int(row[f"{p}__n"])
+        sx = int(row[f"{p}__sx"] or 0)
+        sy = int(row[f"{p}__sy"] or 0)
+        sxy = int(row[f"{p}__sxy"] or 0)
+        sxx = int(row[f"{p}__sxx"] or 0)
+        syy = int(row[f"{p}__syy"] or 0)
+        num = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        corr = (
+            round(float(num) / math.sqrt(float(varx) * float(vary)), 6)
+            if varx > 0 and vary > 0
+            else None
+        )
+        out.append((cx, cy, n, sx, sy, sxy, sxx, syy, corr))
+    return df.sparkSession.createDataFrame(
+        out,
+        "col_x string, col_y string, n long, sx long, sy long, "
+        "sxy long, sxx long, syy long, corr double",
+    )

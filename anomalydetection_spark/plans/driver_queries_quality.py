@@ -973,3 +973,62 @@ FROM e
 
 QUERIES["moments_n_chars_by_lang"] = moments_n_chars_by_lang
 ORACLE_SQL["moments_n_chars_by_lang"] = MOMENTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# correlation matrix (all pairs, one pass)
+# ---------------------------------------------------------------------------
+
+
+def corr_matrix_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson matrix (operators/infotheory.correlation_matrix)
+    over three event-derived integer features — hour of day, day of
+    month, floor(value) — every pair's exact bigint moment sums riding
+    ONE scan, long-form pivot on the single aggregated row."""
+    from anomalydetection_spark.operators.infotheory import correlation_matrix
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        F.dayofmonth("ts").cast("long").alias("day_of_month"),
+        F.floor("value").cast("long").alias("value_floor"),
+    )
+    return correlation_matrix(e, ["hour_of_day", "day_of_month", "value_floor"])
+
+
+_CM_PAIR_SQL = """
+  SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+    count(*)::bigint AS n,
+    sum({cx})::bigint AS sx, sum({cy})::bigint AS sy,
+    sum({cx} * {cy})::bigint AS sxy,
+    sum({cx} * {cx})::bigint AS sxx, sum({cy} * {cy})::bigint AS syy,
+    round(
+      cast(count(*)::hugeint * sum({cx} * {cy})::hugeint
+           - sum({cx})::hugeint * sum({cy})::hugeint AS double)
+      / sqrt(cast(count(*)::hugeint * sum({cx} * {cx})::hugeint
+                  - sum({cx})::hugeint * sum({cx})::hugeint AS double)
+           * cast(count(*)::hugeint * sum({cy} * {cy})::hugeint
+                  - sum({cy})::hugeint * sum({cy})::hugeint AS double)),
+      6) AS corr
+  FROM feats WHERE {cx} IS NOT NULL AND {cy} IS NOT NULL
+"""
+
+CORR_MATRIX_SQL = (
+    """
+WITH feats AS (
+  SELECT hour(ts)::bigint AS hour_of_day,
+         day(ts)::bigint AS day_of_month,
+         floor(value)::bigint AS value_floor
+  FROM events)
+"""
+    + "\nUNION ALL\n".join(
+        _CM_PAIR_SQL.format(cx=cx, cy=cy)
+        for cx, cy in [
+            ("hour_of_day", "day_of_month"),
+            ("hour_of_day", "value_floor"),
+            ("day_of_month", "value_floor"),
+        ]
+    )
+)
+
+QUERIES["corr_matrix_events"] = corr_matrix_events
+ORACLE_SQL["corr_matrix_events"] = CORR_MATRIX_SQL

@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 
 from anomalydetection_spark.operators.infotheory import (
     correlation_exact,
@@ -115,3 +116,33 @@ def test_correlation_matches_numpy(spark):
     )
     got = correlation_exact(df, "x", "y").collect()[0]
     assert abs(got["corr"] - float(np.corrcoef(x, y)[0, 1])) < 1e-6
+
+
+def test_correlation_matrix_matches_per_pair_analyzer(spark):
+    """The one-pass matrix equals running correlation_exact per pair, and
+    NULL exclusion is pairwise (a row missing only z still counts for the
+    (x, y) pair)."""
+    from anomalydetection_spark.operators.infotheory import correlation_matrix
+
+    rows = [
+        (1, 2, 10), (2, 4, 9), (3, 6, 8), (4, 8, None), (5, 10, 6), (6, None, 5),
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = {
+        (r["col_x"], r["col_y"]): r
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    for cx, cy in got:
+        want = correlation_exact(df, cx, cy).collect()[0]
+        g = got[(cx, cy)]
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy"):
+            assert g[c] == want[c], (cx, cy, c)
+        if want["corr"] is None:
+            assert g["corr"] is None
+        else:
+            assert g["corr"] == pytest.approx(float(want["corr"]), abs=1e-9)
+    # x ∝ y exactly → corr 1; pairwise exclusion kept 5 rows for (x, y)
+    assert got[("x", "y")]["n"] == 5 and got[("x", "y")]["corr"] == 1.0
+    # x vs z is perfectly anti-monotone linear → -1 over its 5 pairs
+    assert got[("x", "z")]["corr"] == -1.0
