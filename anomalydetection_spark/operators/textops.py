@@ -641,3 +641,127 @@ def dsir_importance(
         "avg_weight",
         F.round(F.col("weight_fp") / (F.lit(float(LM_SCALE)) * F.col("n_feats")), 6),
     )
+
+
+# Stupid Backoff bigram LM (Brants et al., EMNLP'07) ------------------------
+
+# round(ln(1/0.4)·1e9): the backoff penalty for α = 0.4 (the paper's
+# constant), pre-quantized so both engines add the identical integer
+SB_ALPHA_FP = 916_290_732
+
+
+def bigram_logprob_scores(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: list[str] | None = None,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-doc NLL under a Stupid-Backoff bigram LM trained on
+    ``train_df`` — the order-2 upgrade of ``unigram_logprob_scores``
+    (token ORDER now matters: shuffled or spliced text scores high even
+    when its unigram mix is perfectly in-distribution):
+
+        S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if bigram seen
+                         = α · c(w_i) / N                 else (α = 0.4)
+
+    with a 1/N floor for fully-OOV tokens, and the first token of each
+    doc scored by its unigram. Every log is taken ONCE of an exact count
+    rational in the ln(num/den) form and fixed-pointed at 1e-9; per-doc
+    sums are integer (the unigram/DSIR determinism contract). Returns
+    (id, *keep_cols, n_tokens, n_backoff, nll_fp, nll).
+
+    Scale shape: training is two hash aggs over the train token/bigram
+    streams (map-side partials); scoring is the exploded score stream
+    joined to the count tables — broadcast while the model fits
+    (``broadcast_model``), shuffle joins with AQE above. The bigram
+    table is |distinct bigrams|-sized, never positional.
+    """
+    extra = list(keep_cols or [])
+    toks_t = train_df.select(F.explode(_tokens(text_col)).alias("term"))
+    uni = toks_t.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_c1"))
+    total = uni.agg(F.sum("_c1").cast("long").alias("_n"))
+
+    def pairs(col: str) -> Column:
+        t = _tokens(col)
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("prev"),
+                    F.element_at(t, i + 1).alias("cur"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+    bi = (
+        train_df.select(F.explode(pairs(text_col)).alias("p"))
+        .select("p.prev", "p.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c2"))
+    )
+    uni_b = F.broadcast(uni) if broadcast_model else uni
+    bi_b = F.broadcast(bi) if broadcast_model else bi
+
+    ln_fp = lambda num, den: F.round(  # noqa: E731
+        F.log(num.cast("double") / den.cast("double")) * F.lit(float(LM_SCALE)), 0
+    ).cast("long")
+
+    # first token of each non-empty doc: unigram score, no α penalty
+    first = (
+        score_df.select(
+            F.col(id_col), *extra, F.element_at(_tokens(text_col), 1).alias("cur")
+        )
+        .filter(F.col("cur").isNotNull() & (F.col("cur") != ""))
+        .join(uni_b.withColumnRenamed("term", "cur"), "cur", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            *extra,
+            ln_fp(F.col("_n"), F.coalesce(F.col("_c1"), F.lit(1))).alias("_lp"),
+            F.lit(0).alias("_backoff"),
+        )
+    )
+    # positions ≥ 2: bigram if seen, else α-penalized unigram backoff
+    rest = (
+        score_df.select(F.col(id_col), *extra, F.explode(pairs(text_col)).alias("p"))
+        .select(id_col, *extra, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .join(bi_b, ["prev", "cur"], "left")
+        .join(
+            uni_b.select(F.col("term").alias("prev"), F.col("_c1").alias("_cprev")),
+            "prev",
+            "left",
+        )
+        .join(
+            uni_b.select(F.col("term").alias("cur"), F.col("_c1").alias("_ccur")),
+            "cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            *extra,
+            F.when(F.col("_c2").isNotNull(), ln_fp(F.col("_cprev"), F.col("_c2")))
+            .otherwise(
+                F.lit(SB_ALPHA_FP)
+                + ln_fp(F.col("_n"), F.coalesce(F.col("_ccur"), F.lit(1)))
+            )
+            .alias("_lp"),
+            F.when(F.col("_c2").isNull(), 1).otherwise(0).alias("_backoff"),
+        )
+    )
+    scored = (
+        first.unionByName(rest)
+        .groupBy(id_col, *extra)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_backoff").cast("long").alias("n_backoff"),
+            F.sum("_lp").cast("long").alias("nll_fp"),
+        )
+    )
+    return scored.withColumn(
+        "nll",
+        F.round(F.col("nll_fp") / (F.lit(float(LM_SCALE)) * F.col("n_tokens")), 6),
+    )

@@ -728,3 +728,105 @@ FROM b GROUP BY source, bucket
 
 QUERIES["ppl_buckets_by_source"] = ppl_buckets_by_source
 ORACLE_SQL["ppl_buckets_by_source"] = PPL_BUCKETS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Stupid-Backoff bigram LM scoring
+# ---------------------------------------------------------------------------
+
+# 5.0 nats/token in fixed-point units — flag ⇔ nll_fp > THRESH·n_tokens,
+# a pure bigint predicate (the unigram threshold contract)
+_BIGRAM_THRESH_FP = 5_000_000_000
+
+
+def bigram_nll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 perplexity filtering (textops.bigram_logprob_scores,
+    Stupid Backoff α=0.4): train on the documents corpus, score a variant
+    whose every 7th doc has its token ORDER reversed — unigram-identical
+    but bigram-novel, so reversed docs light up the backoff path and the
+    NLL flag while in-order docs stay cheap. Per-source accounting with
+    exact fixed-point sums and a bigint flag predicate."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    rev = F.array_join(F.reverse(toks), " ")
+    score = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("n_chars") % 7 == 0, rev).otherwise(F.col("text")).alias("text"),
+    )
+    scored = textops.bigram_logprob_scores(
+        d, score, "doc_id", "text", keep_cols=["source"]
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_backoff").cast("long").alias("n_backoff"),
+        F.sum("nll_fp").cast("long").alias("nll_fp_total"),
+        F.sum(
+            F.when(
+                F.col("nll_fp") > F.lit(_BIGRAM_THRESH_FP) * F.col("n_tokens"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+BIGRAM_NLL_SQL = r"""
+WITH tr AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+uni AS (
+  SELECT term, count(*)::bigint AS c1
+  FROM (SELECT unnest(toks) AS term FROM tr) GROUP BY 1),
+tot AS (SELECT sum(c1)::bigint AS n FROM uni),
+bi AS (
+  SELECT prev, cur, count(*)::bigint AS c2
+  FROM (SELECT toks[i] AS prev, toks[i + 1] AS cur
+        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tr WHERE len(toks) >= 2))
+  GROUP BY 1, 2),
+sc AS (
+  SELECT doc_id, source,
+    CASE WHEN n_chars % 7 = 0
+      THEN array_to_string(list_reverse(string_split_regex(trim(text), '\s+')), ' ')
+      ELSE text END AS text
+  FROM documents),
+st AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM sc),
+first AS (
+  SELECT doc_id, source,
+    cast(round(ln(cast(t.n AS double) / cast(coalesce(u.c1, 1) AS double))
+               * 1000000000.0, 0) AS bigint) AS lp,
+    0 AS backoff
+  FROM st CROSS JOIN tot t
+  LEFT JOIN uni u ON u.term = st.toks[1]
+  WHERE st.toks[1] IS NOT NULL AND st.toks[1] <> ''),
+rest AS (
+  SELECT p.doc_id, p.source,
+    CASE WHEN b.c2 IS NOT NULL
+      THEN cast(round(ln(cast(up.c1 AS double) / cast(b.c2 AS double))
+                      * 1000000000.0, 0) AS bigint)
+      ELSE 916290732
+           + cast(round(ln(cast(t.n AS double) / cast(coalesce(uc.c1, 1) AS double))
+                        * 1000000000.0, 0) AS bigint)
+    END AS lp,
+    CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM (SELECT doc_id, source, toks[i] AS prev, toks[i + 1] AS cur
+        FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM st WHERE len(toks) >= 2)) p
+  CROSS JOIN tot t
+  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+  LEFT JOIN uni up ON up.term = p.prev
+  LEFT JOIN uni uc ON uc.term = p.cur),
+per_doc AS (
+  SELECT doc_id, source, count(*)::bigint AS n_tokens,
+         sum(backoff)::bigint AS n_backoff, sum(lp)::bigint AS nll_fp
+  FROM (SELECT * FROM first UNION ALL SELECT * FROM rest) GROUP BY 1, 2)
+SELECT source, count(*)::bigint AS n_docs,
+  sum(n_tokens)::bigint AS n_tokens,
+  sum(n_backoff)::bigint AS n_backoff,
+  sum(nll_fp)::bigint AS nll_fp_total,
+  sum(CASE WHEN nll_fp > 5000000000 * n_tokens THEN 1 ELSE 0 END)::bigint AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+QUERIES["bigram_nll_by_source"] = bigram_nll_by_source
+ORACLE_SQL["bigram_nll_by_source"] = BIGRAM_NLL_SQL

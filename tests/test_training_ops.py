@@ -257,3 +257,72 @@ def test_rrf_topk_deterministic_ties(spark):
     assert by_q[1]["id"] == "a" and by_q[1]["rk"] == 1
     # q2: y and z tie on single rank-1 entries → y first
     assert by_q[2]["id"] == "y"
+
+
+# ---------------------------------------------------------------------------
+# Stupid-Backoff bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_scores_hand_computed(spark):
+    """Tiny train corpus with known counts: in-distribution bigrams score
+    ln(c_prev/c_bigram), unseen bigrams pay the alpha penalty plus the
+    unigram backoff, OOV tokens hit the 1/N floor."""
+    from anomalydetection_spark.operators.textops import (
+        LM_SCALE,
+        SB_ALPHA_FP,
+        bigram_logprob_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # counts: a=3, b=3, c=1, N=7; bigrams: (a,b)=3, (b,a)=1, (b,c)=1
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "c a"), (12, "z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bigram_logprob_scores(train, score, "doc_id", "text").collect()
+    }
+    fp = lambda num, den: round(math.log(num / den) * LM_SCALE)  # noqa: E731
+
+    # doc 10: first token 'a' → ln(7/3); bigram (a,b) seen c2=3, c_prev=3 → ln(3/3)=0
+    assert got[10]["n_tokens"] == 2 and got[10]["n_backoff"] == 0
+    assert got[10]["nll_fp"] == fp(7, 3) + fp(3, 3)
+    # doc 11: first 'c' → ln(7/1); bigram (c,a) unseen → alpha + ln(7/3)
+    assert got[11]["n_backoff"] == 1
+    assert got[11]["nll_fp"] == fp(7, 1) + SB_ALPHA_FP + fp(7, 3)
+    # doc 12: single OOV token → unigram floor ln(7/1), no pairs
+    assert got[12]["n_tokens"] == 1 and got[12]["n_backoff"] == 0
+    assert got[12]["nll_fp"] == fp(7, 1)
+
+
+def test_bigram_flags_reordered_text(spark):
+    """Token order sensitivity — the reason to go order-2: a doc whose
+    tokens are a permutation of in-distribution text is unigram-invisible
+    but pays bigram backoff on nearly every transition."""
+    from anomalydetection_spark.operators.textops import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [(i, base) for i in range(20)], "doc_id long, text string"
+    )
+    rev = " ".join(base.split()[::-1])
+    score = spark.createDataFrame(
+        [(100, base), (101, rev)], "doc_id long, text string"
+    )
+    bg = {r["doc_id"]: r for r in bigram_logprob_scores(train, score, "doc_id", "text").collect()}
+    assert bg[100]["n_backoff"] == 0
+    assert bg[101]["n_backoff"] > 5
+    assert bg[101]["nll"] > bg[100]["nll"] + 1.0
+    # the unigram scorer cannot tell a permutation apart: identical
+    # token multiset ⇒ identical unigram NLL on both docs
+    ug = {
+        r["doc_id"]: r["nll_fp"]
+        for r in unigram_logprob_scores(score, "doc_id", "text").collect()
+    }
+    assert ug[100] == ug[101]
