@@ -110,6 +110,7 @@ _TAIL = [
     "mahalanobis_anomaly_by_label",  # anomaly-scoring family: pca_anomaly_by_label in-window shares the one-pass moment fit, q95-threshold pipeline, and model-literal oracle pattern; locally hash-green
     "corr_matrix_events",      # correlation family: corr_hour_value_by_type in-window shares the exact bigint moment-sum core; the matrix form pivots the one aggregated row driver-side; locally hash-green
     "bigram_nll_by_source",    # LM-scoring family: unigram_nll_by_source in-window shares the fixed-point ln + bigint-predicate core; the order-2 Stupid-Backoff upgrade is locally hash-green
+    "mad_outlier_hours_by_type",  # robust-outlier family: mad_outlier_hours in-window shares the median/MAD core; the grouped variant swaps scalar crossJoins for group-keyed percentile aggs; locally hash-green
     "uniqueness_partkey",      # uniqueness VERDICT family: suite_verdicts (in-window) hash-checks the uniqueness constraint end-to-end in its DuckDB twin, and fd_audit_events generalizes the same distinct-per-key core; r02 driver-verified green, operator unchanged
     "set_ops_users",           # INTERSECT/EXCEPT surface: both component queries (intersect_users, except_users) were driver-verified hash-green in r02 and the physical set-op family is unchanged since; locally hash-green
     "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green

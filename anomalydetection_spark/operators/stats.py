@@ -209,3 +209,39 @@ def mad_outliers(
         rz.alias("rz"),
         is_out.alias("is_outlier"),
     )
+
+
+def mad_outliers_grouped(
+    agg: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust (median/MAD) outlier flags — `mad_outliers` with
+    the median and MAD computed WITHIN each group, so a value is judged
+    against its own series' distribution (an hour anomalous for logins
+    may be normal for batch jobs).
+
+    Plan shape: two grouped exact-percentile aggregates over the
+    already-aggregated input (group-keyed hash aggs, map-side partials —
+    no window, no crossJoin blowup), each broadcast back onto the rows.
+    Returns ``agg`` + (rz, is_outlier) with the `mad_outliers` zero-MAD
+    convention per group.
+    """
+    v = F.col(value_col).cast("double")
+    med = agg.groupBy(group_col).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+    with_med = agg.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    scored = with_med.join(F.broadcast(mad), group_col)
+    rz = F.when(F.col("_mad") > 0, F.round(F.abs(v - F.col("_med")) / F.col("_mad"), 6))
+    is_out = F.when(
+        F.col("_mad") > 0, F.abs(v - F.col("_med")) / F.col("_mad") > z_threshold
+    ).otherwise(v != F.col("_med"))
+    return scored.select(
+        *[F.col(c) for c in agg.columns],
+        rz.alias("rz"),
+        is_out.alias("is_outlier"),
+    )

@@ -346,3 +346,23 @@ def test_benford_string_digit_extraction(spark):
     assert rows[1]["share"] == 0.4
     assert rows[1]["expected"] == round(__import__("math").log10(2), 6)
     assert rows[3]["n"] == 0 and rows[3]["share"] == 0.0
+
+
+def test_mad_outliers_grouped_judges_within_group(spark):
+    """A value anomalous for its own group flags even when it is routine
+    globally; the zero-MAD convention applies per group."""
+    rows = (
+        [("low", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 9, 10, 50]]
+        + [("high", float(v)) for v in [50, 52, 48, 51, 49, 50, 51, 49, 50, 52]]
+        + [("const", 7.0)] * 5 + [("const", 8.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = stats.mad_outliers_grouped(df, "g", "v", z_threshold=3.5)
+    got = [(r["g"], r["v"], r["is_outlier"]) for r in out.collect()]
+    # 50 is a gross outlier within 'low' but every 'high' value ≈ 50 is clean
+    assert ("low", 50.0, True) in got
+    assert all(not o for g, v, o in got if g == "high")
+    assert all(not o for g, v, o in got if g == "low" and v != 50.0)
+    # zero-MAD group: the single deviating value flags by exact inequality
+    assert ("const", 8.0, True) in got
+    assert ("const", 7.0, False) in got
