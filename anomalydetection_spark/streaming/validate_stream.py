@@ -633,3 +633,111 @@ def start_drift_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_quantile_sketch_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    queryName: str = "quantile_sketches",
+):
+    """Streaming t-digest accumulation: each micro-batch folds its docs'
+    span text lengths into per-partition digest blobs on disk — the
+    streaming feeder for sketch-side quantile drift (a batch job later
+    asks "has any partition's length distribution shifted?" from KB of
+    blobs, the ``ResumableValidator.quantile_drift_report`` idea with the
+    state built incrementally at ingest).
+
+    Replay safety: blobs are keyed ``epoch-<batch_id>-p<partition>.bin``
+    and written via atomic rename — a replayed micro-batch (foreachBatch
+    is at-least-once) overwrites ITS OWN files with identical bytes
+    instead of double-merging its mass into a running blob. Readers merge
+    whatever epoch files exist per partition (t-digest merge is
+    associative), so no read lock is needed.
+
+    Scale: per batch, one ``group_digests`` pass (Arrow partials, blob
+    shuffle only); the driver writes |partitions|-sized KB files.
+    """
+    import os
+
+    from anomalydetection_spark.operators.tdigest import group_digests
+    from anomalydetection_spark.operators.reassembly import explode_spans_meta
+
+    os.makedirs(sketch_dir, exist_ok=True)
+    stream = stream_documents(spark, input_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        meta = explode_spans_meta(batch_df).filter(F.col("text_len").isNotNull())
+        rows = group_digests(
+            meta.select("partition_id", F.col("text_len").cast("double").alias("v")),
+            "v",
+            ["partition_id"],
+        ).collect()
+        for r in rows:
+            final = os.path.join(
+                sketch_dir, f"epoch-{batch_id}-p{r['partition_id']}.bin"
+            )
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["digest"]))
+            os.replace(tmp, final)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_quantile_report(
+    sketch_dir: str,
+    baseline_blob: bytes,
+    probes: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    max_rel_gap: float = 0.2,
+) -> list[dict]:
+    """Driver-side consumer of ``start_quantile_sketch_stream`` state:
+    merge each partition's epoch blobs (associative) and compare its
+    quantile function against the baseline digest — pure Python over KB
+    of files, no Spark job. Returns one dict per partition:
+    (partition_id, n, max_rel_gap, worst_probe, flagged)."""
+    import os
+    import re
+
+    from anomalydetection_spark.operators.tdigest import TDigest
+
+    base = TDigest.from_bytes(baseline_blob)
+    base_q = {p: base.quantile(p) for p in probes}
+    merged: dict[int, TDigest] = {}
+    pat = re.compile(r"epoch-\d+-p(-?\d+)\.bin$")
+    for name in sorted(os.listdir(sketch_dir)):
+        m = pat.match(name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        td = TDigest.from_bytes(open(os.path.join(sketch_dir, name), "rb").read())
+        if pid in merged:
+            merged[pid].merge(td)
+        else:
+            merged[pid] = td
+    out = []
+    for pid in sorted(merged):
+        td = merged[pid]
+        worst, worst_p = 0.0, probes[0]
+        for p in probes:
+            qb = base_q[p]
+            gap = abs(td.quantile(p) - qb) / max(abs(qb), 1e-12)
+            if gap > worst:
+                worst, worst_p = gap, p
+        out.append(
+            {
+                "partition_id": pid,
+                "n": int(td.total_weight()),
+                "max_rel_gap": worst,
+                "worst_probe": worst_p,
+                "flagged": worst > max_rel_gap,
+            }
+        )
+    return out

@@ -586,3 +586,64 @@ def test_spec_driven_stream(spark, stream_env):
     assert verdicts.count() == 9
     exp = verdicts.filter(F.col("constraint") == "expression:has_doc_id")
     assert all(r["passed"] for r in exp.collect())
+
+
+def test_streaming_quantile_sketches_feed_drift_report(spark, tmp_path):
+    """Streaming t-digest accumulation: micro-batches fold span text
+    lengths into per-partition epoch blobs; the driver-side report merges
+    them and flags the partition whose length distribution shifted vs the
+    baseline — with no Spark job at report time."""
+    from anomalydetection_spark.operators.tdigest import TDigest
+    from anomalydetection_spark.streaming.validate_stream import (
+        start_quantile_sketch_stream,
+        stream_quantile_report,
+    )
+
+    def docs(pid, lengths):
+        return spark.createDataFrame(
+            [
+                (
+                    f"p{pid}-d{i}",
+                    [{"kind": "text", "text": "x" * ln, "media_ref": None, "offset": 0}],
+                    pid,
+                )
+                for i, ln in enumerate(lengths)
+            ],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, partition_id int",
+        )
+
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    base_lens = [int(v) for v in rng.gamma(3.0, 40.0, 3000) + 5]
+    indir = str(tmp_path / "in")
+    # two files → two micro-batches (maxFilesPerTrigger=1): partition 0
+    # draws from the baseline distribution, partition 1 is 3x longer
+    docs(0, base_lens[:1500]).coalesce(1).write.mode("append").parquet(indir)
+    docs(1, [v * 3 for v in base_lens[1500:]]).coalesce(1).write.mode("append").parquet(indir)
+
+    sketch_dir = str(tmp_path / "sketches")
+    q = start_quantile_sketch_stream(
+        spark, indir, sketch_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    baseline = TDigest()
+    baseline.add(np.asarray(base_lens, dtype=float))
+    report = {r["partition_id"]: r for r in stream_quantile_report(sketch_dir, baseline.to_bytes())}
+    assert set(report) == {0, 1}
+    assert report[0]["flagged"] is False and report[0]["max_rel_gap"] < 0.1
+    assert report[1]["flagged"] is True
+    assert report[1]["max_rel_gap"] == pytest.approx(2.0, abs=0.3)  # 3x shift
+    assert report[0]["n"] == 1500 and report[1]["n"] == 1500
+
+    # replay idempotence: epoch files are keyed by batch id — re-running
+    # the same availableNow stream from a FRESH checkpoint rewrites the
+    # same epochs' blobs (same bytes) instead of double-merging mass
+    q2 = start_quantile_sketch_stream(
+        spark, indir, sketch_dir, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    report2 = {r["partition_id"]: r for r in stream_quantile_report(sketch_dir, baseline.to_bytes())}
+    assert report2[0]["n"] == 1500 and report2[1]["n"] == 1500
