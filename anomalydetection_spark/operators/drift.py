@@ -489,6 +489,14 @@ def check(
     return verdicts, violations
 
 
+# round-6 log10(1 + 1/d) for d = 1..9, computed ONCE here and inlined as
+# literals on both engine sides (log10 is not correctly rounded by libm,
+# so evaluating it per-engine risks an ulp split on the hash boundary)
+BENFORD_EXPECTED = [
+    round(__import__("math").log10(1.0 + 1.0 / d), 6) for d in range(1, 10)
+]
+
+
 def benford(df: DataFrame, col: str) -> DataFrame:
     """First-significant-digit conformance vs Benford's law — the
     audit-grade sanity check for "organically grown" numeric columns
@@ -524,11 +532,21 @@ def benford(df: DataFrame, col: str) -> DataFrame:
         "digit",
         "left",
     ).select("digit", F.coalesce("n", F.lit(0)).alias("n"))
+    # `expected` is nine CONSTANTS — computed once driver-side and inlined
+    # as literals (mirrored verbatim in SQL twins), because log10 is not
+    # IEEE-correctly-rounded and can differ by an ulp across engines.
+    # `share` uses the deterministic quantizer: its input n/_total is one
+    # IEEE divide of exactly converted ints, bit-identical cross-engine,
+    # and det_round6 keeps the boundary engine-independent where
+    # round(double, 6) is not (functions/detquant.py).
+    from anomalydetection_spark.functions.detquant import det_round6
+
+    expected = F.element_at(
+        F.array(*[F.lit(e) for e in BENFORD_EXPECTED]), F.col("digit")
+    )
     return dense.crossJoin(F.broadcast(total)).select(
         "digit",
         "n",
-        F.round(F.col("n") / F.col("_total"), 6).alias("share"),
-        F.round(
-            F.log10((F.col("digit") + F.lit(1)) / F.col("digit")), 6
-        ).alias("expected"),
+        det_round6(F.col("n") / F.col("_total")).alias("share"),
+        expected.alias("expected"),
     )

@@ -855,8 +855,19 @@ def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford(o, "o_totalprice")
 
 
-BENFORD_SQL = """
-WITH digits AS (SELECT unnest(range(1, 10))::int AS digit),
+def _benford_sql() -> str:
+    # same driver-computed expected literals + deterministic quantizer the
+    # Spark operator uses (drift.BENFORD_EXPECTED / detquant.det_round6) —
+    # no per-engine log10 and no engine-native double round on the boundary
+    from anomalydetection_spark.functions.detquant import det_round6_sql
+    from anomalydetection_spark.operators.drift import BENFORD_EXPECTED
+
+    values = ", ".join(
+        f"({d}, {e!r})" for d, e in enumerate(BENFORD_EXPECTED, start=1)
+    )
+    share = det_round6_sql("coalesce(o.n, 0) / (SELECT total FROM t)")
+    return f"""
+WITH digits AS (SELECT * FROM (VALUES {values}) AS v(digit, expected)),
 obs AS (
   SELECT regexp_extract(o_totalprice::varchar, '[1-9]')::int AS digit,
          count(*)::bigint AS n
@@ -865,11 +876,14 @@ obs AS (
   GROUP BY 1
 ),
 t AS (SELECT sum(n)::bigint AS total FROM obs)
-SELECT d.digit, coalesce(o.n, 0)::bigint AS n,
-       round(coalesce(o.n, 0) / (SELECT total FROM t), 6) AS share,
-       round(log10((d.digit + 1) / d.digit::double), 6) AS expected
+SELECT d.digit::int AS digit, coalesce(o.n, 0)::bigint AS n,
+       {share} AS share,
+       d.expected::double AS expected
 FROM digits d LEFT JOIN obs o USING (digit)
 """
+
+
+BENFORD_SQL = _benford_sql()
 
 QUERIES["skew_audit_user_events"] = skew_audit_user_events
 ORACLE_SQL["skew_audit_user_events"] = SKEW_AUDIT_SQL
@@ -928,48 +942,48 @@ ORACLE_SQL["fd_audit_events"] = FD_AUDIT_SQL
 def moments_n_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language shape summary of document lengths (operators/
     moments.skewness_kurtosis): exact decimal(38,0) power-sum anchors
-    Σx..Σx⁴ plus population variance, skewness, and excess kurtosis from
-    the cancelled-n-power formulas (A/B^1.5, C/B²−3) — the Deequ
-    StandardDeviation/Skewness/Kurtosis analyzer family as ONE mergeable
-    hash aggregate."""
+    Σx..Σx⁴ plus DETERMINISTIC fixed-point shape columns — mean/variance
+    as exact integer value·10⁶, skewness/kurtosis as floor-quantized
+    value·10⁶ over int64-limb-reconstructed doubles (moments.py module
+    docstring) — the Deequ StandardDeviation/Skewness/Kurtosis analyzer
+    family as ONE mergeable hash aggregate, with no engine-native double
+    round() or big-decimal→double cast on the hash boundary (the round-3
+    driver-red cell)."""
     from anomalydetection_spark.operators.moments import skewness_kurtosis
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return skewness_kurtosis(d, "n_chars", ["lang"])
 
 
-MOMENTS_SQL = """
+def _moments_sql() -> str:
+    # the DuckDB twin embeds the SAME generated shape formulas the Spark
+    # operator runs (moments.shape_fp_sql) — one source of truth, two
+    # integral-division spellings (Spark `div`, DuckDB `//`)
+    from anomalydetection_spark.operators.moments import shape_fp_sql
+
+    shapes = shape_fp_sql("h_", dialect="duckdb")
+    shape_select = ",\n       ".join(
+        f"{sql} AS {name}" for name, sql in shapes.items()
+    )
+    return f"""
 WITH s AS (
   SELECT lang,
-         count(n_chars)::bigint AS n,
-         cast(sum(cast(n_chars AS hugeint)) AS decimal(38,0)) AS s1,
-         cast(sum(cast(n_chars AS hugeint) * n_chars) AS decimal(38,0)) AS s2,
-         cast(sum(cast(n_chars AS hugeint) * n_chars * n_chars) AS decimal(38,0)) AS s3,
-         cast(sum(cast(n_chars AS hugeint) * n_chars * n_chars * n_chars) AS decimal(38,0)) AS s4
+         count(n_chars)::bigint AS h_n,
+         sum(n_chars::hugeint)::hugeint AS h_s1,
+         sum(n_chars::hugeint * n_chars)::hugeint AS h_s2,
+         sum(n_chars::hugeint * n_chars * n_chars)::hugeint AS h_s3,
+         sum(n_chars::hugeint * n_chars * n_chars * n_chars)::hugeint AS h_s4
   FROM documents GROUP BY lang
-),
-d AS (
-  SELECT lang, n, s1, s2, s3, s4,
-         cast(n AS double) AS nd,
-         cast(s1 AS double) AS d1, cast(s2 AS double) AS d2,
-         cast(s3 AS double) AS d3, cast(s4 AS double) AS d4
-  FROM s
-),
-e AS (
-  SELECT *,
-         nd * d2 - d1 * d1 AS b,
-         nd * nd * d3 - 3.0 * nd * d1 * d2 + 2.0 * d1 * d1 * d1 AS a,
-         nd * nd * nd * d4 - 4.0 * nd * nd * d1 * d3
-           + 6.0 * nd * d1 * d1 * d2 - 3.0 * d1 * d1 * d1 * d1 AS c
-  FROM d
 )
-SELECT lang, n, s1, s2, s3, s4,
-       CASE WHEN n >= 1 THEN round(d1 / nd, 6) END AS mean,
-       CASE WHEN n >= 1 THEN round(b / (nd * nd), 6) END AS variance,
-       CASE WHEN n >= 2 AND b > 0 THEN round(a / (b * sqrt(b)), 6) END AS skewness,
-       CASE WHEN n >= 2 AND b > 0 THEN round(c / (b * b) - 3.0, 6) END AS kurtosis
-FROM e
+SELECT lang, h_n AS n,
+       h_s1::decimal(38,0) AS s1, h_s2::decimal(38,0) AS s2,
+       h_s3::decimal(38,0) AS s3, h_s4::decimal(38,0) AS s4,
+       {shape_select}
+FROM s
 """
+
+
+MOMENTS_SQL = _moments_sql()
 
 QUERIES["moments_n_chars_by_lang"] = moments_n_chars_by_lang
 ORACLE_SQL["moments_n_chars_by_lang"] = MOMENTS_SQL

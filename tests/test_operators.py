@@ -119,10 +119,10 @@ def test_stats_collect_moments_opt_in(data, spark):
     }
     for pid, row in got.items():
         assert row["metrics"]["text_len_skewness"] == pytest.approx(
-            want[pid]["skewness"], abs=1e-9
+            want[pid]["skewness_fp6"] / 1e6, abs=1e-9
         )
         assert row["metrics"]["text_len_kurtosis"] == pytest.approx(
-            want[pid]["kurtosis"], abs=1e-9
+            want[pid]["kurtosis_fp6"] / 1e6, abs=1e-9
         )
         # the non-moment metrics are unchanged by the opt-in
         for k, v in d0["metrics"].items():

@@ -1,15 +1,16 @@
 """Property test: the moment analyzer's decimal(38,0) power-sum anchors
-equal exact Python big-int arithmetic on arbitrary int lists within the
-documented domain bound (|x| ≤ 55,108 keeps per-row x⁴ in int64), and
-the derived shape stats equal a Python mirror of the DOCUMENTED raw-sum
-expression shapes (the engine/oracle contract — the centered-moment
-formula agrees only on well-conditioned input, which the fixed-seed unit
-tests in test_moments.py cover)."""
+equal exact Python big-int arithmetic on arbitrary int lists, and the
+deterministic fixed-point shape columns equal a Python mirror of the
+DOCUMENTED scheme — exact integer div for mean/variance, int64-limb
+double reconstruction + floor(t·1e6 + 0.5) for skewness/kurtosis. The
+mirror is step-for-step the engine/oracle contract: every float op is an
+IEEE double op in the same order, so Python, Spark, and DuckDB must all
+produce the same bits (the round-3 driver-red cell was the engine-native
+round(double, 6), which this scheme removed from the hash boundary)."""
 
 from __future__ import annotations
 
 import math
-from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -22,38 +23,54 @@ from anomalydetection_spark.operators.moments import skewness_kurtosis
 # test downstream. Use the conftest fixture like every other test.
 
 
-def _round6(v: float) -> float:
-    """Spark's round(double, 6): HALF_UP over the double's SHORTEST
-    decimal repr (BigDecimal.valueOf semantics) — differs from Python's
-    built-in round (half-even over the exact binary expansion) exactly
-    when the value needs ~15+ significant digits."""
-    return float(Decimal(repr(v)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+def _limb_double(v: int) -> float:
+    """The moments.py limb reconstruction, literally: three base-10^13
+    int64 limbs, each exactly convertible to double, recombined with
+    left-associative double arithmetic."""
+    sign = -1.0 if v < 0 else 1.0
+    a = abs(v)
+    l2 = a // 10**26
+    r = a - l2 * 10**26
+    l1 = r // 10**13
+    l0 = r - l1 * 10**13
+    return sign * (float(l2) * 1e26 + float(l1) * 1e13 + float(l0))
+
+
+def _fp6_div(num: int, den: int):
+    sign = -1 if num < 0 else 1
+    return sign * ((abs(num) * 10**6) // den)
+
 
 def _mirror(xs):
-    """The module-docstring expression shapes, literally, in Python floats
-    (IEEE doubles with the same op order as the Spark/SQL expressions)."""
+    """The shape_fp_sql expression shapes, in Python (exact ints for the
+    anchors and B; IEEE doubles with the same op order for skew/kurt)."""
     nn = len(xs)
-    n = float(nn)
-    s1 = float(sum(int(v) for v in xs))
-    s2 = float(sum(int(v) ** 2 for v in xs))
-    s3 = float(sum(int(v) ** 3 for v in xs))
-    s4 = float(sum(int(v) ** 4 for v in xs))
-    b = n * s2 - s1 * s1
-    a = n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1
-    c = (
-        n * n * n * s4
-        - 4.0 * n * n * s1 * s3
-        + 6.0 * n * s1 * s1 * s2
-        - 3.0 * s1 * s1 * s1 * s1
-    )
-    mean = _round6(s1 / n) if nn >= 1 else None
-    var = _round6(b / (n * n)) if nn >= 1 else None
-    if nn >= 2 and b > 0:
-        skew = _round6(a / (b * math.sqrt(b)))
-        kurt = _round6(c / (b * b) - 3.0)
+    s1 = sum(int(v) for v in xs)
+    s2 = sum(int(v) ** 2 for v in xs)
+    s3 = sum(int(v) ** 3 for v in xs)
+    s4 = sum(int(v) ** 4 for v in xs)
+    b_exact = nn * s2 - s1 * s1
+    mean_fp6 = _fp6_div(s1, nn) if nn >= 1 else None
+    var_fp6 = _fp6_div(b_exact, nn * nn) if nn >= 1 else None
+    if nn >= 2 and b_exact > 0:
+        nd = float(nn)
+        d1 = _limb_double(s1)
+        d2 = _limb_double(s2)
+        d3 = _limb_double(s3)
+        d4 = _limb_double(s4)
+        bd = _limb_double(b_exact)
+        a_d = nd * nd * d3 - 3.0 * nd * d1 * d2 + 2.0 * d1 * d1 * d1
+        c_d = (
+            nd * nd * nd * d4
+            - 4.0 * nd * nd * d1 * d3
+            + 6.0 * nd * d1 * d1 * d2
+            - 3.0 * d1 * d1 * d1 * d1
+        )
+        skew_fp6 = math.floor(a_d / (bd * math.sqrt(bd)) * 1000000.0 + 0.5)
+        kurt_fp6 = math.floor((c_d / (bd * bd) - 3.0) * 1000000.0 + 0.5)
     else:
-        skew = kurt = None
-    return mean, var, skew, kurt
+        skew_fp6 = kurt_fp6 = None
+    return mean_fp6, var_fp6, skew_fp6, kurt_fp6
 
 
 @settings(
@@ -72,10 +89,8 @@ def test_power_sums_and_shapes_match_mirror(spark, xs):
     assert r["n"] == len(xs)
     for p, col in ((1, "s1"), (2, "s2"), (3, "s3"), (4, "s4")):
         assert int(r[col]) == sum(int(v) ** p for v in xs)  # exact big-int
-    mean, var, skew, kurt = _mirror(xs)
-    # Spark's decimal→double cast and Python's int→float both round to
-    # nearest; identical op order ⇒ identical doubles ⇒ identical round-6
-    assert r["mean"] == mean
-    assert r["variance"] == var
-    assert r["skewness"] == skew
-    assert r["kurtosis"] == kurt
+    mean_fp6, var_fp6, skew_fp6, kurt_fp6 = _mirror(xs)
+    assert r["mean_fp6"] == mean_fp6
+    assert r["variance_fp6"] == var_fp6
+    assert r["skewness_fp6"] == skew_fp6
+    assert r["kurtosis_fp6"] == kurt_fp6
