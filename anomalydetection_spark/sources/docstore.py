@@ -641,7 +641,9 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
     }
 
 
-def merge_into(spark, table_dir: str, updates, key_col: str) -> dict:
+def merge_into(
+    spark, table_dir: str, updates, key_col: str, broadcast_max_keys: int = 1_000_000
+) -> dict:
     """Copy-on-write upsert (the Iceberg ``MERGE INTO ... WHEN MATCHED
     UPDATE WHEN NOT MATCHED INSERT``, COW mode): rows of ``updates``
     replace same-key table rows; new keys append. ONE atomic snapshot:
@@ -650,33 +652,53 @@ def merge_into(spark, table_dir: str, updates, key_col: str) -> dict:
     update rows land as new files — readers see the pre-merge or
     post-merge table, never a mix.
 
-    The matched-key probe broadcasts the update key set while it is small
-    (updates are batch-sized next to the table); at larger batches swap
-    the isin-literal for a broadcast semi-join — the file-granular rewrite
-    shape is unchanged. Returns {new_version, rewritten_files,
-    replaced_rows, upserted_rows}.
+    The matched-key probe and the matched-row rewrite are semi/anti
+    JOINS against the distinct update-key frame — update keys are never
+    collected to the driver or planned as an ``isin`` literal, so a
+    10⁸-key MERGE plans the same two joins as a 10-key one (the
+    quarantine_documents gate pattern, plans/suite.py). The key frame is
+    broadcast while its exact count (one cheap job over the persisted
+    keys) is ≤ ``broadcast_max_keys``; above that both joins fall back
+    to shuffle joins, which scale with the data instead of with executor
+    memory. The file-granular rewrite shape is unchanged. Returns
+    {new_version, rewritten_files, replaced_rows, upserted_rows, plans}
+    where ``plans`` holds the formatted physical plans of the probe and
+    kept-row jobs so callers/tests can assert the join strategy.
     """
     from pyspark.sql import functions as F
 
     manifest = load_manifest(table_dir)
-    keys = [r[0] for r in updates.select(key_col).distinct().collect()]
-    probe = (
-        _read_files_visible(spark, table_dir, manifest["files"])
-        .withColumn("_file", F.col("_metadata.file_path"))
-        .filter(F.col(key_col).isin(keys))
-        .groupBy("_file")
-        .count()
-        .collect()
-    ) if manifest["files"] else []
+    ukeys = updates.select(key_col).distinct().persist()
+    n_keys = ukeys.count()
+    hint_broadcast = n_keys <= broadcast_max_keys
+    jkeys = F.broadcast(ukeys) if hint_broadcast else ukeys
+    plans: dict[str, str] = {}
+    probe = []
+    if manifest["files"]:
+        probe_df = (
+            _read_files_visible(spark, table_dir, manifest["files"])
+            .withColumn("_file", F.col("_metadata.file_path"))
+            .join(jkeys, key_col, "left_semi")
+            .groupBy("_file")
+            .count()
+        )
+        plans["probe"] = probe_df._sc._jvm.PythonSQLUtils.explainString(
+            probe_df._jdf.queryExecution(), "formatted"
+        )
+        probe = probe_df.collect()
     affected = {os.path.basename(r["_file"]): r["count"] for r in probe}
     kept_entries = [f for f in manifest["files"] if f["path"] not in affected]
     affected_entries = [f for f in manifest["files"] if f["path"] in affected]
     new_entries: list[dict] = []
     tmpdir = os.path.join(table_dir, f"._merge.{uuid.uuid4().hex}")
     if affected:
-        _read_files_visible(spark, table_dir, affected_entries).filter(
-            ~F.col(key_col).isin(keys)
-        ).write.parquet(os.path.join(tmpdir, "kept"))
+        kept_df = _read_files_visible(spark, table_dir, affected_entries).join(
+            jkeys, key_col, "left_anti"
+        )
+        plans["kept"] = kept_df._sc._jvm.PythonSQLUtils.explainString(
+            kept_df._jdf.queryExecution(), "formatted"
+        )
+        kept_df.write.parquet(os.path.join(tmpdir, "kept"))
     updates.write.parquet(os.path.join(tmpdir, "new"))
     for sub in ("kept", "new"):
         subdir = os.path.join(tmpdir, sub)
@@ -697,11 +719,14 @@ def merge_into(spark, table_dir: str, updates, key_col: str) -> dict:
     shutil.rmtree(tmpdir, ignore_errors=True)
     schema_json = _merge_schemas(manifest["schema"], updates.schema.json()).json()
     v = commit_snapshot(table_dir, kept_entries + new_entries, schema_json)
+    ukeys.unpersist()
     return {
         "new_version": v,
         "rewritten_files": len(affected),
         "replaced_rows": int(sum(affected.values())),
         "upserted_rows": updates.count(),
+        "plans": plans,
+        "broadcast_hint": hint_broadcast,
     }
 
 
