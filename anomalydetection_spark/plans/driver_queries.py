@@ -433,11 +433,19 @@ cur AS (SELECT source, bucket, count(*) AS np FROM buck GROUP BY 1, 2),
 base AS (SELECT bucket, count(*) AS nq FROM buck GROUP BY 1),
 tg AS (SELECT source, sum(np) AS tg FROM cur GROUP BY 1),
 tq AS (SELECT sum(nq) AS tq FROM base),
+allb AS (  -- full bucket union, matching the operator's _dense_grid
+           -- full-outer join: current-only buckets (np>0, nq=0) count;
+           -- with this query's global-aggregate baseline cur ⊆ base so
+           -- output is unchanged, but the twin stays honest for any
+           -- external baseline missing buckets
+  SELECT bucket FROM base UNION SELECT bucket FROM cur
+),
 grid AS (
-  SELECT g.source, b.bucket, coalesce(c.np, 0) AS np, b.nq, g.tg,
-         (SELECT tq FROM tq) AS tq
-  FROM tg g CROSS JOIN base b
-  LEFT JOIN cur c ON c.source = g.source AND c.bucket = b.bucket
+  SELECT g.source, ab.bucket, coalesce(c.np, 0) AS np,
+         coalesce(b.nq, 0) AS nq, g.tg, (SELECT tq FROM tq) AS tq
+  FROM tg g CROSS JOIN allb ab
+  LEFT JOIN base b ON b.bucket = ab.bucket
+  LEFT JOIN cur c ON c.source = g.source AND c.bucket = ab.bucket
 ),
 cums AS (
   SELECT source, bucket, np, nq, tg, tq,
@@ -491,11 +499,19 @@ cur AS (SELECT source, bucket, count(*) AS np FROM buck GROUP BY 1, 2),
 base AS (SELECT bucket, count(*) AS nq FROM buck GROUP BY 1),
 tg AS (SELECT source, sum(np) AS tg FROM cur GROUP BY 1),
 tq AS (SELECT sum(nq) AS tq FROM base),
+allb AS (  -- full bucket union, matching the operator's _dense_grid
+           -- full-outer join: current-only buckets (np>0, nq=0) count;
+           -- with this query's global-aggregate baseline cur ⊆ base so
+           -- output is unchanged, but the twin stays honest for any
+           -- external baseline missing buckets
+  SELECT bucket FROM base UNION SELECT bucket FROM cur
+),
 grid AS (
-  SELECT g.source, b.bucket, coalesce(c.np, 0) AS np, b.nq, g.tg,
-         (SELECT tq FROM tq) AS tq
-  FROM tg g CROSS JOIN base b
-  LEFT JOIN cur c ON c.source = g.source AND c.bucket = b.bucket
+  SELECT g.source, ab.bucket, coalesce(c.np, 0) AS np,
+         coalesce(b.nq, 0) AS nq, g.tg, (SELECT tq FROM tq) AS tq
+  FROM tg g CROSS JOIN allb ab
+  LEFT JOIN base b ON b.bucket = ab.bucket
+  LEFT JOIN cur c ON c.source = g.source AND c.bucket = ab.bucket
 ),
 cums AS (
   SELECT source, bucket, np, nq, tg, tq,

@@ -189,6 +189,14 @@ class DocStoreReader(DataSourceReader):
             col = attr[0] if attr is not None and len(attr) == 1 else None
             if col is None:
                 continue
+            if isinstance(flt, (EqualTo, EqualNullSafe, GreaterThan,
+                                GreaterThanOrEqual, LessThan, LessThanOrEqual)) \
+                    and flt.value is None:
+                # a null-safe equality to NULL is an IS NULL predicate, not
+                # a value-range constraint — folding None into lo/hi would
+                # TypeError in max()/min() and conflate the semantics;
+                # Spark applies it post-scan like any unsupported filter
+                continue
             lo, hi = self._bounds.get(col, (None, None))
             if isinstance(flt, (EqualTo, EqualNullSafe)):
                 lo = flt.value if lo is None else max(lo, flt.value)
@@ -211,15 +219,15 @@ class DocStoreReader(DataSourceReader):
         comparisons happen within the column's own type."""
         for col, (lo, hi) in bounds.items():
             fmin, fmax = stats.get(col, (None, None))
-            if fmin is None:
-                continue
+            if fmin is None or isinstance(fmin, float) or isinstance(fmax, float):
+                continue  # no stats, or NaN-blind legacy float stats
             if lo is not None and fmax < lo:
                 return True
             if hi is not None and fmin > hi:
                 return True
         for col, s in in_sets.items():
             fmin, fmax = stats.get(col, (None, None))
-            if fmin is None:
+            if fmin is None or isinstance(fmin, float) or isinstance(fmax, float):
                 continue
             if not any(fmin <= v <= fmax for v in s):
                 return True
@@ -375,9 +383,14 @@ class DocStoreWriter(DataSourceArrowWriter):
             rows += batch.num_rows
             for field in batch.schema:
                 t = field.type
+                # floats are EXCLUDED: pyarrow min_max (like parquet
+                # footers) ignores NaN, but Spark SQL orders NaN above
+                # every double — NaN-blind bounds would prune files whose
+                # NaN rows a pushed `x > v` filter matches post-scan
+                # (the Iceberg nan_value_counts problem; we opt out of
+                # float pruning instead of tracking the flag)
                 if not (
                     pa.types.is_integer(t)
-                    or pa.types.is_floating(t)
                     or pa.types.is_string(t)
                     or pa.types.is_boolean(t)
                 ):
@@ -537,6 +550,10 @@ def _footer_stats(path: str) -> tuple[int, dict]:
     for i in range(md.num_columns):
         name = md.schema.column(i).name
         if "." in name:  # nested leaf — not a top-level prunable column
+            continue
+        if md.schema.column(i).physical_type in ("FLOAT", "DOUBLE"):
+            # footer min/max is NaN-blind while Spark orders NaN above
+            # all doubles — no float pruning (see DocStoreWriter.write)
             continue
         cmin = cmax = None
         ok = True

@@ -121,6 +121,49 @@ def test_pushed_filter_prunes_files(spark, table, tmp_path):
     assert len(glob.glob(f"{journal2}/opened-*")) == n_files
 
 
+def test_float_columns_never_prune_nan_files(spark, tmp_path):
+    """Manifest stats are NaN-blind for floats (pyarrow min_max and
+    parquet footers skip NaN) while Spark orders NaN ABOVE every double —
+    so under pruned_scan a pushed `x > v` must never prune a file whose
+    only matching rows are NaN. Guarded by not recording float stats at
+    all (the opt-out answer to Iceberg's nan_value_counts)."""
+    path = str(tmp_path / "nan_table")
+    rows = [(i, 1.5, i % 2) for i in range(10)] + [
+        (100 + i, float("nan"), 2) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, partition_id long"
+    ).repartition(3, "partition_id")
+    write_table(df, path, fmt="docstore")
+
+    man = docstore.load_manifest(path)
+    for f in man["files"]:
+        assert "score" not in f["stats"], f["stats"]  # floats: no stats
+        assert "doc_id" in f["stats"]                 # ints still prune
+
+    got = (
+        spark.read.format("docstore")
+        .option("path", path)
+        .option("pruned_scan", "true")
+        .load()
+        .filter(F.col("score") > 5.0)
+    )
+    # Spark: NaN > 5.0 is TRUE — all five NaN rows must survive the scan
+    assert got.count() == 5
+
+    # null-safe equality to NULL pushed alongside a range filter must not
+    # blow up planning (pushFilters skips None-valued filters)
+    both = (
+        spark.read.format("docstore")
+        .option("path", path)
+        .option("pruned_scan", "true")
+        .load()
+        .filter(F.col("doc_id").eqNullSafe(F.lit(None).cast("long")))
+        .filter(F.col("doc_id") > 3)
+    )
+    assert both.count() == 0
+
+
 def test_suite_through_docstore_matches_parquet(spark, table, tmp_path):
     """The full 8-constraint suite over a docstore-read documents table is
     verdict-identical to the same suite over the in-memory frame — the
