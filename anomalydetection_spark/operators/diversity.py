@@ -40,6 +40,8 @@ def kcenter_select(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    checkpoint_every: int = 32,
+    _plan_probe: list | None = None,
 ) -> DataFrame:
     """Greedy k-center selection under cosine distance (1 − cosine).
 
@@ -48,6 +50,14 @@ def kcenter_select(
     to the previously-selected set was maximal at the time of selection
     (rounded at 1e-6 for cross-engine comparison; the argmax itself uses
     full float64). Zero-norm vectors carry no direction and are excluded.
+
+    Plan growth is BOUNDED for real k: selected ids accumulate in a
+    materialized ``_sel`` flag column (never a growing ``isin`` literal),
+    and the running frame is ``localCheckpoint``-ed every
+    ``checkpoint_every`` rounds (the connected_components discipline,
+    dedup.py), so expression depth and lineage stay ≤ one batch no matter
+    how large k grows. ``_plan_probe``, when given a list, receives the
+    final internal plan string so tests can assert the bound.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -68,10 +78,12 @@ def kcenter_select(
             c = F.array(*[F.lit(float(x)) for x in center_v])
             return 1.0 - _dot(F.col("v"), c) / (F.col("norm") * F.lit(float(center_norm)))
 
-        cur = base.withColumn("min_dist", dist_to(seed["v"], seed["norm"]))
+        cur = base.withColumn("min_dist", dist_to(seed["v"], seed["norm"])).withColumn(
+            "_sel", F.col("id") == F.lit(int(seed["id"]))
+        )
         for r in range(2, k + 1):
             nxt = (
-                cur.filter(~F.col("id").isin([c[1] for c in chosen]))
+                cur.filter(~F.col("_sel"))
                 .orderBy(F.col("min_dist").desc(), F.col("id").asc())
                 .first()
             )
@@ -80,6 +92,13 @@ def kcenter_select(
             chosen.append((r, int(nxt["id"]), float(nxt["min_dist"])))
             cur = cur.withColumn(
                 "min_dist", F.least("min_dist", dist_to(nxt["v"], nxt["norm"]))
+            ).withColumn("_sel", F.col("_sel") | (F.col("id") == F.lit(int(nxt["id"]))))
+            if (r - 1) % checkpoint_every == 0:
+                # truncate lineage + expression depth; eager, executor-local
+                cur = cur.localCheckpoint()
+        if _plan_probe is not None:
+            _plan_probe.append(
+                cur._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
             )
         out = df.sparkSession.createDataFrame(
             chosen, f"rank int, {id_col} long, min_dist double"

@@ -64,6 +64,34 @@ def test_partitioning_invariance(spark):
     assert sa == sb
 
 
+def test_k256_bounded_plan_and_mirror_parity(spark):
+    """Real-k selection (k=256, round-3 verdict ask #5): the selected-id
+    predicate is an accumulated flag column, never a growing isin, and
+    localCheckpoint every 32 rounds caps expression depth — the final
+    internal plan must stay batch-sized (independent of k) and the
+    selection must still match the NumPy greedy exactly."""
+    ids, vecs = _vecs(seed=3, n=300, d=4)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in zip(ids, vecs)], "vec_id long, embedding array<double>"
+    )
+    probe: list = []
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in kcenter_select(df, k=256, _plan_probe=probe)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = [(r, i) for r, i, _ in _mirror(ids, vecs, 256)]
+    assert got == want
+    # after 256 rounds the plan reflects ≤ checkpoint_every rounds of
+    # expressions, not 256: no isin literal over chosen ids, and the
+    # analyzed-plan text is orders of magnitude below the unchecked
+    # O(k·d)-literal blowup (256 rounds × 4-float centers ≫ 100k chars)
+    (plan,) = probe
+    assert " IN (" not in plan
+    assert len(plan) < 100_000, len(plan)
+
+
 def test_k_exceeds_points_and_zero_norm_excluded(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
