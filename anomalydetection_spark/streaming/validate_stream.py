@@ -118,7 +118,7 @@ def start_validation_stream(
             )
 
             meta = explode_spans_meta(batch_df).select(
-                "partition_id", "text_len", "media_ref"
+                "doc_id", "partition_id", "text_len", "media_ref"
             )
             blobs = {r["partition_id"]: r for r in group_sketch_blobs(meta).collect()}
             rollup_rows = [
@@ -127,6 +127,7 @@ def start_validation_stream(
                     "sketch_blob": bytes(blobs[r["partition_id"]]["digest"]),
                     "hll_blob": bytes(blobs[r["partition_id"]]["hll"]),
                     "mg_blob": bytes(blobs[r["partition_id"]]["mg"]),
+                    "bloom_blob": bytes(blobs[r["partition_id"]]["bloom"]),
                 }
                 for r in res.partition_rollup.collect()
             ]

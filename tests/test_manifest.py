@@ -130,6 +130,103 @@ def test_resume_keeps_global_uniqueness(spark, tmp_path, inputs):
     assert parts == [0, 1]
 
 
+def test_pending_filter_anti_joins_above_threshold(spark, tmp_path):
+    """A resume over a 10⁴-done-partition manifest must plan the pending
+    filter as a broadcast anti-join against the manifest frame, never a
+    10⁴-term In literal (round-3 verdict minor 4b)."""
+    from anomalydetection_spark.plans.manifest import (
+        ManifestStore,
+        pending_partition_filter,
+    )
+
+    store = ManifestStore(spark, str(tmp_path / "bigstate"))
+    n_done = 10_000
+    store.mark_done(
+        [
+            {"partition_id": p, "row_count": 1, "violation_count": 0, "passed": True}
+            for p in range(n_done)
+        ],
+        run_id="seed",
+    )
+    done = store.done_partitions()
+    assert len(done) == n_done
+
+    docs = spark.range(0, 11_000).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("int").alias("partition_id")
+    )
+    pending = pending_partition_filter(docs, done, store.read())
+    plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        pending._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert " IN (" not in plan
+    assert pending.count() == 1_000  # exactly the not-done partitions
+
+    # small done sets keep the source-prunable In literal
+    small = pending_partition_filter(docs, {1, 2, 3}, store.read())
+    small_plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        small._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in small_plan
+    assert small.count() == 11_000 - 3
+
+
+def test_bloom_bounds_resumed_uniqueness_scope(spark, tmp_path, inputs):
+    """On resume, the global-uniqueness job scans only pending partitions
+    plus finished partitions whose stored doc_id Blooms contain a pending
+    doc_id — with verdicts identical to the full rescan (round-3 verdict
+    ask #7).
+
+    Needs a CLEAN table (the violation fixture injects hot-key dups into
+    EVERY partition, where widening to the full scope is the correct
+    answer — covered below): per-partition-unique doc_ids, plus one
+    injected 0↔5 duplicate, must pull exactly partition 0 back in."""
+    docs, media, baseline = inputs
+    clean = generate_documents(spark, clean_config(CFG))
+    extra = spark.createDataFrame(
+        [
+            ("bdup-9", [("text", "a b", None, 0)], 0),
+            ("bdup-9", [("text", "c d", None, 0)], 5),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, partition_id int",
+    )
+    docs2 = clean.unionByName(extra).cache()
+    golden = run_suite(docs2, media, baseline)
+
+    v = ResumableValidator(spark, str(tmp_path / "stateB"), str(tmp_path / "outB"))
+    first = v.run(docs2, media, baseline)
+    assert first["uniqueness_scope_partitions"] is None  # nothing done yet
+    v.manifest.invalidate([5])
+    s = v.run(docs2, media, baseline)
+    assert s["validated_partitions"] == [5]
+    # pending partition 5 + the one finished partition sharing a doc_id;
+    # partitions 1-4 are provably disjoint and skipped
+    assert s["uniqueness_scope_partitions"] == [0, 5]
+    # reduced scope, identical verdicts for the re-validated partition
+    assert _verdict_key(v.verdicts().filter("partition_id = 5")) == _verdict_key(
+        golden.verdicts.filter("partition_id = 5")
+    )
+    docs2.unpersist()
+
+    # the violation fixture injects pair/hot dups across partitions — the
+    # probe must return a SUPERSET of the partitions that truly share a
+    # doc_id with pending partition 5 (no false negatives; fp may widen)
+    dirty, _, _ = inputs
+    p5_ids = dirty.filter("partition_id = 5").select("doc_id").distinct()
+    truly_sharing = {
+        r["partition_id"]
+        for r in dirty.join(p5_ids, "doc_id", "left_semi")
+        .select("partition_id")
+        .distinct()
+        .collect()
+    }
+    v2 = ResumableValidator(spark, str(tmp_path / "stateB2"), str(tmp_path / "outB2"))
+    v2.run(dirty, media, baseline)
+    v2.manifest.invalidate([5])
+    s2 = v2.run(dirty, media, baseline)
+    assert truly_sharing <= set(s2["uniqueness_scope_partitions"])
+
+
 def test_manifest_pointer_swap_never_leaves_gap(spark, tmp_path):
     """mark_done publishes a new version dir then flips a pointer file —
     the previously-published manifest stays readable under its own dir
@@ -271,7 +368,7 @@ def test_sketch_blobs_single_scan_and_family_parity(spark, tmp_path, inputs):
     path = str(tmp_path / "docs_pq")
     docs.write.parquet(path)
     meta = reassembly.explode_spans_meta(spark.read.parquet(path)).select(
-        "partition_id", "text_len", "media_ref"
+        "doc_id", "partition_id", "text_len", "media_ref"
     )
 
     fused = group_sketch_blobs(meta)
