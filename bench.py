@@ -92,6 +92,7 @@ def run_suite_once(
     n_docs: int,
     shuffle_partitions: int | None = None,
     input_dir: str | None = None,
+    per_constraint: bool = False,
 ) -> dict:
     """Run the full constraint suite on synthetic docs; return timing.
 
@@ -138,13 +139,31 @@ def run_suite_once(
             rep_secs.append(time.time() - t0)
             spark.catalog.clearCache()  # drop rep-1's persisted violation frames
         elapsed = min(rep_secs)
+
+        # per-constraint standalone walls (round-3 verdict ask #8): each
+        # constraint run ALONE so cross-round headlines normalize by what
+        # the suite actually evaluated — a 5-constraint 86k docs/s is not
+        # comparable raw to a 10-constraint 67k. Standalone walls sum to
+        # MORE than the fused suite (the fused plan shares the scan /
+        # exploded view across constraints — that gap is the fusion win).
+        from anomalydetection_spark.plans.suite import ALL_CONSTRAINTS
+
+        constraint_secs: dict[str, float] = {}
+        if per_constraint:
+            for cname in ALL_CONSTRAINTS:
+                t0 = time.time()
+                r1 = run_suite(docs, media, baseline, suite_cfg, constraints=[cname])
+                r1.verdicts.count()
+                r1.violations.count()
+                constraint_secs[cname] = round(time.time() - t0, 3)
+                spark.catalog.clearCache()
     finally:
         spark.stop()
         if owns_tmp:
             shutil.rmtree(input_dir, ignore_errors=True)
     # headline docs_per_sec is best-of-N (warm JVM/page-cache); the per-rep
     # list rides along so every consumer sees the cold/warm spread too
-    return {
+    out = {
         "n_docs": n,
         "elapsed_sec": elapsed,
         "rep_secs": [round(s, 3) for s in rep_secs],
@@ -152,7 +171,12 @@ def run_suite_once(
         "docs_per_sec_per_rep": [round(n / s, 1) for s in rep_secs],
         "n_verdicts": n_verdicts,
         "n_violations": n_viol,
+        "n_constraints": len(ALL_CONSTRAINTS),
+        "constraints": list(ALL_CONSTRAINTS),
     }
+    if constraint_secs:
+        out["constraint_secs"] = constraint_secs
+    return out
 
 
 def main() -> int:
@@ -160,6 +184,7 @@ def main() -> int:
     ap.add_argument("--scaling", action="store_true", help="measure N vs 4N cores into BENCH.md")
     ap.add_argument("--suite-docs", type=int, default=None)
     ap.add_argument("--_suite-worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--per-constraint", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--_prep-worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--input-dir", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--master", default=None, help=argparse.SUPPRESS)
@@ -171,7 +196,12 @@ def main() -> int:
         return 0
 
     if args._suite_worker:
-        r = run_suite_once(args.master, args.suite_docs or 100_000, input_dir=args.input_dir)
+        r = run_suite_once(
+            args.master,
+            args.suite_docs or 100_000,
+            input_dir=args.input_dir,
+            per_constraint=args.per_constraint,
+        )
         print("WORKER_RESULT " + json.dumps(r))
         return 0
 
@@ -258,6 +288,7 @@ def main() -> int:
         eff_med = med[hi] / (4 * med[lo])
         report = {
             "n_docs": n_suite_docs,
+            "n_constraints": results[lo].get("n_constraints"),
             f"throughput_local{lo}_docs_per_sec": round(results[lo]["docs_per_sec"], 1),
             f"throughput_local{hi}_docs_per_sec": round(results[hi]["docs_per_sec"], 1),
             "scaling_efficiency": round(eff, 3),
@@ -340,7 +371,7 @@ def main() -> int:
     # suite worker uses the per-executor-sized local[8] unless overridden.
     suite_cpus = int(os.environ.get("SPARK_GRAFT_SUITE_CPUS", min(int(cpus), 8)))
     cmd = [
-        sys.executable, __file__, "--_suite-worker",
+        sys.executable, __file__, "--_suite-worker", "--per-constraint",
         "--master", f"local[{suite_cpus}]", "--suite-docs", str(n_suite_docs),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -360,6 +391,11 @@ def main() -> int:
         "sf": sf,
         "suite_docs": n_suite_docs,
         "docs_per_sec": round(suite["docs_per_sec"], 1) if suite else None,
+        # cross-round normalization (ask #8): what the suite evaluated and
+        # what each constraint costs standalone — never compare docs/sec
+        # headlines across rounds with different constraint counts
+        "n_constraints": suite["n_constraints"] if suite else None,
+        "constraint_secs": (suite or {}).get("constraint_secs"),
     }
     print(json.dumps(result))
     return 0
