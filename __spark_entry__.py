@@ -41,140 +41,135 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness gate checks a bounded prefix of this
-# registry (50 entries in round 2), so ordering is part of the contract:
-# the flagship suite leads, then the operators whose oracles are newest or
-# least redundant, one entry per operator family inside the checked window.
-# _TAIL holds only same-family redundants — each one's operator family is
-# already hash-checked by an earlier entry (noted inline) — so a prefix cut
-# never leaves a family driver-unverified.
+# registry (50 entries in rounds 2 and 3), so ordering is part of the
+# contract. Round-4 rotation policy (verdict r03 ask #4): the flagship
+# suite stays first, then every entry that has NEVER had a driver row
+# (27 of them after the round-3 retirement of 15 redundant entries into
+# plans/retired.py), then every entry whose operator or oracle twin
+# CHANGED this round, then the stalest previously-green entries (last
+# driver-checked r01, then r02). _TAIL holds only entries that are
+# driver-verified hash-green in r03 (or r02) AND untouched since — each
+# one's family also keeps an in-window representative (noted inline) —
+# so a prefix cut never leaves a family driver-unverified.
 _PRIORITY = [
-    "suite_verdicts",          # flagship product query (full DuckDB twin)
-    "anomaly_daily_event_counts",  # new: metric-history anomaly flags (online-normal, integer-exact)
-    "profile_suggest_documents",   # new: constraint suggestion (profile -> complete/unique/isin/range rules)
-    "entropy_lang_by_source",      # new: entropy/distinctness analyzer (exact bigint numerators)
-    "mi_lang_source",              # new: mutual-information analyzer (joint-derived marginals)
-    "corr_hour_value_by_type",     # new: Pearson correlation from exact bigint moment sums
-    "placement_audit_docs",        # new: partition-transform consistency audit (map-only)
-    "pca_anomaly_by_label",    # new model-literal oracle this round
-    "ann_pq_topk",             # new PQ ADC oracle this round
-    "drift_ks_js_hellinger_by_source",  # new: bounded drift triple (KS exact CDF-gap max, smoothing-free JS, Hellinger)
-    "moments_n_chars_by_lang",     # new: Deequ shape analyzers (variance/skewness/kurtosis) from exact power sums
-    "hybrid_rrf_topk",             # new: reciprocal-rank fusion of BM25 + dense cosine (int64 fixed-point fusion)
-    "pii_scan_by_source",      # new: PII scan + redaction accounting
-    "pack_chunks_stats",       # new: concat-and-chunk sequence packing
-    "skew_audit_user_events",  # new: hot-key audit (share-of-total + multiple-of-mean, TakeOrdered top-k)
-    "temperature_sample_sources",  # new: deterministic temperature sampling
-    "decontaminate_docs",      # new: benchmark n-gram decontamination
-    "repetition_quality_by_lang",  # new: Gopher-rules repetition metrics
-    "domain_mixture_weights",  # new: training-mix planning
-    "normalize_text_stats",    # new: markup strip + Unicode NFC (Arrow UDF)
-    "mad_outlier_hours",       # new: median/MAD robust outlier flags
-    "dedup_incremental",       # new: ingest-batch dedup vs corpus (bloom short-circuit)
-    "frame_near_dup_docs",     # new: frame-level media near-dup (capped frame-hash blocking, video analog of substring dedup)
-    "semdedup_clusters",       # new: cluster-blocked semantic dedup (SemDeDup)
-    "quality_classifier_stats",  # new: hashed linear quality classifier filter
-    "q18_large_orders",        # new: group-filter-then-join-back (TPC-H Q18 shape)
-    "bm25_topk_docs",          # new: BM25 lexical retrieval top-k
-    "unigram_nll_by_source",   # new: self-trained unigram LM scoring (perplexity-filter analog)
-    "q4_priority_late_exists", # new: EXISTS decorrelated to a conditioned semi-join (TPC-H Q4 shape)
-    "q17_small_quantity_share",  # new: correlated scalar-avg predicate, integer cross-multiplied (Q17 shape)
-    "epoch_order_stats",       # new: deterministic epoch shuffle (seed-keyed rank within seed-free shards, no global sort)
-    "dedup_keep_best_quality", # new: quality-argmax cluster canonicalization (components in-plan)
-    "tdigest_bounds_events",
-    "drift_wasserstein_chisq_by_source",  # new: distance-aware drift pair (W1 CDF-gap + chi-square homogeneity)
-    "media_near_dup_pairs",    # new: media near-dup (average-hash banding over byte histograms, capped buckets, exact integer L1 verify)
-    "stats_documents",
-    "fd_audit_events",         # new: functional-dependency audit (uniqueness generalized to key→dependent consistency)
-    "referential_orphans",
-    "freshness_events_by_type",  # new: event-time recency audit (opt-in constraint core)
-    "topk_rank_drift_events",  # new: heavy-hitter rank drift (membership/order churn vs global top-k, exact integer output)
-    "template_merge_events",
-    "sessionize_events",
-    "topk_users_by_type",
-    "hopping_window_counts",   # new: overlapping hopping windows vs an arithmetic DuckDB construction
-    "expression_rules_documents",  # new: named row-level SQL predicate rules (dbt-test analog), fused single scan
-    "reconcile_orders_copy",   # new: two-table reconciliation (count/checksum gate + key-level diff statuses)
-    "grouping_sets_orders",
-    "kcenter_diverse_embeddings",  # new: farthest-point diversity selection (k-center greedy coreset)
-    "dsir_importance_by_lang",  # new: DSIR hashed-n-gram importance weights (target vs raw bag models)
-    "class_centroid_stats",     # new: exact fixed-point per-class centroid norm + dispersion
+    "suite_verdicts",          # flagship product query (full DuckDB twin); also re-proves the round-4 manifest/uniqueness resume changes feeding the suite
+    "moments_n_chars_by_lang", # the ONE r03-red cell: shape columns now exact fixed-point (no double round on the hash boundary) — must re-verify
+    "benford_totalprice",      # never driver-checked + round-4 deterministic log10 quantization fix rides the same discipline
+    "media_near_dup_pairs",    # r03-green but REWORKED this round: frequency cap now broadcasts the bounded HOT set and anti-joins (was corpus-sized kept-set broadcast)
+    "frame_near_dup_docs",     # same hot-set anti-join rework at frame granularity
+    "kcenter_diverse_embeddings",  # r03-green but REWORKED: chosen-set anti-join + periodic localCheckpoint (plan depth bounded for real k)
+    "drift_ks_js_hellinger_by_source",  # oracle twin CHANGED: grid is now the full bucket union (current-only buckets count)
+    "drift_wasserstein_chisq_by_source",  # same oracle-grid change on the W1/chi-square pair
+    # ---- never driver-checked (26 more) ----
+    "mahalanobis_anomaly_by_label",  # full-covariance Mahalanobis scoring, model-literal oracle
+    "corr_matrix_events",      # one-pass all-pairs correlation matrix from exact bigint moment sums
+    "bigram_nll_by_source",    # order-2 Stupid-Backoff LM scoring, fixed-point ln
+    "ppl_buckets_by_source",   # perplexity bucketing over the unigram NLL core
+    "dup_ngram_coverage",      # Lee et al. duplicate-window substring coverage (60-bit window hashes)
+    "c4_quality_filter_stats", # C4 line-level filter accounting
+    "url_domain_stats_blocked",  # URL domain extraction + broadcast blocklist anti-join
+    "retention_cohorts",       # cohort retention matrix (first-seen join-back + conditional aggs)
+    "funnel_stages",           # strictly-ordered funnel (chained conditional min-ts)
+    "gapfill_daily_activity",  # dense-calendar gap-fill (generated dimension + outer join)
+    "set_ops_users",           # INTERSECT/EXCEPT physical set-ops
+    "unpivot_user_metrics",    # UNPIVOT/melt (Expand-node stack)
+    "q2_cheapest_supplier",    # groupwise-min join-back with ties kept
+    "q7_volume_shipping",      # two-nation-path star + symmetric pair disjunction
+    "q8_market_share",         # conditional-agg market-share ratio over a 5-way star
+    "q9_product_profit",       # name-filter-pruned star profit agg
+    "q10_returned_items",      # agg-then-join-back top-k on returned lineitems
+    "q11_important_stock",     # group share vs scalar-agg threshold, integer cross-multiplied
+    "q12_late_priority_lines", # conditional-count shipmode classification
+    "q14_promo_share",         # conditional share over a broadcast join, single-row output
+    "q15_top_revenue_supplier",  # scalar-max argmax with ties kept
+    "q16_supplier_variety",    # NOT-IN anti-join + grouped distinct-agg
+    "q19_branded_revenue",     # post-join disjunctive predicate over a hash equi-join
+    "q20_heavy_suppliers",     # nested semi-join + grouped-HAVING half-sum threshold
+    "q21_sole_blame_suppliers",  # EXISTS + NOT EXISTS self-join chain
+    "q22_idle_rich_customers", # scalar-avg threshold + anti-join composition
+    # ---- stalest green: last driver-checked in r01 ----
+    "multimodal_decode_stats", # mapInPandas decode-accounting (Arrow batch path)
+    "above_brand_avg_lineitems",  # decorrelated per-group scalar-avg predicate
+    "pandas_udf_token_stats",  # Arrow scalar-iterator UDF token accounting
+    "token_count_bpe",         # BPE-ish subword counting (JVM regex split)
+    "fingerprint_docs",        # min-shingle-hash document fingerprints
+    # ---- stalest green: last driver-checked in r02 ----
+    "uniqueness_partkey",      # uniqueness VERDICT core (suite constraint family)
+    "threshold_verdict_events",  # exact-percentile threshold → verdict rows
+    "drift_kl_psi_by_source",  # KL/PSI drift pair (suite constraint family)
+    "roc_auc_embeddings",      # bucketed two-phase Mann-Whitney AUC
+    "curation_pipeline",       # composed dedup→langid→quality curation plan
+    "ann_cosine_topk",         # brute-force exact-cosine top-k baseline
+    "dedup_embedding_cosine",  # SRP-banded embedding near-dup
+    "eval_metrics_embeddings", # accuracy/P/R/F1 from confusion counts
+    "confusion_matrix_embeddings",  # 2-D label-agreement counts
+    "template_mining_events",  # masked template extraction (Drain-analog batch)
+    "asof_last_purchase",      # as-of join via conditional last() carry-forward
 ]
 _TAIL = [
-    "q21_sole_blame_suppliers",  # EXISTS + NOT EXISTS self-join chain: the conditioned semi-join (EXISTS) is q4_priority_late_exists in-window and the anti-join (NOT EXISTS) is referential_orphans in-window; locally hash-green, operator unchanged this session
-    "url_domain_stats_blocked",  # blocklist accounting: regex-extract scan accounting is pii_scan_by_source in-window; broadcast membership anti-join is referential_orphans in-window; locally hash-green, unchanged
-    "benford_totalprice",      # first-digit conformance: the histogram + broadcast-baseline-grid core is the in-window drift family (drift_ks_js_hellinger/wasserstein) and skew_audit_user_events keeps the audit family in-window; locally hash-green, unchanged
-    "multimodal_decode_stats", # multimodal Arrow family: media_near_dup_pairs in-window drives the same mapInPandas byte path (byte_histograms) plus banding; decode accounting itself locally hash-green, operator unchanged
-    "shard_assignment_stats",  # shard family: epoch_order_stats in-window re-derives the identical md5-mod shard column before ranking (strictly stronger coverage); locally hash-green, operator unchanged
-    "threshold_verdict_events",  # r02 driver-verified green (hash), operator unchanged; percentile-threshold family in-window via mad_outlier_hours (percentile scalar-agg crossJoin) and pca_anomaly_by_label (q95 threshold verdicts)
-    "dup_ngram_coverage",      # windowed-exact-hash family: frame_near_dup_docs in-window shares the capped window-hash self-join core (binary frames vs token windows); locally hash-green, operator unchanged
-    "mahalanobis_anomaly_by_label",  # anomaly-scoring family: pca_anomaly_by_label in-window shares the one-pass moment fit, q95-threshold pipeline, and model-literal oracle pattern; locally hash-green
-    "corr_matrix_events",      # correlation family: corr_hour_value_by_type in-window shares the exact bigint moment-sum core; the matrix form pivots the one aggregated row driver-side; locally hash-green
-    "bigram_nll_by_source",    # LM-scoring family: unigram_nll_by_source in-window shares the fixed-point ln + bigint-predicate core; the order-2 Stupid-Backoff upgrade is locally hash-green
-    "mad_outlier_hours_by_type",  # robust-outlier family: mad_outlier_hours in-window shares the median/MAD core; the grouped variant swaps scalar crossJoins for group-keyed percentile aggs; locally hash-green
-    "uniqueness_partkey",      # uniqueness VERDICT family: suite_verdicts (in-window) hash-checks the uniqueness constraint end-to-end in its DuckDB twin, and fd_audit_events generalizes the same distinct-per-key core; r02 driver-verified green, operator unchanged
-    "set_ops_users",           # INTERSECT/EXCEPT surface: both component queries (intersect_users, except_users) were driver-verified hash-green in r02 and the physical set-op family is unchanged since; locally hash-green
-    "boilerplate_paragraphs",  # paragraph-level exact dedup: the md5-identity hash-agg core is dedup_incremental's in-window path (same family as dedup_exact, also tail); locally hash-green
-    "c4_quality_filter_stats", # C4 line filtering: line-split ratio accounting shared with in-window repetition_quality_by_lang (Gopher rules) and the Arrow path via normalize_text_stats; locally hash-green
-    "funnel_stages",           # strictly-ordered funnel: chained conditional min-ts aggregates — the same per-user conditional-agg core as retention_cohorts (tail) and in-window sessionize_events (per-user ordered aggregation); locally hash-green
-    "gapfill_daily_activity",  # dense-calendar gap-fill: its generated-dimension broadcast + outer-join-onto-grouped-counts core is exactly hopping_window_counts' in-window shape; locally hash-green
-    "drift_kl_psi_by_source",  # driver-verified green in r02 (hash); KL/PSI drift family stays in-window twice over: suite_verdicts re-derives both scores in its DuckDB twin and drift_wasserstein_chisq_by_source shares the histogram-grid core
-    "q1_pricing_summary",      # driver-verified green in r02 (hash), query untouched since; single-hash-agg family also in-window via stats_documents
-    "q13_order_count_distribution",  # driver-verified green in r02 (hash), untouched; outer-join + grouped-count family in-window via gapfill/grouping_sets
-    "dedup_minhash_lsh",       # driver-verified green in r02 (hash), untouched; banded near-dup family in-window via dedup_incremental + semdedup_clusters
-    "parse_logs",              # driver-verified green in r02 (hash), untouched; positional parse family also exercised by template_merge_events (same parse core) in-window
-    "stratified_sample_langs", # driver-verified green in r02 (hash), untouched; deterministic-sampling family in-window via temperature_sample_sources
-    "roc_auc_embeddings",      # driver-verified green in r02 (hash), untouched since the r2 bucketed rank fix (plan-asserted in tests); metric family in-window via eval/confusion entries? (eval_metrics in tail) — rank-bucket core pinned by test_plans
-    "dedup_simhash",           # driver-verified green in r02 (hash), unchanged; near-dup family also in-window via dedup_minhash_lsh
-    "lang_id_confusion",       # driver-verified green in r02 (hash), unchanged; text-stats family in-window via token/quality entries
-    "asof_last_purchase",      # driver-verified green in r02 (hash), operator unchanged since; carry-forward window family also exercised by running_total_user
-    "range_join_windows",      # driver-verified green in r02 (hash), unchanged; broadcast-equi-join rewrite family with hopping_window_counts (bucketed containment) in-window
-    "zorder_event_buckets",    # driver-verified green in r02 (hash), unchanged; layout family also pinned by test_layout + docstore zorder compaction tests
-    "ann_ivf_topk",            # cell-pruned ANN family: ann_pq_topk (same coarse quantization + exact-cosine rerank) and semdedup_clusters (broadcast-centroid assignment) in-window; recall floored in tests
-    "dedup_components",        # min-label-propagation family: dedup_keep_best_quality runs the same connected_components in-window (plus the quality argmax)
-    "dedup_ngram_jaccard",     # shingle→exact-Jaccard family: dedup_minhash_lsh in-window shares the df-capped shingle + jaccard_verify core
-    "dedup_embedding_cosine",  # embedding near-dup family: semdedup_clusters in-window shares the cosine≥τ within-block core (SRP banding parity-tested in tests)
-    "above_brand_avg_lineitems",  # decorrelated scalar-avg family: q17_small_quantity_share in-window is the same two-scan rewrite (per-group avg joined back)
-    "q16_supplier_variety",    # NOT-IN anti + grouped distinct-agg: referential_orphans (anti) + stats_documents (distinct) families in-window
-    "q22_idle_rich_customers", # scalar-avg + anti-join composition: q17 (cross-multiplied scalar avg) + referential_orphans (anti) in-window
-    "ppl_buckets_by_source",   # unigram-LM scoring family: unigram_nll_by_source in-window shares the fixed-point NLL core
-    "ann_cosine_topk",            # ANN family: ann_ivf_topk + ann_pq_topk in-window share the exact-cosine scoring core (parity-tested)
-    "quality_by_source",          # quality-scoring family: quality_classifier_stats + repetition_quality_by_lang in-window
-    "group_count_having",         # A2/A3 group-count+HAVING family: uniqueness_partkey (same VERDICT row) + q18_large_orders (HAVING>250) in-window
-    "confusion_matrix_embeddings",  # A9 2-D group-count family: grouping_sets_orders (cube margins) in-window; A8 derivation covered with eval_metrics below
-    "q3_shipping_priority",       # 3-way-join+topk family: q18_large_orders (join-back+topk) + q13 (outer) in-window
-    "dedup_exact",                # exact-hash dedup family: dedup_incremental (same md5-identity core + bloom) in-window
-    "q5_local_supplier_volume",   # multi-way equi-join family: q18 (join-back) + q13 (outer) stay in-window
-    "eval_metrics_embeddings",    # A8 derives from A9 confusion counts (confusion_matrix_embeddings, tail) + A10 roc_auc in-window
-    "pandas_udf_token_stats",     # Arrow scalar-iterator UDF family: normalize_text_stats (same mapInArrow/pandas batch path) in-window; r02 hash-green, untouched
-    "token_count_bpe",            # subword-count family: pandas_udf_token_stats hash-checks the same accounting via the Arrow path
-    "fingerprint_docs",           # min-shingle-hash family: dedup_minhash_lsh hash-checks the shingle→min-hash core in-window
-    "running_total_user",      # beyond-§2 frame specs; window family checked by topk (rank) + ntile
-    "pivot_event_counts",      # beyond-§2 pivot; event-type agg family checked by topk_users_by_type
-    "distinct_agg_customers",  # A12 distinct family: stats_documents approx/exact distincts
-    "left_join_null_handling", # outer-join-null family: q13 left join + set_ops_users
-    "sql_api_revenue_by_status",  # SQL-API surface over the q1 scan-agg family
-    "sample_deterministic",    # sampling family (R1): stratified_sample_langs (R2)
-    "ntile_value_quartiles",   # window family: topk (rank) + running_total (frame)
-    "histogram_n_chars",       # A11 histograms: drift_kl_psi_by_source builds them
-    "token_stats_lang",        # text-stats family: token_count_bpe + pandas_udf_token_stats
-    "curation_pipeline",       # composition of dedup/lang/quality entries above
-    "tumbling_hourly",         # X4 window family: sessionize_events
-    "template_mining_events",  # template family: template_merge_events masks + merges
-    "multimodal_frame_stats",  # multimodal family: multimodal_decode_stats
-    "q6_revenue_filter",       # scan+filter+agg family: q1_pricing_summary
-    "retention_cohorts",       # beyond-§2 cohort matrix; join-back (q18) + distinct-agg (stats_documents) families in-window
-    "q15_top_revenue_supplier",  # scalar-max argmax family: mad_outlier_hours (scalar-agg crossJoin) + topk_users_by_type (rk=1 argmax) in-window
-    "q19_branded_revenue",     # post-join disjunctive predicate over a hash equi-join: q18 (join+agg) + q6 (filter+agg) families in-window
-    "q20_heavy_suppliers",     # nested semi-join + grouped-HAVING subquery: q4 (conditioned semi-join) + q17 (integer cross-multiplied avg) in-window
-    "q7_volume_shipping",      # two-dimension-path star + symmetric pair disjunction: q5 (6-way star) + q19 (post-join disjunction) families
-    "q8_market_share",         # conditional-agg ratio over a 5-way star: q5 (star) + q14-style case-sum; share derives from bigint sums
-    "q9_product_profit",       # semi-join-pruned star agg: q20 (name-family semi before agg) + q5 (star) families
-    "q10_returned_items",      # agg-then-join-back topk: q18 (join-back) + q3 (topk) families
-    "q12_late_priority_lines", # conditional-count classification on a hash join: q4 (late predicate rides join) + pivot-style case-sums
-    "q14_promo_share",         # conditional share over a broadcast join: q8 case-sum ratio family, single-row output
-    "q2_cheapest_supplier",    # groupwise-min join-back with ties kept: q15 (scalar-max argmax) + q17 (per-group agg join-back) families
-    "q11_important_stock",     # group share vs scalar-agg threshold: q22/mad_outlier scalar-agg crossJoin family, integer cross-multiplied
-    "unpivot_user_metrics",    # UNPIVOT/melt (Expand-node stack): the wide→long complement of pivot_event_counts (in tail)
+    # Every entry below is driver-verified hash-green in CORRECTNESS_r03.json
+    # (or r02 where noted) and its operator + oracle twin are UNTOUCHED since
+    # that green row; the inline note names the in-window family twin.
+    "anomaly_daily_event_counts",  # r03 green; metric-ledger anomaly family also exercised by suite_verdicts' ledger writes
+    "profile_suggest_documents",   # r03 green; profiler shares stats_documents' analyzer core (stats family in-window via suite_verdicts)
+    "entropy_lang_by_source",      # r03 green; exact-bigint info-theory family in-window via corr_matrix_events
+    "mi_lang_source",              # r03 green; same joint-histogram core as entropy_lang_by_source
+    "corr_hour_value_by_type",     # r03 green; scalar Pearson is a projection of in-window corr_matrix_events
+    "placement_audit_docs",        # r03 green; map-only partition-transform audit, pinned by test_placement
+    "pca_anomaly_by_label",        # r03 green (model-literal oracle); anomaly-scoring family in-window via mahalanobis_anomaly_by_label
+    "ann_pq_topk",                 # r03 green; ANN family in-window via ann_cosine_topk (exact-cosine rerank shared)
+    "hybrid_rrf_topk",             # r03 green; fusion consumes the in-window ann_cosine_topk + r03-green bm25 cores
+    "pii_scan_by_source",          # r03 green; regex-scan accounting family in-window via url_domain_stats_blocked
+    "pack_chunks_stats",           # r03 green; two-phase prefix-scan packing, pinned by test_training_ops
+    "skew_audit_user_events",      # r03 green; hot-key audit family in-window via topk rank cores (roc_auc/threshold)
+    "temperature_sample_sources",  # r03 green; deterministic-sampling family in-window via stratified (tail r02) + retired sample parity test
+    "decontaminate_docs",          # r03 green; broadcast shingle membership shares url blocklist anti-join shape (in-window)
+    "repetition_quality_by_lang",  # r03 green; Gopher rules family in-window via c4_quality_filter_stats
+    "domain_mixture_weights",      # r03 green; mixture planning over in-window-checked quality/token stats
+    "normalize_text_stats",        # r03 green; Arrow NFC UDF family in-window via pandas_udf_token_stats
+    "mad_outlier_hours",           # r03 green; median/MAD family in-window via threshold_verdict_events (percentile crossJoin core)
+    "dedup_incremental",           # r03 green; md5-identity + bloom short-circuit, exact-dedup family pinned by retired-parity tests
+    "semdedup_clusters",           # r03 green; cluster-blocked cosine dedup family in-window via dedup_embedding_cosine
+    "quality_classifier_stats",    # r03 green; hashed linear classifier shares c4/repetition accounting (in-window)
+    "q18_large_orders",            # r03 green; group-HAVING join-back family in-window via q10_returned_items
+    "bm25_topk_docs",              # r03 green; lexical retrieval, query-vocab-bounded posting core pinned by test_retrieval paths
+    "unigram_nll_by_source",       # r03 green; LM family in-window via bigram_nll_by_source + ppl_buckets_by_source
+    "q4_priority_late_exists",     # r03 green; EXISTS semi-join family in-window via q21_sole_blame_suppliers
+    "q17_small_quantity_share",    # r03 green; correlated scalar-avg family in-window via above_brand_avg_lineitems
+    "epoch_order_stats",           # r03 green; shard-rank family, shard column re-derived (retired shard_assignment parity test)
+    "dedup_keep_best_quality",     # r03 green; components + argmax canonicalization (retired dedup_components parity test)
+    "tdigest_bounds_events",       # r03 green; t-digest UDAF family pinned by test_tdigest + suite sketch blobs
+    "stats_documents",             # r03 green; per-column stats analyzer re-proved inside in-window suite_verdicts' twin
+    "fd_audit_events",             # r03 green; FD audit generalizes in-window uniqueness_partkey's distinct-per-key core
+    "referential_orphans",         # r03 green; anti-join family in-window via q21 (NOT EXISTS) + url blocklist
+    "freshness_events_by_type",    # r03 green; recency audit shares threshold_verdict_events' scalar-agg core (in-window)
+    "topk_rank_drift_events",      # r03 green; rank-churn drift shares the in-window drift grid + topk cores
+    "template_merge_events",       # r03 green; template family in-window via template_mining_events (same parse+mask core)
+    "sessionize_events",           # r03 green; session windows share funnel_stages' per-user ordered-agg core (in-window)
+    "topk_users_by_type",          # r03 green; rank-window top-k family in-window via q10_returned_items + roc_auc
+    "hopping_window_counts",       # r03 green; hopping windows share gapfill_daily_activity's generated-grid join (in-window)
+    "expression_rules_documents",  # r03 green; fused row-level rule scan, pinned by test_suite_configs
+    "reconcile_orders_copy",       # r03 green; reconciliation diff statuses share set_ops_users' set-op core (in-window)
+    "grouping_sets_orders",        # r03 green; cube/grouping-sets family in-window via confusion_matrix_embeddings margins
+    "dsir_importance_by_lang",     # r03 green; hashed-feature bag models share quality classifier + token accounting (in-window)
+    "class_centroid_stats",        # r03 green; fixed-point centroid norms share ann_cosine_topk's vector reduce core (in-window)
+    "q1_pricing_summary",          # r02 green, untouched; single-hash-agg family in-window via suite stats + q14 conditional sums
+    "q13_order_count_distribution",  # r02 green, untouched; outer-join null-group family in-window via gapfill_daily_activity
+    "dedup_minhash_lsh",           # r02 green, untouched; banded near-dup family in-window via dedup_embedding_cosine (SRP bands)
+    "parse_logs",                  # r02 green, untouched; positional parse family also in template_mining_events (in-window)
+    "stratified_sample_langs",     # r02 green, untouched; per-stratum deterministic sampling (R2) over the retired-parity-tested R1 core
+    "dedup_simhash",               # r02 green, untouched; near-dup family in-window via dedup_embedding_cosine + minhash (tail, r02)
+    "lang_id_confusion",           # r02 green, untouched; text-stats family in-window via token_count_bpe + c4 filter
+    "range_join_windows",          # r02 green, untouched; bucketed containment rewrite shares hopping's bucket-grid shape
+    "zorder_event_buckets",        # r02 green, untouched; layout family also pinned by docstore z-order compaction tests
+    "ann_ivf_topk",                # r02 green, untouched; cell-pruned ANN family in-window via ann_cosine_topk (recall floors in pytest)
+    "dedup_ngram_jaccard",         # r02 green, untouched; shingle→exact-Jaccard shares minhash's df-capped verify core
+    "quality_by_source",           # r02 green, untouched; quality-scoring family in-window via c4_quality_filter_stats
+    "q3_shipping_priority",        # r02 green, untouched; join+topk family in-window via q10_returned_items
+    "q5_local_supplier_volume",    # r02 green, untouched; multi-way star family in-window via q7/q8/q9
+    "pivot_event_counts",          # r02 green, untouched; pivot is the wide complement of in-window unpivot_user_metrics
+    "ntile_value_quartiles",       # r02 green, untouched; ordered-window family in-window via roc_auc (rank buckets)
+    "q6_revenue_filter",           # r02 green, untouched; scan+filter+agg family in-window via q14_promo_share
 ]
 
 

@@ -1522,7 +1522,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_revenue_filter": q6_revenue_filter,
     "q3_shipping_priority": q3_shipping_priority,
-    "group_count_having": group_count_having,
     "stats_documents": stats_documents,
     "uniqueness_partkey": uniqueness_partkey,
     "referential_orphans": referential_orphans,
@@ -1532,7 +1531,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # test_scalable_matches_plain_anti_join pins directly — the registry
     # slot goes to a query the driver can't otherwise see.
     "range_join_windows": range_join_windows,
-    "histogram_n_chars": histogram_n_chars,
     "drift_kl_psi_by_source": drift_kl_psi_by_source,
     "drift_wasserstein_chisq_by_source": drift_wasserstein_chisq_by_source,
     "drift_ks_js_hellinger_by_source": drift_ks_js_hellinger_by_source,
@@ -1542,8 +1540,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_metrics_embeddings": eval_metrics_embeddings,
     "parse_logs": parse_logs,
     "sessionize_events": sessionize_events,
-    "tumbling_hourly": tumbling_hourly,
-    "sample_deterministic": sample_deterministic,
     "template_mining_events": template_mining_events,
     "template_merge_events": template_merge_events,
     "roc_auc_embeddings": roc_auc_embeddings,
@@ -1555,14 +1551,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_value_quartiles": ntile_value_quartiles,
     "stratified_sample_langs": stratified_sample_langs,
     "set_ops_users": set_ops_users,
-    "running_total_user": running_total_user,
     "pivot_event_counts": pivot_event_counts,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "asof_last_purchase": asof_last_purchase,
     "q13_order_count_distribution": q13_order_count_distribution,
-    "sql_api_revenue_by_status": sql_api_revenue_by_status,
-    "distinct_agg_customers": distinct_agg_customers,
-    "left_join_null_handling": left_join_null_handling,
     "zorder_event_buckets": zorder_event_buckets,
 }
 
@@ -1570,12 +1562,10 @@ ORACLE_SQL: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q6_revenue_filter": Q6_SQL,
     "q3_shipping_priority": Q3_SQL,
-    "group_count_having": GROUP_COUNT_SQL,
     "stats_documents": STATS_SQL,
     "uniqueness_partkey": UNIQUENESS_SQL,
     "referential_orphans": REFERENTIAL_SQL,
     "range_join_windows": RANGE_JOIN_SQL,
-    "histogram_n_chars": HISTOGRAM_SQL,
     "drift_kl_psi_by_source": DRIFT_SQL,
     "drift_wasserstein_chisq_by_source": WASSERSTEIN_SQL,
     "drift_ks_js_hellinger_by_source": KS_JS_HELLINGER_SQL,
@@ -1585,8 +1575,6 @@ ORACLE_SQL: dict[str, str] = {
     "eval_metrics_embeddings": EVAL_SQL,
     "parse_logs": PARSE_SQL,
     "sessionize_events": SESSIONIZE_SQL,
-    "tumbling_hourly": TUMBLING_SQL,
-    "sample_deterministic": SAMPLE_SQL,
     "template_mining_events": TEMPLATE_MINING_SQL,
     "template_merge_events": TEMPLATE_MERGE_SQL,
     "roc_auc_embeddings": ROC_AUC_SQL,
@@ -1594,13 +1582,9 @@ ORACLE_SQL: dict[str, str] = {
     "ntile_value_quartiles": NTILE_SQL,
     "stratified_sample_langs": STRATIFIED_SQL,
     "set_ops_users": SET_OPS_SQL,
-    "running_total_user": RUNNING_TOTAL_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "asof_last_purchase": ASOF_SQL,
     "q13_order_count_distribution": Q13_SQL,
-    "sql_api_revenue_by_status": SQL_API_SQL,
-    "distinct_agg_customers": DISTINCT_AGG_SQL,
-    "left_join_null_handling": LEFT_JOIN_NULL_SQL,
     "zorder_event_buckets": ZORDER_SQL,
 }

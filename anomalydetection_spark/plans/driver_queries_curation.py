@@ -220,13 +220,11 @@ GROUP BY p.doc_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scan_by_source": pii_scan_by_source,
     "pack_chunks_stats": pack_chunks_stats,
-    "boilerplate_paragraphs": boilerplate_paragraphs,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "pii_scan_by_source": PII_SCAN_SQL,
     "pack_chunks_stats": PACK_CHUNKS_SQL,
-    "boilerplate_paragraphs": BOILERPLATE_SQL,
 }
 
 # ---------------------------------------------------------------------------

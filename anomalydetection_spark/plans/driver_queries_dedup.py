@@ -1104,11 +1104,9 @@ FROM per_src, tot
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "dedup_exact": dedup_exact,
     "pca_anomaly_by_label": pca_anomaly_by_label,
     "curation_pipeline": curation_pipeline,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_components": dedup_components,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1116,10 +1114,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "lang_id_confusion": lang_id_confusion,
     "quality_by_source": quality_by_source,
-    "token_stats_lang": token_stats_lang,
     "fingerprint_docs": fingerprint_docs,
     "multimodal_decode_stats": multimodal_decode_stats,
-    "multimodal_frame_stats": multimodal_frame_stats,
     "token_count_bpe": token_count_bpe,
     # tdigest_quantiles_events stays implemented (operators/tdigest.py) but
     # out of the driver registry: it was rows-only by design, the same
@@ -1136,10 +1132,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
-    "dedup_exact": DEDUP_EXACT_SQL,
     "curation_pipeline": CURATION_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
-    "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
@@ -1147,12 +1141,10 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "lang_id_confusion": LANG_ID_SQL,
     "quality_by_source": QUALITY_SQL,
-    "token_stats_lang": TOKEN_STATS_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "multimodal_decode_stats": MULTIMODAL_SQL,
     "token_count_bpe": TOKEN_BPE_SQL,
     "tdigest_bounds_events": TDIGEST_BOUNDS_SQL,
-    "multimodal_frame_stats": MULTIMODAL_FRAMES_SQL,
     "pandas_udf_token_stats": PANDAS_TOKEN_SQL,
     "above_brand_avg_lineitems": ABOVE_AVG_SQL,
     "decontaminate_docs": DECONTAMINATE_SQL,

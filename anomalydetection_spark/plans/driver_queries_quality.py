@@ -1080,5 +1080,4 @@ SELECT event_type, hour, n_events,
 FROM d JOIN md USING (event_type)
 """
 
-QUERIES["mad_outlier_hours_by_type"] = mad_outlier_hours_by_type
-ORACLE_SQL["mad_outlier_hours_by_type"] = MAD_GROUPED_SQL
+# retired to plans/retired.py (pytest oracle gate)

@@ -603,8 +603,7 @@ FROM ordered GROUP BY shard
 QUERIES["epoch_order_stats"] = epoch_order_stats
 ORACLE_SQL["epoch_order_stats"] = EPOCH_ORDER_SQL
 
-QUERIES["shard_assignment_stats"] = shard_assignment_stats
-ORACLE_SQL["shard_assignment_stats"] = SHARD_ASSIGNMENT_SQL
+# retired to plans/retired.py (pytest oracle gate)
 
 # ---------------------------------------------------------------------------
 # quality-aware duplicate-cluster canonicalization
