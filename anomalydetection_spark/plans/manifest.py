@@ -666,3 +666,144 @@ class ResumableValidator:
 
     def violations(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out_dir}/violations")
+
+    # -- CDC-incremental validation over a docstore snapshot table --------
+
+    def _watermark_path(self) -> Path:
+        return Path(self.manifest.state_dir) / "snapshot_watermark.json"
+
+    def read_snapshot_watermark(self, table_dir: str) -> int | None:
+        """Last fully-dispatched snapshot version for ``table_dir``, or
+        None (never validated, or the state dir tracks a different table)."""
+        import json
+
+        p = self._watermark_path()
+        if not p.exists():
+            return None
+        wm = json.loads(p.read_text())
+        if wm.get("table_dir") != str(table_dir):
+            return None
+        return int(wm["version"])
+
+    def _write_snapshot_watermark(self, table_dir: str, version: int) -> None:
+        import json
+        import os
+
+        p = self._watermark_path()
+        tmp = p.with_name(f"._wm.{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps({"table_dir": str(table_dir), "version": version}))
+        os.replace(tmp, p)  # atomic: crash leaves the old watermark intact
+
+    def run_docstore_incremental(
+        self,
+        table_dir: str,
+        media: DataFrame,
+        baseline: DataFrame,
+        cfg: SuiteConfig = SuiteConfig(),
+        with_sketches: bool = True,
+        partition_col: str = "partition_id",
+    ) -> dict:
+        """Validate a docstore table INCREMENTALLY across snapshots: only
+        partitions whose file set changed since the last validated snapshot
+        (plus any still-pending from a killed run) are re-validated.
+
+        The changed set comes from ``docstore.changed_partitions`` —
+        snapshot-manifest metadata only, no data scan — so a 10^12-doc
+        table with one hot partition re-validates one partition.
+
+        Uniqueness is the one constraint that RIPPLES: adding or removing
+        a copy of a doc_id inside a changed partition can flip the
+        uniqueness verdict of a partition whose own files never moved.
+        ``_uniqueness_ripple`` bounds that: the doc_ids whose multiplicity
+        changed between the snapshots (old-vs-new count delta over the
+        changed partitions only — time travel gives the old side) are
+        probed against the untouched partitions' stored doc_id Blooms,
+        and hits are invalidated too. No false negatives (a ripple
+        requires the key to live in the rippled partition, hence in its
+        Bloom); false positives only widen re-validation. Every other
+        constraint (stats, referential, drift, volume) is partition-local
+        given a fixed media table and baseline, so no other ripple exists.
+
+        Crash safety: the watermark advances only AFTER the run's manifest
+        commit, so a kill mid-run leaves the old watermark and the
+        invalidated partitions pending — the retry re-invalidates the same
+        (idempotent) changed set and resumes. When metadata cannot bound
+        the change (``changed_partitions`` → None), every done partition
+        is invalidated: correct, never silently narrower.
+        """
+        from anomalydetection_spark.sources import docstore as ds
+
+        ds.register(self.spark)
+        cur = ds.current_version(table_dir)
+        last = self.read_snapshot_watermark(table_dir)
+        invalidated: list[int] = []
+        if last is not None and last != cur:
+            changed = ds.changed_partitions(table_dir, last, cur, partition_col)
+            done = self.manifest.done_partitions()
+            if changed is None:
+                invalidated = sorted(done)
+            else:
+                ripple = self._uniqueness_ripple(
+                    table_dir, last, cur, sorted(changed), done - set(changed)
+                )
+                invalidated = sorted((set(changed) & done) | ripple)
+            if invalidated:
+                self.manifest.invalidate(invalidated)
+        docs = self.spark.read.format("docstore").option("path", table_dir).load()
+        summary = self.run(docs, media, baseline, cfg, with_sketches=with_sketches)
+        self._write_snapshot_watermark(table_dir, cur)
+        summary["snapshot_version"] = cur
+        summary["previous_snapshot"] = last
+        summary["invalidated_partitions"] = invalidated
+        return summary
+
+    def _uniqueness_ripple(
+        self,
+        table_dir: str,
+        v_from: int,
+        v_to: int,
+        changed: list[int],
+        others: set[int],
+    ) -> set[int]:
+        """Done partitions outside the changed set whose uniqueness verdict
+        may have flipped: their stored doc_id Bloom contains a key whose
+        global multiplicity changed (the old-vs-new per-key count delta
+        over the CHANGED partitions only — two scans proportional to the
+        change, never to the table). An empty delta short-circuits to no
+        ripple; a partition that predates the Bloom column can't be
+        cleared and is re-validated conservatively."""
+        if not others or not changed:
+            return set()
+
+        def _keys(version: int) -> DataFrame:
+            d = (
+                self.spark.read.format("docstore")
+                .option("path", table_dir)
+                .option("version", str(version))
+                .load()
+            )
+            return scope_partition_filter(d, changed).groupBy("doc_id").agg(
+                F.count("*").alias("n")
+            )
+
+        delta = (
+            _keys(v_from).withColumnRenamed("n", "n_old")
+            .join(_keys(v_to).withColumnRenamed("n", "n_new"), "doc_id", "full_outer")
+            .filter(
+                F.coalesce(F.col("n_old"), F.lit(0)) != F.coalesce(F.col("n_new"), F.lit(0))
+            )
+            .select("doc_id")
+        )
+        if delta.isEmpty():
+            return set()
+        m = self.manifest.read()
+        blooms = {
+            r["partition_id"]: bytes(r["bloom_blob"])
+            for r in m.filter(
+                (F.col("status") == STATUS_DONE) & F.col("bloom_blob").isNotNull()
+            ).select("partition_id", "bloom_blob").collect()
+            if r["partition_id"] in others
+        }
+        no_bloom = others - set(blooms)
+        hits = blooms_containing_any(self.spark, delta, blooms) if blooms else set()
+        return hits | no_bloom

@@ -812,6 +812,51 @@ def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
     }
 
 
+def changed_partitions(
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    partition_col: str = "partition_id",
+    max_span: int = 1_000_000,
+) -> set[int] | None:
+    """Partition values whose file set changed between two snapshots —
+    from MANIFEST METADATA ALONE, no data scan (the Iceberg
+    incremental-processing model: partition summaries live in manifest
+    entries, so a 10^12-doc table answers "what must be re-validated?"
+    in milliseconds regardless of table size).
+
+    A file counts as changed when it was added, removed, or gained a MOR
+    position-delete file between the versions. Each changed file
+    contributes the integer range of its recorded ``partition_col``
+    min/max stats — exact when the writer clusters by partition (one
+    partition per file), a conservative superset otherwise; supersets
+    only widen re-validation, never skip a changed partition.
+
+    Returns ``None`` when the changed set cannot be bounded from
+    metadata (a changed file predates stats for ``partition_col``, null
+    bounds, or a span wider than ``max_span``) — the caller must fall
+    back to re-validating everything.
+    """
+    by0 = {f["path"]: f for f in load_manifest(table_dir, v_from)["files"]}
+    by1 = {f["path"]: f for f in load_manifest(table_dir, v_to)["files"]}
+    changed: list[dict] = []
+    for p, f in by1.items():
+        prev = by0.get(p)
+        if prev is None or tuple(prev.get("deletes", ())) != tuple(f.get("deletes", ())):
+            changed.append(f)
+    changed.extend(f for p, f in by0.items() if p not in by1)
+    pids: set[int] = set()
+    for f in changed:
+        st = (f.get("stats") or {}).get(partition_col)
+        if not st or st[0] is None or st[1] is None:
+            return None
+        lo, hi = int(st[0]), int(st[1])
+        if hi - lo > max_span:
+            return None
+        pids.update(range(lo, hi + 1))
+    return pids
+
+
 def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
     """Row-level change feed between two committed snapshots (the Iceberg
     ``changelog`` / Delta CDF analog): returns the table columns plus

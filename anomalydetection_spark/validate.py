@@ -177,18 +177,30 @@ def main(argv: list[str] | None = None) -> int:
 
         out_dir = args.out or f"{args.state_dir}/out"
         v = ResumableValidator(spark, args.state_dir, out_dir)
-        run_info = v.run(docs, media, baseline, suite_cfg)
+        if args.docs_path and args.docs_format == "docstore":
+            # snapshot-aware: partitions whose docstore file set changed
+            # since the last validated snapshot are invalidated from
+            # manifest METADATA alone and re-validated with the pending set
+            run_info = v.run_docstore_incremental(
+                args.docs_path, media, baseline, suite_cfg
+            )
+        else:
+            run_info = v.run(docs, media, baseline, suite_cfg)
         rows = v.verdicts().orderBy("partition_id", "constraint").collect()
         n_viol = v.violations().count()
         elapsed = time.time() - t0
         n_docs = docs.count()
-        print(json.dumps({
+        summary = {
             "resumable": True,
             "validated_partitions": run_info["validated_partitions"],
             "skipped_partitions": run_info["skipped_partitions"],
             "elapsed_sec": round(elapsed, 3),
             "n_violations": n_viol,
-        }))
+        }
+        for k in ("snapshot_version", "previous_snapshot", "invalidated_partitions"):
+            if k in run_info:
+                summary[k] = run_info[k]
+        print(json.dumps(summary))
         for r in rows:
             status = "PASS" if r["passed"] else "FAIL"
             print(
