@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -310,6 +311,154 @@ class DocStoreReader(DataSourceReader):
 
 
 # ---------------------------------------------------------------------------
+# CDC stream read path
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _CdcSplit(InputPartition):
+    """One changed data file's contribution to one commit's change feed."""
+
+    path: str  # absolute; "" = empty-batch guard
+    change_type: str = ""  # 'insert' | 'delete'
+    version: int = 0  # the commit that produced this change
+    skip_positions: tuple = ()  # delete files bounding VISIBILITY (paths)
+    only_positions: tuple = ()  # delete files whose positions to EMIT (paths)
+
+
+def _diff_version_step(table_dir: str, v: int) -> list[_CdcSplit]:
+    """File-granular change splits for commit ``v`` (manifest v-1 → v),
+    from metadata alone. v=1 diffs against an empty table."""
+    by0 = (
+        {f["path"]: f for f in load_manifest(table_dir, v - 1)["files"]}
+        if v > 1
+        else {}
+    )
+    by1 = {f["path"]: f for f in load_manifest(table_dir, v)["files"]}
+    ap = lambda p: os.path.join(table_dir, p)  # noqa: E731
+    splits: list[_CdcSplit] = []
+    for p, f in by1.items():
+        if p not in by0:  # added file: its v-visible rows are inserts
+            splits.append(
+                _CdcSplit(ap(p), "insert", v,
+                          skip_positions=tuple(ap(d) for d in f.get("deletes", ())))
+            )
+            continue
+        new_dels = [d for d in f.get("deletes", ())
+                    if d not in by0[p].get("deletes", ())]
+        if new_dels:  # carried file, new MOR delete file(s): those rows are deletes
+            splits.append(
+                _CdcSplit(ap(p), "delete", v,
+                          only_positions=tuple(ap(d) for d in new_dels))
+            )
+    for p, f in by0.items():
+        if p not in by1:  # removed file: its (v-1)-visible rows are deletes
+            splits.append(
+                _CdcSplit(ap(p), "delete", v,
+                          skip_positions=tuple(ap(d) for d in f.get("deletes", ())))
+            )
+    return splits
+
+
+class DocStoreCdcStreamReader(DataSourceStreamReader):
+    """Streaming change feed over docstore snapshots — snapshot VERSIONS are
+    the offset log (the Iceberg incremental-read / Delta CDF streaming
+    model): ``latestOffset`` is one metadata read, each micro-batch is the
+    file-granular diff of a contiguous version range, planned one input
+    split per changed file and read executor-side as Arrow batches. No
+    shuffle, no driver data, deterministic replay from immutable manifests
+    (exactly-once under Spark's offset checkpointing).
+
+    Emitted rows are RAW file-level changes: an added file's visible rows
+    as ``_change_type='insert'``, a removed file's previously-visible rows
+    as ``'delete'``, a merge-on-read delete file's positions as
+    ``'delete'``. A copy-on-write rewrite therefore emits delete+insert
+    pairs for carried rows — consumers needing NET row changes aggregate
+    by key downstream (the batch ``changelog()`` applies that join-based
+    cancellation; a streaming source must not shuffle inside a scan).
+
+    Options: ``startingVersion`` (default: the current version at stream
+    start, i.e. only NEW commits stream — Iceberg's stream-from-now
+    default; 0 replays the whole table history as CDC).
+
+    A version below ``startingVersion`` that ``expire_snapshots`` has
+    reclaimed fails loudly at plan time — silently emitting a partial feed
+    would break exactly-once downstream state.
+    """
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.table_dir = options["path"]
+        self.schema = schema
+        sv = options.get("startingVersion")
+        self._start = int(sv) if sv is not None else current_version(self.table_dir)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": current_version(self.table_dir)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        splits: list[_CdcSplit] = []
+        for v in range(lo + 1, hi + 1):
+            splits.extend(_diff_version_step(self.table_dir, v))
+        return splits or [_CdcSplit("")]
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; manifests are immutable
+
+    def stop(self) -> None:
+        pass
+
+    def read(self, part: _CdcSplit):  # -> Iterator[pa.RecordBatch]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not part.path:
+            return
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            expected = to_arrow_schema(self.schema)
+        except Exception:  # pragma: no cover
+            expected = None
+        skip: set[int] = set()
+        for dpath in part.skip_positions:
+            skip.update(pq.read_table(dpath, columns=["pos"])["pos"].to_pylist())
+        only: set[int] | None = None
+        if part.only_positions:
+            only = set()
+            for dpath in part.only_positions:
+                only.update(pq.read_table(dpath, columns=["pos"])["pos"].to_pylist())
+        offset = 0
+        for batch in pq.ParquetFile(part.path).iter_batches():
+            start, offset = offset, offset + batch.num_rows
+            keep = [
+                i
+                for i in range(batch.num_rows)
+                if (start + i) not in skip
+                and (only is None or (start + i) in only)
+            ]
+            if len(keep) < batch.num_rows:
+                batch = batch.take(pa.array(keep, type=pa.int32()))
+            if batch.num_rows == 0:
+                continue
+            n = batch.num_rows
+            cols, fields = [], []
+            for field in expected:
+                if field.name == "_change_type":
+                    cols.append(pa.array([part.change_type] * n, type=field.type))
+                elif field.name == "_commit_version":
+                    cols.append(pa.array([part.version] * n, type=field.type))
+                elif field.name in batch.schema.names:
+                    cols.append(batch.column(field.name).cast(field.type))
+                else:  # pre-evolution file: NULL-fill (name-based mapping)
+                    cols.append(pa.nulls(n, type=field.type))
+                fields.append(field)
+            yield pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
+
+
+# ---------------------------------------------------------------------------
 # write path
 # ---------------------------------------------------------------------------
 
@@ -447,10 +596,25 @@ class DocStoreDataSource(DataSource):
     def schema(self) -> StructType:
         v = self.options.get("version")
         manifest = load_manifest(self.options["path"], int(v) if v is not None else None)
-        return StructType.fromJson(json.loads(manifest["schema"]))
+        st = StructType.fromJson(json.loads(manifest["schema"]))
+        if str(self.options.get("cdc", "")).lower() == "true":
+            from pyspark.sql.types import IntegerType, StringType
+
+            st = StructType(list(st.fields)).add("_change_type", StringType()).add(
+                "_commit_version", IntegerType()
+            )
+        return st
 
     def reader(self, schema: StructType) -> DocStoreReader:
         return DocStoreReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DocStoreCdcStreamReader:
+        if str(self.options.get("cdc", "")).lower() != "true":
+            raise ValueError(
+                "docstore readStream requires .option('cdc','true') — the "
+                "streaming surface is the snapshot change feed"
+            )
+        return DocStoreCdcStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> DocStoreWriter:
         return DocStoreWriter(self.options, schema, overwrite)
@@ -834,10 +998,14 @@ def changed_partitions(
 
     Returns ``None`` when the changed set cannot be bounded from
     metadata (a changed file predates stats for ``partition_col``, null
-    bounds, or a span wider than ``max_span``) — the caller must fall
-    back to re-validating everything.
+    bounds, a span wider than ``max_span``, or ``v_from`` was reclaimed
+    by expire_snapshots) — the caller must fall back to re-validating
+    everything.
     """
-    by0 = {f["path"]: f for f in load_manifest(table_dir, v_from)["files"]}
+    try:
+        by0 = {f["path"]: f for f in load_manifest(table_dir, v_from)["files"]}
+    except (FileNotFoundError, ValueError):
+        return None
     by1 = {f["path"]: f for f in load_manifest(table_dir, v_to)["files"]}
     changed: list[dict] = []
     for p, f in by1.items():

@@ -742,3 +742,103 @@ def stream_quantile_report(
             }
         )
     return out
+
+
+def start_cdc_validation_stream(
+    spark: SparkSession,
+    table_dir: str,
+    media: DataFrame,
+    baseline: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: SuiteConfig = SuiteConfig(),
+    starting_version: int | None = None,
+):
+    """Continuous incremental validation driven by the docstore CDC stream:
+    every committed snapshot's change feed arrives as a micro-batch, and
+    foreachBatch re-validates exactly the partitions the commit touched —
+    the streaming twin of ``ResumableValidator.run_docstore_incremental``,
+    with Spark's offset checkpoint playing the snapshot watermark's role
+    (no polling loop, no separate watermark file).
+
+    Per micro-batch:
+    1. changed partitions = distinct ``partition_id`` in the CDC rows;
+    2. uniqueness ripple = doc_ids whose insert/delete counts in the feed
+       don't cancel (net multiplicity change — a COW rewrite's carried
+       rows emit delete+insert pairs and cancel exactly), probed against
+       the untouched done partitions' stored doc_id Blooms
+       (plans/manifest.blooms_containing_any — no false negatives);
+    3. invalidate changed ∪ rippled in the batch manifest and run the
+       resumable validator over the CURRENT table snapshot (reading ahead
+       of the batch's version range is conservative: later batches then
+       no-op for those partitions).
+
+    At-least-once replay is safe end-to-end: invalidate + run is
+    idempotent (dynamic partition overwrite on verdicts/violations,
+    mark_done upserts), so a replayed batch reproduces identical state.
+    """
+    from anomalydetection_spark.plans.manifest import (
+        ResumableValidator,
+        blooms_containing_any,
+    )
+    from anomalydetection_spark.sources import docstore
+
+    docstore.register(spark)
+    reader = (
+        spark.readStream.format("docstore")
+        .option("path", table_dir)
+        .option("cdc", "true")
+    )
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    stream = reader.load()
+    validator = ResumableValidator(spark, state_dir, out_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        net = (
+            batch_df.groupBy("doc_id", "partition_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+                ).alias("net")
+            )
+        ).persist()
+        try:
+            changed = {
+                r["partition_id"]
+                for r in net.select("partition_id").distinct().collect()
+            }
+            done = validator.manifest.done_partitions()
+            ripple: set[int] = set()
+            others = done - changed
+            if others:
+                delta_ids = net.filter(F.col("net") != 0).select("doc_id").distinct()
+                if not delta_ids.isEmpty():
+                    m = validator.manifest.read()
+                    blooms = {
+                        r["partition_id"]: bytes(r["bloom_blob"])
+                        for r in m.filter(F.col("bloom_blob").isNotNull())
+                        .select("partition_id", "bloom_blob")
+                        .collect()
+                        if r["partition_id"] in others
+                    }
+                    ripple = blooms_containing_any(spark, delta_ids, blooms) | (
+                        others - set(blooms)
+                    )
+        finally:
+            net.unpersist()
+        invalid = sorted((changed & done) | ripple)
+        if invalid:
+            validator.manifest.invalidate(invalid)
+        docs = spark.read.format("docstore").option("path", table_dir).load()
+        validator.run(docs, media, baseline, cfg)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -199,6 +199,26 @@ def test_incremental_revalidates_only_changed(spark, tmp_path, inputs):
     assert _verdict_key(v.verdicts()) == _verdict_key(truth2.verdicts)
 
 
+def test_incremental_survives_expired_watermark(spark, tmp_path, inputs):
+    """expire_snapshots reclaiming the watermarked version must degrade to
+    full re-validation, never crash on time travel."""
+    docs, media, baseline = inputs
+    path = _make_table(spark, docs, str(tmp_path / "t5"))
+    v = ResumableValidator(spark, str(tmp_path / "state5"), str(tmp_path / "out5"))
+    v.run_docstore_incremental(path, media, baseline)
+
+    write_table(
+        _extra(spark, [("zz-exp-1", [("text", "x", None, 0)], 1)]),
+        path, mode="append", fmt="docstore",
+    )
+    docstore.compact_snapshot(spark, path, n_files=6)
+    docstore.expire_snapshots(path, keep_last=1)  # watermark v1 now gone
+    assert docstore.changed_partitions(path, 1, docstore.current_version(path)) is None
+    s = v.run_docstore_incremental(path, media, baseline)
+    assert s["invalidated_partitions"] == [0, 1, 2, 3, 4, 5]
+    assert s["validated_partitions"] == [0, 1, 2, 3, 4, 5]
+
+
 def test_incremental_unbounded_change_invalidates_all_done(spark, tmp_path, inputs):
     docs, media, baseline = inputs
     path = _make_table(spark, docs, str(tmp_path / "t4"))
