@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from anomalydetection_spark.functions.detquant import det_round6 as _det_round6_col
 from anomalydetection_spark.operators import dedup, similarity, textops
 
 # SQL prefix shared by text-dedup oracles: the dup-injected corpus + shingles
@@ -795,7 +796,16 @@ def pca_anomaly_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("label").agg(
         F.count("*").alias("n"),
         F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
-        F.round(F.avg("score"), 4).alias("avg_score"),
+        # exact integer average of the 1e-6-grid scores: per-row round-6
+        # scores are nearest-int recoverable (floor(x*1e6+0.5)), the bigint
+        # sum is exact, ONE division + det_round6 — no order-dependent float
+        # sum on the hash boundary (a near-midpoint avg here went within
+        # 1e-9 of the old round-4 cliff; tools/midpoint_audit.py)
+        _det_round6_col(
+            F.sum(F.floor(F.col("score") * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / (F.count("*") * F.lit(1000000.0))
+        ).alias("avg_score"),
     )
 
 
@@ -879,7 +889,8 @@ s AS (
 thr AS (SELECT quantile_cont(score, 0.95) AS t FROM s)
 SELECT label, count(*) AS n,
   cast(sum(CASE WHEN score > t THEN 1 ELSE 0 END) AS bigint) AS n_anomalies,
-  round(avg(score), 4) AS avg_score
+  (CAST(floor((cast(sum(cast(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS double)
+     / (count(*) * 1000000.0)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0) AS avg_score
 FROM s, thr
 GROUP BY label
 """
@@ -1422,7 +1433,16 @@ def mahalanobis_anomaly_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("label").agg(
         F.count("*").alias("n"),
         F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
-        F.round(F.avg("score"), 4).alias("avg_score"),
+        # exact integer average of the 1e-6-grid scores: per-row round-6
+        # scores are nearest-int recoverable (floor(x*1e6+0.5)), the bigint
+        # sum is exact, ONE division + det_round6 — no order-dependent float
+        # sum on the hash boundary (a near-midpoint avg here went within
+        # 1e-9 of the old round-4 cliff; tools/midpoint_audit.py)
+        _det_round6_col(
+            F.sum(F.floor(F.col("score") * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / (F.count("*") * F.lit(1000000.0))
+        ).alias("avg_score"),
     )
 
 
@@ -1463,7 +1483,8 @@ s AS (
 thr AS (SELECT quantile_cont(score, 0.95) AS t FROM s)
 SELECT label, count(*) AS n,
   cast(sum(CASE WHEN score > t THEN 1 ELSE 0 END) AS bigint) AS n_anomalies,
-  round(avg(score), 4) AS avg_score
+  (CAST(floor((cast(sum(cast(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS double)
+     / (count(*) * 1000000.0)) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0) AS avg_score
 FROM s, thr
 GROUP BY label
 """

@@ -7,12 +7,15 @@ Iceberg properties the engine actually depends on as a from-scratch
 DataSourceV2 (PySpark's Python DataSource API — planned as a real V2
 ``BatchScan``/``PythonScan``, not a parquet alias):
 
-1. **snapshot-atomic commits** — every write lands data files under the
-   table dir, then commits ONE manifest JSON listing them; a
-   ``version-hint`` pointer file is swapped last (os.rename, atomic on
-   POSIX), so readers see the old snapshot or the new one, never a
-   half-written mix (the Iceberg metadata-pointer protocol,
-   version-hint.text analog);
+1. **snapshot-atomic commits with optimistic concurrency** — every write
+   lands data files under the table dir, then commits ONE manifest JSON
+   listing them via EXCLUSIVE creation (os.link of a fully-written temp,
+   atomic on POSIX): readers see the old snapshot or the new one, never a
+   half-written mix, and two concurrent writers racing for the same
+   version get one winner plus one ``CommitConflict`` that retries
+   against the new head (the Iceberg metadata-pointer CAS +
+   CommitFailedException protocol; the ``version-hint`` file is a
+   best-effort fast path that ``current_version`` probe-repairs);
 2. **manifest-driven scan planning** — `partitions()` plans one input
    split per committed data file from the manifest, never from directory
    listing (stale/abandoned files are invisible, exactly why Iceberg
@@ -81,12 +84,25 @@ def _hint_path(table_dir: str) -> str:
     return os.path.join(table_dir, _HINT)
 
 
+class CommitConflict(Exception):
+    """Another writer committed a snapshot between this operation's base
+    read and its commit attempt (the Iceberg CommitFailedException
+    analog). Retry-able: recompute from the new head and commit again."""
+
+
 def current_version(table_dir: str) -> int:
+    """Head snapshot version: the hint is the fast path, but commits are
+    arbitrated by exclusive manifest creation (see commit_snapshot), so a
+    crash between manifest link and hint update leaves the hint stale —
+    probe forward until the next manifest is missing."""
     try:
         with open(_hint_path(table_dir)) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
     except OSError:
-        return 0
+        v = 0
+    while os.path.exists(os.path.join(table_dir, f"manifest-v{v + 1}.json")):
+        v += 1
+    return v
 
 
 def load_manifest(table_dir: str, version: int | None = None) -> dict:
@@ -120,20 +136,48 @@ def snapshots(table_dir: str) -> list[dict]:
     return out
 
 
-def commit_snapshot(table_dir: str, files: list[dict], schema_json: str) -> int:
-    """Write manifest-v{N+1}.json then atomically swap the version hint.
-    The hint rename is the commit point — a crash before it leaves the
-    previous snapshot intact and the new files unreferenced (Iceberg's
-    orphan files, cleaned by maintenance, never read)."""
-    v = current_version(table_dir) + 1
+def commit_snapshot(
+    table_dir: str,
+    files: list[dict],
+    schema_json: str,
+    expected_base: int | None = None,
+) -> int:
+    """Optimistic-concurrency commit (the Iceberg metadata-pointer CAS):
+    the EXCLUSIVE creation of manifest-v{N+1}.json — a fully-written temp
+    file hard-linked into place, so the name appears atomically with its
+    complete content — is the commit point; losing the link race means
+    another writer committed N+1 first and raises CommitConflict. With
+    ``expected_base`` set, the commit also fails if ANY snapshot landed
+    since that base (the caller's file list was computed against it and
+    would silently drop the intervening commit's files — the lost-update
+    hazard). Callers retry by recomputing from the new head.
+
+    The version hint is updated best-effort AFTER the link; a crash
+    between the two leaves a stale hint that current_version's forward
+    probe repairs. A crash before the link leaves the previous snapshot
+    intact and the new data files unreferenced (Iceberg's orphan files,
+    cleaned by maintenance, never read)."""
+    head = current_version(table_dir)
+    if expected_base is not None and head != expected_base:
+        raise CommitConflict(
+            f"table advanced to v{head} since base v{expected_base}"
+        )
+    v = head + 1
     manifest = {"version": v, "schema": schema_json, "files": files}
     mpath = os.path.join(table_dir, f"manifest-v{v}.json")
-    with open(mpath, "w") as f:
-        json.dump(manifest, f)
-    tmp = os.path.join(table_dir, f"._hint.{uuid.uuid4().hex}")
+    tmp = os.path.join(table_dir, f"._manifest.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, mpath)  # atomic create-if-absent: THE commit point
+    except FileExistsError:
+        raise CommitConflict(f"concurrent writer committed v{v} first") from None
+    finally:
+        os.remove(tmp)
+    hint_tmp = os.path.join(table_dir, f"._hint.{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
         f.write(str(v))
-    os.replace(tmp, _hint_path(table_dir))  # atomic commit point
+    os.replace(hint_tmp, _hint_path(table_dir))
     return v
 
 
@@ -559,19 +603,30 @@ class DocStoreWriter(DataSourceArrowWriter):
         return _FilesWritten([{"path": name, "rows": rows, "stats": stats}])
 
     def commit(self, messages: list[_FilesWritten]) -> None:
-        files: list[dict] = []
+        new_files: list[dict] = []
         for m in messages:
-            files.extend(m.files)
-        schema_json = self.schema_json
-        if not self.overwrite:
-            v = current_version(self.table_dir)
-            if v:
-                prior = load_manifest(self.table_dir)
+            new_files.extend(m.files)
+        # optimistic-concurrency retry (Iceberg's commit loop): recompute
+        # the file list against the CURRENT head each attempt, so a
+        # concurrent commit is re-merged instead of silently dropped
+        for _ in range(64):
+            base = current_version(self.table_dir)
+            files = list(new_files)
+            schema_json = self.schema_json
+            if not self.overwrite and base:
+                prior = load_manifest(self.table_dir, base)
                 files = prior["files"] + files
                 schema_json = _merge_schemas(
                     prior["schema"], self.schema_json
                 ).json()
-        commit_snapshot(self.table_dir, files, schema_json)
+            try:
+                commit_snapshot(self.table_dir, files, schema_json, expected_base=base)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"gave up after 64 contended commit attempts on {self.table_dir}"
+        )
 
     def abort(self, messages: list[_FilesWritten]) -> None:
         # uncommitted data files are invisible (manifest-driven planning);
@@ -763,6 +818,29 @@ def _read_files_visible(spark, table_dir: str, entries: list[dict]):
     return df if cond is None else df.filter(~cond)
 
 
+def _retry_on_conflict(fn):
+    """Re-run a read-modify-write table operation when a concurrent commit
+    invalidated its base snapshot (the Iceberg operation-level retry):
+    each attempt re-reads the head manifest, so the lost update is
+    recomputed, never silently dropped. Abandoned rewrite files from a
+    losing attempt are unreferenced orphans (invisible to scans, reclaimed
+    by maintenance)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        last: CommitConflict | None = None
+        for _ in range(16):
+            try:
+                return fn(*args, **kwargs)
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    return wrapped
+
+
+@_retry_on_conflict
 def delete_where(spark, table_dir: str, condition: str) -> dict:
     """Copy-on-write row-level delete (the Iceberg ``DELETE FROM`` in COW
     mode): ONLY data files containing matching rows are rewritten without
@@ -814,7 +892,10 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
     import shutil
 
     shutil.rmtree(tmpdir, ignore_errors=True)
-    v = commit_snapshot(table_dir, kept_entries + new_entries, manifest["schema"])
+    v = commit_snapshot(
+        table_dir, kept_entries + new_entries, manifest["schema"],
+        expected_base=manifest["version"],
+    )
     return {
         "new_version": v,
         "rewritten_files": len(affected),
@@ -822,6 +903,7 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
     }
 
 
+@_retry_on_conflict
 def merge_into(
     spark, table_dir: str, updates, key_col: str, broadcast_max_keys: int = 1_000_000
 ) -> dict:
@@ -899,7 +981,10 @@ def merge_into(
 
     shutil.rmtree(tmpdir, ignore_errors=True)
     schema_json = _merge_schemas(manifest["schema"], updates.schema.json()).json()
-    v = commit_snapshot(table_dir, kept_entries + new_entries, schema_json)
+    v = commit_snapshot(
+        table_dir, kept_entries + new_entries, schema_json,
+        expected_base=manifest["version"],
+    )
     ukeys.unpersist()
     return {
         "new_version": v,
@@ -911,6 +996,7 @@ def merge_into(
     }
 
 
+@_retry_on_conflict
 def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
     """Merge-on-read row-level delete (the Iceberg V2 *position delete*
     path, MOR mode): matching rows are recorded in per-data-file delete
@@ -968,7 +1054,10 @@ def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
             entry["deletes"] = list(f.get("deletes", ())) + [name]
             n_delete_files += 1
         new_files.append(entry)
-    v = commit_snapshot(table_dir, new_files, manifest["schema"])
+    v = commit_snapshot(
+        table_dir, new_files, manifest["schema"],
+        expected_base=manifest["version"],
+    )
     return {
         "new_version": v,
         "delete_files": n_delete_files,
