@@ -141,6 +141,8 @@ def commit_snapshot(
     files: list[dict],
     schema_json: str,
     expected_base: int | None = None,
+    field_ids: dict | None = None,
+    last_field_id: int | None = None,
 ) -> int:
     """Optimistic-concurrency commit (the Iceberg metadata-pointer CAS):
     the EXCLUSIVE creation of manifest-v{N+1}.json — a fully-written temp
@@ -164,6 +166,17 @@ def commit_snapshot(
         )
     v = head + 1
     manifest = {"version": v, "schema": schema_json, "files": files}
+    if field_ids is None and head:  # carry the id registry forward verbatim
+        prior = load_manifest(table_dir, head)
+        field_ids = prior.get("field_ids")
+        last_field_id = prior.get("last_field_id")
+    if field_ids is not None:
+        manifest["field_ids"] = field_ids
+        manifest["last_field_id"] = int(
+            last_field_id
+            if last_field_id is not None
+            else max(field_ids.values(), default=0)
+        )
     mpath = os.path.join(table_dir, f"manifest-v{v}.json")
     tmp = os.path.join(table_dir, f"._manifest.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
@@ -192,6 +205,25 @@ class _FileSplit(InputPartition):
     # merge-on-read: position-delete files (Iceberg V2 delete files) whose
     # `pos` rows are skipped while streaming this data file
     deletes: tuple = ()
+    # field-id mapping: ((id_str, physical_name), ...) — the file's columns
+    # keyed by FIELD ID (the Iceberg column-ID model), empty for files that
+    # predate id tracking (those resolve by name)
+    name_map: tuple = ()
+
+
+def _mapped_source(
+    field_name: str, field_ids: dict, name_map: dict
+) -> str | None:
+    """Physical column holding ``field_name``'s data in one file: files
+    with an explicit id map resolve CURRENT name → field id → the name
+    the file was written under (rename-safe; a retired id's bytes can
+    never surface under a re-added name); files without one resolve by
+    name (pre-field-id behavior, byte-identical). None = the file never
+    contained this field → NULL-fill."""
+    if not name_map:
+        return field_name
+    fid = field_ids.get(field_name)
+    return name_map.get(str(fid)) if fid is not None else None
 
 
 class DocStoreReader(DataSourceReader):
@@ -293,6 +325,7 @@ class DocStoreReader(DataSourceReader):
                         os.path.join(self.table_dir, d)
                         for d in f.get("deletes", ())
                     ),
+                    tuple(sorted((f.get("name_map") or {}).items())),
                 )
             )
         # empty-scan guard: Spark requires >= 1 partition
@@ -314,6 +347,11 @@ class DocStoreReader(DataSourceReader):
             ).close()
         pf = pq.ParquetFile(part.path)
         expected = self._arrow_schema()
+        srcs: list[str | None] = []
+        if expected is not None:
+            nm = dict(part.name_map)
+            fids = self.manifest.get("field_ids") or {}
+            srcs = [_mapped_source(f.name, fids, nm) for f in expected]
         dropped: set[int] = set()
         for dpath in part.deletes:
             dropped.update(pq.read_table(dpath, columns=["pos"])["pos"].to_pylist())
@@ -329,16 +367,20 @@ class DocStoreReader(DataSourceReader):
                     batch = batch.take(pa.array(keep, type=pa.int32()))
                     if batch.num_rows == 0:
                         continue
-            if expected is None or batch.schema.names == expected.names:
+            if expected is None or (
+                srcs == expected.names and batch.schema.names == expected.names
+            ):
                 yield batch
                 continue
-            # schema evolution: files written before a column was added
-            # NULL-fill it; columns since dropped are projected away; order
-            # follows the snapshot schema (the Iceberg name-based mapping)
+            # schema evolution: id-mapped files resolve each CURRENT field
+            # through field id → written-under name (rename-safe, retired
+            # ids never resurface); legacy files resolve by name. Missing
+            # columns NULL-fill, dropped ones project away; order follows
+            # the snapshot schema.
             cols = []
-            for field in expected:
-                if field.name in batch.schema.names:
-                    cols.append(batch.column(field.name))
+            for field, src in zip(expected, srcs):
+                if src is not None and src in batch.schema.names:
+                    cols.append(batch.column(src))
                 else:
                     cols.append(pa.nulls(batch.num_rows, type=field.type))
             yield pa.RecordBatch.from_arrays(cols, schema=expected)
@@ -367,6 +409,7 @@ class _CdcSplit(InputPartition):
     version: int = 0  # the commit that produced this change
     skip_positions: tuple = ()  # delete files bounding VISIBILITY (paths)
     only_positions: tuple = ()  # delete files whose positions to EMIT (paths)
+    name_map: tuple = ()  # ((id_str, physical_name), ...) — field-id mapping
 
 
 def _diff_version_step(table_dir: str, v: int) -> list[_CdcSplit]:
@@ -384,7 +427,8 @@ def _diff_version_step(table_dir: str, v: int) -> list[_CdcSplit]:
         if p not in by0:  # added file: its v-visible rows are inserts
             splits.append(
                 _CdcSplit(ap(p), "insert", v,
-                          skip_positions=tuple(ap(d) for d in f.get("deletes", ())))
+                          skip_positions=tuple(ap(d) for d in f.get("deletes", ())),
+                          name_map=tuple(sorted((f.get("name_map") or {}).items())))
             )
             continue
         new_dels = [d for d in f.get("deletes", ())
@@ -392,13 +436,15 @@ def _diff_version_step(table_dir: str, v: int) -> list[_CdcSplit]:
         if new_dels:  # carried file, new MOR delete file(s): those rows are deletes
             splits.append(
                 _CdcSplit(ap(p), "delete", v,
-                          only_positions=tuple(ap(d) for d in new_dels))
+                          only_positions=tuple(ap(d) for d in new_dels),
+                          name_map=tuple(sorted((f.get("name_map") or {}).items())))
             )
     for p, f in by0.items():
         if p not in by1:  # removed file: its (v-1)-visible rows are deletes
             splits.append(
                 _CdcSplit(ap(p), "delete", v,
-                          skip_positions=tuple(ap(d) for d in f.get("deletes", ())))
+                          skip_positions=tuple(ap(d) for d in f.get("deletes", ())),
+                          name_map=tuple(sorted((f.get("name_map") or {}).items())))
             )
     return splits
 
@@ -434,6 +480,10 @@ class DocStoreCdcStreamReader(DataSourceStreamReader):
         self.schema = schema
         sv = options.get("startingVersion")
         self._start = int(sv) if sv is not None else current_version(self.table_dir)
+        head = current_version(self.table_dir)
+        self.field_ids = (
+            (load_manifest(self.table_dir, head).get("field_ids") or {}) if head else {}
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -494,10 +544,12 @@ class DocStoreCdcStreamReader(DataSourceStreamReader):
                     cols.append(pa.array([part.change_type] * n, type=field.type))
                 elif field.name == "_commit_version":
                     cols.append(pa.array([part.version] * n, type=field.type))
-                elif field.name in batch.schema.names:
-                    cols.append(batch.column(field.name).cast(field.type))
-                else:  # pre-evolution file: NULL-fill (name-based mapping)
-                    cols.append(pa.nulls(n, type=field.type))
+                else:
+                    src = _mapped_source(field.name, self.field_ids, dict(part.name_map))
+                    if src is not None and src in batch.schema.names:
+                        cols.append(batch.column(src).cast(field.type))
+                    else:  # pre-evolution / renamed-away file: NULL-fill
+                        cols.append(pa.nulls(n, type=field.type))
                 fields.append(field)
             yield pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
 
@@ -534,6 +586,36 @@ def _merge_schemas(old_json: str, new_json: str) -> StructType:
         if f.name in new_by_name:
             fields.append(StructField(f.name, f.dataType, True))
     return StructType(fields)
+
+
+def _evolved_ids(
+    prior_manifest: dict | None, schema_names: list[str], overwrite: bool = False
+) -> tuple[dict, int]:
+    """(field_ids, last_field_id) after a commit introducing
+    ``schema_names``: established names keep their ids, new names draw
+    fresh ones from the MONOTONIC counter (a dropped name's id is retired
+    forever — re-adding the name mints a new id, which is what stops old
+    files' bytes resurrecting). A legacy table initializes ids in its
+    established field order — safe because every pre-id file resolves by
+    name until a rename/drop back-fills its name_map."""
+    if prior_manifest is None:
+        fid: dict[str, int] = {}
+        last = 0
+    else:
+        fid = dict(prior_manifest.get("field_ids") or {})
+        last = int(prior_manifest.get("last_field_id") or max(fid.values(), default=0))
+        if not fid:
+            for n in (f["name"] for f in json.loads(prior_manifest["schema"])["fields"]):
+                last += 1
+                fid[n] = last
+    for n in schema_names:
+        if n not in fid:
+            last += 1
+            fid[n] = last
+    if overwrite:
+        keep = set(schema_names)
+        fid = {n: i for n, i in fid.items() if n in keep}
+    return fid, last
 
 
 @dataclass
@@ -609,18 +691,25 @@ class DocStoreWriter(DataSourceArrowWriter):
         # optimistic-concurrency retry (Iceberg's commit loop): recompute
         # the file list against the CURRENT head each attempt, so a
         # concurrent commit is re-merged instead of silently dropped
+        write_names = [f["name"] for f in json.loads(self.schema_json)["fields"]]
         for _ in range(64):
             base = current_version(self.table_dir)
-            files = list(new_files)
+            prior = load_manifest(self.table_dir, base) if base else None
             schema_json = self.schema_json
-            if not self.overwrite and base:
-                prior = load_manifest(self.table_dir, base)
-                files = prior["files"] + files
+            if not self.overwrite and prior is not None:
                 schema_json = _merge_schemas(
                     prior["schema"], self.schema_json
                 ).json()
+            fid, last = _evolved_ids(prior, write_names, overwrite=self.overwrite)
+            nm = {str(fid[n]): n for n in write_names}
+            files = [{**f, "name_map": nm} for f in new_files] if fid else list(new_files)
+            if not self.overwrite and prior is not None:
+                files = prior["files"] + files
             try:
-                commit_snapshot(self.table_dir, files, schema_json, expected_base=base)
+                commit_snapshot(
+                    self.table_dir, files, schema_json,
+                    expected_base=base, field_ids=fid, last_field_id=last,
+                )
                 return
             except CommitConflict:
                 continue
@@ -792,30 +881,75 @@ def _footer_stats(path: str) -> tuple[int, dict]:
     return rows, stats
 
 
-def _read_files_visible(spark, table_dir: str, entries: list[dict]):
-    """The VISIBLE rows of the given manifest entries: raw parquet minus
-    each file's position-delete rows (merge-on-read bitmaps). Every
-    rewrite path must read through this — reading the raw files would
-    resurrect MOR-deleted rows into the rewritten snapshot."""
+def _read_files_visible(
+    spark,
+    table_dir: str,
+    entries: list[dict],
+    manifest: dict | None = None,
+    with_file_col: bool = False,
+):
+    """The VISIBLE rows of the given manifest entries, projected to the
+    CURRENT schema: raw parquet minus each file's position-delete rows
+    (merge-on-read bitmaps), with every file's physical columns resolved
+    through its field-id name_map (rename-safe — a COW rewrite of a
+    pre-rename file must emit current-named data, and a probe condition
+    on a renamed column must bind). Every rewrite path must read through
+    this — reading the raw files would resurrect MOR-deleted rows and
+    stale column names into the rewritten snapshot.
+
+    Files are grouped by identical mapping so each group is one parquet
+    scan; ``with_file_col=True`` keeps the absolute source path as a
+    ``_file`` column for probe callers (Spark's hidden ``_metadata`` is
+    unreachable after the projection)."""
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    paths = [os.path.join(table_dir, e["path"]) for e in entries]
-    df = spark.read.parquet(*paths)
-    cond = None
+    m = manifest or load_manifest(table_dir)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    fids = m.get("field_ids") or {}
+
+    def _mapping(e: dict) -> tuple:
+        nm = e.get("name_map") or {}
+        return tuple(
+            (f.name, _mapped_source(f.name, fids, nm)) for f in schema.fields
+        )
+
+    groups: dict[tuple, list[dict]] = {}
     for e in entries:
-        pos: list[int] = []
-        for d in e.get("deletes", ()):
-            pos.extend(
-                pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
-            )
-        if not pos:
-            continue
-        c = F.col("_metadata.file_path").endswith("/" + e["path"]) & F.col(
-            "_metadata.row_index"
-        ).isin(pos)
-        cond = c if cond is None else (cond | c)
-    return df if cond is None else df.filter(~cond)
+        groups.setdefault(_mapping(e), []).append(e)
+    parts = []
+    for mp, ges in groups.items():
+        df = spark.read.parquet(*[os.path.join(table_dir, e["path"]) for e in ges])
+        df = df.withColumn("_file", F.col("_metadata.file_path")).withColumn(
+            "_pos", F.col("_metadata.row_index")
+        )
+        cond = None
+        for e in ges:
+            pos: list[int] = []
+            for d in e.get("deletes", ()):
+                pos.extend(
+                    pq.read_table(
+                        os.path.join(table_dir, d), columns=["pos"]
+                    )["pos"].to_pylist()
+                )
+            if not pos:
+                continue
+            c = F.col("_file").endswith("/" + e["path"]) & F.col("_pos").isin(pos)
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            df = df.filter(~cond)
+        have = set(df.columns)
+        cols = [
+            F.col(src).alias(name)
+            if src is not None and src in have
+            else F.lit(None).cast(schema[name].dataType).alias(name)
+            for name, src in mp
+        ]
+        parts.append(df.select(*cols, "_file", "_pos"))
+    out = parts[0]
+    for sub in parts[1:]:
+        out = out.unionByName(sub)
+    return out if with_file_col else out.drop("_file", "_pos")
 
 
 def _retry_on_conflict(fn):
@@ -840,6 +974,64 @@ def _retry_on_conflict(fn):
     return wrapped
 
 
+
+def _backfill_name_maps(files: list[dict], fid: dict, schema_names: list[str]) -> list[dict]:
+    """Pin every pre-field-id file to the CURRENT names before the first
+    rename/drop: all existing files were written under them (names never
+    changed before id tracking), so the id→name binding is exact. A
+    mapped name the file physically lacks just NULL-fills at read."""
+    nm = {str(fid[n]): n for n in schema_names}
+    return [f if f.get("name_map") else {**f, "name_map": nm} for f in files]
+
+
+@_retry_on_conflict
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """Metadata-only column rename (the Iceberg ``ALTER TABLE RENAME
+    COLUMN``): ZERO data files move — the schema renames the field while
+    its FIELD ID stays put, and reads resolve each file's physical column
+    through its id map. Top-level columns only (nested field ids are out
+    of scope). Returns the new snapshot version."""
+    m = load_manifest(table_dir)
+    sch = json.loads(m["schema"])
+    names = [f["name"] for f in sch["fields"]]
+    if old not in names:
+        raise ValueError(f"no column '{old}' in {names}")
+    if new in names:
+        raise ValueError(f"column '{new}' already exists")
+    fid, last = _evolved_ids(m, names)
+    files = _backfill_name_maps([dict(f) for f in m["files"]], fid, names)
+    fid[new] = fid.pop(old)
+    for f in sch["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    return commit_snapshot(
+        table_dir, files, json.dumps(sch),
+        expected_base=m["version"], field_ids=fid, last_field_id=last,
+    )
+
+
+@_retry_on_conflict
+def drop_column(table_dir: str, name: str) -> int:
+    """Metadata-only column drop (the Iceberg ``ALTER TABLE DROP
+    COLUMN``): data files keep their bytes but the field id is RETIRED —
+    projected away on read, and a later re-add of the same name mints a
+    fresh id, so the old bytes never resurrect (the name-based-mapping
+    hazard this module's field ids exist to close)."""
+    m = load_manifest(table_dir)
+    sch = json.loads(m["schema"])
+    names = [f["name"] for f in sch["fields"]]
+    if name not in names:
+        raise ValueError(f"no column '{name}' in {names}")
+    fid, last = _evolved_ids(m, names)
+    files = _backfill_name_maps([dict(f) for f in m["files"]], fid, names)
+    fid.pop(name)
+    sch["fields"] = [f for f in sch["fields"] if f["name"] != name]
+    return commit_snapshot(
+        table_dir, files, json.dumps(sch),
+        expected_base=m["version"], field_ids=fid, last_field_id=last,
+    )
+
+
 @_retry_on_conflict
 def delete_where(spark, table_dir: str, condition: str) -> dict:
     """Copy-on-write row-level delete (the Iceberg ``DELETE FROM`` in COW
@@ -862,14 +1054,10 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
     if not paths:
         return {"new_version": manifest["version"], "rewritten_files": 0, "deleted_rows": 0}
     cond = F.expr(condition)
-    visible = _read_files_visible(spark, table_dir, manifest["files"])
-    probe = (
-        visible.withColumn("_file", F.col("_metadata.file_path"))
-        .filter(cond)
-        .groupBy("_file")
-        .count()
-        .collect()
+    visible = _read_files_visible(
+        spark, table_dir, manifest["files"], manifest=manifest, with_file_col=True
     )
+    probe = visible.filter(cond).groupBy("_file").count().collect()
     affected = {os.path.basename(r["_file"]): r["count"] for r in probe}
     if not affected:
         return {"new_version": manifest["version"], "rewritten_files": 0, "deleted_rows": 0}
@@ -877,7 +1065,9 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
     kept_entries = [f for f in manifest["files"] if f["path"] not in affected]
     affected_entries = [f for f in manifest["files"] if f["path"] in affected]
     tmpdir = os.path.join(table_dir, f"._rewrite.{uuid.uuid4().hex}")
-    _read_files_visible(spark, table_dir, affected_entries).filter(~cond).write.parquet(tmpdir)
+    _read_files_visible(
+        spark, table_dir, affected_entries, manifest=manifest
+    ).filter(~cond).write.parquet(tmpdir)
     new_entries = []
     for fn in sorted(os.listdir(tmpdir)):
         if not fn.endswith(".parquet"):
@@ -892,6 +1082,11 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
     import shutil
 
     shutil.rmtree(tmpdir, ignore_errors=True)
+    fid = manifest.get("field_ids") or {}
+    if fid:  # rewrites emit CURRENT-named data — pin the binding
+        snames = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+        nm = {str(fid[n]): n for n in snames if n in fid}
+        new_entries = [{**e, "name_map": nm} for e in new_entries]
     v = commit_snapshot(
         table_dir, kept_entries + new_entries, manifest["schema"],
         expected_base=manifest["version"],
@@ -939,8 +1134,10 @@ def merge_into(
     probe = []
     if manifest["files"]:
         probe_df = (
-            _read_files_visible(spark, table_dir, manifest["files"])
-            .withColumn("_file", F.col("_metadata.file_path"))
+            _read_files_visible(
+                spark, table_dir, manifest["files"], manifest=manifest,
+                with_file_col=True,
+            )
             .join(jkeys, key_col, "left_semi")
             .groupBy("_file")
             .count()
@@ -955,14 +1152,15 @@ def merge_into(
     new_entries: list[dict] = []
     tmpdir = os.path.join(table_dir, f"._merge.{uuid.uuid4().hex}")
     if affected:
-        kept_df = _read_files_visible(spark, table_dir, affected_entries).join(
-            jkeys, key_col, "left_anti"
-        )
+        kept_df = _read_files_visible(
+            spark, table_dir, affected_entries, manifest=manifest
+        ).join(jkeys, key_col, "left_anti")
         plans["kept"] = kept_df._sc._jvm.PythonSQLUtils.explainString(
             kept_df._jdf.queryExecution(), "formatted"
         )
         kept_df.write.parquet(os.path.join(tmpdir, "kept"))
     updates.write.parquet(os.path.join(tmpdir, "new"))
+    updates_file_count = 0
     for sub in ("kept", "new"):
         subdir = os.path.join(tmpdir, sub)
         if not os.path.isdir(subdir):
@@ -975,15 +1173,31 @@ def merge_into(
             rows, stats = _footer_stats(os.path.join(table_dir, name))
             if rows:
                 new_entries.append({"path": name, "rows": rows, "stats": stats})
+                if sub == "new":
+                    updates_file_count += 1
             else:
                 os.remove(os.path.join(table_dir, name))
     import shutil
 
     shutil.rmtree(tmpdir, ignore_errors=True)
-    schema_json = _merge_schemas(manifest["schema"], updates.schema.json()).json()
+    merged = _merge_schemas(manifest["schema"], updates.schema.json())
+    schema_json = merged.json()
+    fid, last = _evolved_ids(manifest, [f.name for f in merged.fields])
+    if fid:
+        kept_names = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+        upd_names = [f.name for f in updates.schema.fields]
+        # kept rewrites carry the pre-merge columns, update files their own
+        k_nm = {str(fid[n]): n for n in kept_names if n in fid}
+        u_nm = {str(fid[n]): n for n in upd_names if n in fid}
+        # new_entries is kept-first (the sub loop order), so a count split suffices
+        n_kept = len(new_entries) - updates_file_count
+        new_entries = [
+            {**e, "name_map": (k_nm if i < n_kept else u_nm)}
+            for i, e in enumerate(new_entries)
+        ]
     v = commit_snapshot(
         table_dir, kept_entries + new_entries, schema_json,
-        expected_base=manifest["version"],
+        expected_base=manifest["version"], field_ids=fid, last_field_id=last,
     )
     ukeys.unpersist()
     return {
@@ -1026,12 +1240,12 @@ def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
     # probe only VISIBLE rows: already-deleted positions must not be
     # re-recorded (they would double-count deleted_rows and bloat bitmaps)
     hits = (
-        _read_files_visible(spark, table_dir, manifest["files"])
-        .filter(F.expr(condition))
-        .select(
-            F.col("_metadata.file_path").alias("_file"),
-            F.col("_metadata.row_index").alias("_pos"),
+        _read_files_visible(
+            spark, table_dir, manifest["files"], manifest=manifest,
+            with_file_col=True,
         )
+        .filter(F.expr(condition))
+        .select("_file", "_pos")
         .collect()
     )
     if not hits:
@@ -1139,15 +1353,34 @@ def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
     added = [p for p in by1 if p not in by0]
     schema = StructType.fromJson(json.loads(m1["schema"]))
     cols = [f.name for f in schema.fields]
+    fids = m1.get("field_ids") or {}
 
-    def _read(paths: list[str]):
+    def _project(df, entry: dict | None):
+        """Resolve one file's physical columns to the v_to schema through
+        its field-id name_map (rename-safe; see _mapped_source)."""
+        nm = (entry or {}).get("name_map") or {}
+        have = set(df.columns)
+        out = []
+        for f in schema.fields:
+            src = _mapped_source(f.name, fids, nm)
+            out.append(
+                F.col(src).alias(f.name)
+                if src is not None and src in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+        keep = [c for c in df.columns if c == "_pos"]
+        return df.select(*out, *keep)
+
+    def _read(paths: list[str], entry: dict | None = None):
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[os.path.join(table_dir, p) for p in paths])
+        return _project(
+            spark.read.parquet(*[os.path.join(table_dir, p) for p in paths]), entry
+        )
 
     def _visible(entry: dict, version_files: dict):
         """Rows of one data file minus its position deletes at a version."""
-        df = _read([entry["path"]])
+        df = _read([entry["path"]], entry)
         dels = version_files.get(entry["path"], {}).get("deletes", ())
         if not dels:
             return df
@@ -1158,9 +1391,10 @@ def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
             dropped.extend(
                 pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
             )
-        return df.withColumn("_pos", F.col("_metadata.row_index")).filter(
-            ~F.col("_pos").isin(dropped)
-        ).drop("_pos")
+        raw = spark.read.parquet(os.path.join(table_dir, entry["path"])).withColumn(
+            "_pos", F.col("_metadata.row_index")
+        )
+        return _project(raw, entry).filter(~F.col("_pos").isin(dropped)).drop("_pos")
 
     # old side: removed files as visible at v_from, plus carried files'
     # rows newly deleted by MOR between the versions
@@ -1178,16 +1412,19 @@ def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
             pos.extend(
                 pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
             )
+        raw = spark.read.parquet(os.path.join(table_dir, p)).withColumn(
+            "_pos", F.col("_metadata.row_index")
+        )
         old_parts.append(
-            _read([p])
-            .withColumn("_pos", F.col("_metadata.row_index"))
-            .filter(F.col("_pos").isin(pos))
-            .drop("_pos")
+            _project(raw, by0[p]).filter(F.col("_pos").isin(pos)).drop("_pos")
         )
     old_side = old_parts[0] if old_parts else _read([])
     for part in old_parts[1:]:
         old_side = old_side.unionByName(part)
-    new_side = _read(added)
+    new_parts = [_read([p], by1[p]) for p in added]
+    new_side = new_parts[0] if new_parts else _read([])
+    for part in new_parts[1:]:
+        new_side = new_side.unionByName(part)
     o = old_side.select(*cols).alias("o")
     n = new_side.select(*cols).alias("n")
     j = o.join(n, F.col(f"o.{key_col}") == F.col(f"n.{key_col}"), "full_outer")
