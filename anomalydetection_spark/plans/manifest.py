@@ -734,7 +734,10 @@ class ResumableValidator:
         from anomalydetection_spark.sources import docstore as ds
 
         ds.register(self.spark)
-        cur = ds.current_version(table_dir)
+        # the MAIN head, not the newest manifest: staged branch commits
+        # (write-audit-publish) must not advance the validation watermark
+        # or enter the changed-set diff until they are published to main
+        cur = ds.resolve_ref(table_dir, "main")
         last = self.read_snapshot_watermark(table_dir)
         invalidated: list[int] = []
         if last is not None and last != cur:

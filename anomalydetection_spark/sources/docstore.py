@@ -105,30 +105,70 @@ def current_version(table_dir: str) -> int:
     return v
 
 
-def load_manifest(table_dir: str, version: int | None = None) -> dict:
-    """Manifest of the current snapshot, or of an explicit committed
-    ``version`` (time travel — the Iceberg ``VERSION AS OF`` analog).
-    Requesting a version newer than the hint fails: files may exist on
-    disk for an in-flight write, but only the hint swap commits them."""
+def load_manifest(
+    table_dir: str,
+    version: int | None = None,
+    ref: str | None = None,
+    _raw: bool = False,
+) -> dict:
+    """Manifest of the table's CURRENT state (the ``main`` branch head —
+    which is the newest manifest unless branch/tag commits exist), of an
+    explicit committed ``version`` (time travel — the Iceberg ``VERSION
+    AS OF`` analog), or of a named ``ref`` (branch or tag). Requesting a
+    version newer than the hint fails: files may exist on disk for an
+    in-flight write, but only the hint swap commits them. ``_raw=True``
+    loads the newest manifest without ref resolution (internal: the refs
+    map and field-id registry live there)."""
     head = current_version(table_dir)
     if head == 0:
         raise FileNotFoundError(f"no committed snapshot under {table_dir}")
-    v = head if version is None else int(version)
+    if version is not None:
+        v = int(version)
+    elif _raw:
+        v = head
+    else:
+        v = resolve_ref(table_dir, ref or "main", _head=head)
     if not (1 <= v <= head):
         raise ValueError(f"snapshot v{v} not committed (table at v{head})")
     with open(os.path.join(table_dir, f"manifest-v{v}.json")) as f:
         return json.load(f)
 
 
+def table_refs(table_dir: str, _head: int | None = None) -> dict:
+    """The refs map {name: {type: branch|tag, version}} from the newest
+    manifest. Tables that predate refs (or whose newest manifest was
+    committed by older code) get the implied ``{main -> newest}``."""
+    head = current_version(table_dir) if _head is None else _head
+    if head == 0:
+        return {}
+    with open(os.path.join(table_dir, f"manifest-v{head}.json")) as f:
+        refs = json.load(f).get("refs")
+    return dict(refs) if refs else {"main": {"type": "branch", "version": head}}
+
+
+def resolve_ref(table_dir: str, ref: str = "main", _head: int | None = None) -> int:
+    """Snapshot version a branch or tag points at."""
+    refs = table_refs(table_dir, _head=_head)
+    if ref not in refs:
+        raise ValueError(f"no ref '{ref}' (have {sorted(refs)})")
+    return int(refs[ref]["version"])
+
+
 def snapshots(table_dir: str) -> list[dict]:
-    """Committed snapshot history, oldest first: (version, n_files, rows)
-    per manifest — the `.snapshots` metadata-table analog."""
+    """Committed snapshot history, oldest first: (version, branch,
+    parent, n_files, rows) per manifest — the `.snapshots`
+    metadata-table analog (see also metadata_table)."""
     out = []
     for v in range(1, current_version(table_dir) + 1):
-        m = load_manifest(table_dir, v)
+        try:
+            m = load_manifest(table_dir, v)
+        except FileNotFoundError:  # reclaimed by expire_snapshots
+            continue
         out.append(
             {
                 "version": v,
+                "branch": m.get("branch", "main"),
+                "parent": int(m.get("parent", v - 1)),
                 "n_files": len(m["files"]),
                 "rows": sum(f["rows"] for f in m["files"]),
             }
@@ -143,6 +183,9 @@ def commit_snapshot(
     expected_base: int | None = None,
     field_ids: dict | None = None,
     last_field_id: int | None = None,
+    branch: str | None = "main",
+    parent: int | None = None,
+    refs_update: dict | None = None,
 ) -> int:
     """Optimistic-concurrency commit (the Iceberg metadata-pointer CAS):
     the EXCLUSIVE creation of manifest-v{N+1}.json — a fully-written temp
@@ -153,6 +196,20 @@ def commit_snapshot(
     since that base (the caller's file list was computed against it and
     would silently drop the intervening commit's files — the lost-update
     hazard). Callers retry by recomputing from the new head.
+
+    Refs (the Iceberg branch/tag model): every manifest carries the FULL
+    ``refs`` map ({name: {type, version}}) forward from the previous
+    newest manifest; manifest versions stay one linear allocation chain
+    (like Iceberg's unique snapshot ids) while refs select which of them
+    a reader sees. ``branch`` names the ref this commit advances
+    (``refs[branch]`` := the new version; default ``main``; None =
+    refs-only metadata commit that advances nothing), ``parent`` records
+    the snapshot the file list was computed against (default: the
+    branch's previous head) — CDC diffs follow this parent chain, so
+    branch commits never leak into main's change feed. ``refs_update``
+    applies explicit ref assignments (value None deletes the ref) —
+    create_branch / create_tag / drop_ref ride it. Writing to a TAG
+    fails: tags are immutable.
 
     The version hint is updated best-effort AFTER the link; a crash
     between the two leaves a stale hint that current_version's forward
@@ -166,8 +223,30 @@ def commit_snapshot(
         )
     v = head + 1
     manifest = {"version": v, "schema": schema_json, "files": files}
+    prior = load_manifest(table_dir, head, _raw=True) if head else None
+    refs = dict((prior or {}).get("refs") or {})
+    if not refs and head:  # legacy table: main implicitly tracked the chain
+        refs = {"main": {"type": "branch", "version": head}}
+    if refs_update:
+        for name, tgt in refs_update.items():
+            if tgt is None:
+                refs.pop(name, None)
+            else:
+                refs[name] = tgt
+    if branch is not None:
+        existing = refs.get(branch)
+        if existing is not None and existing.get("type") == "tag":
+            raise ValueError(f"ref '{branch}' is a tag — tags are immutable")
+        if parent is None:
+            parent = int(existing["version"]) if existing else head
+        refs[branch] = {"type": "branch", "version": v}
+        manifest["branch"] = branch
+        manifest["parent"] = int(parent)
+    else:
+        manifest["branch"] = None
+        manifest["parent"] = head
+    manifest["refs"] = refs
     if field_ids is None and head:  # carry the id registry forward verbatim
-        prior = load_manifest(table_dir, head)
         field_ids = prior.get("field_ids")
         last_field_id = prior.get("last_field_id")
     if field_ids is not None:
@@ -234,7 +313,11 @@ class DocStoreReader(DataSourceReader):
         self.journal_dir = options.get("journal") or None
         self.pruned_scan = str(options.get("pruned_scan", "")).lower() == "true"
         v = options.get("version")
-        self.manifest = load_manifest(self.table_dir, int(v) if v is not None else None)
+        self.manifest = load_manifest(
+            self.table_dir,
+            int(v) if v is not None else None,
+            ref=options.get("ref") or options.get("branch"),
+        )
         self._bounds: dict[str, tuple] = {}
         self._in_sets: dict[str, set] = {}
 
@@ -413,14 +496,21 @@ class _CdcSplit(InputPartition):
 
 
 def _diff_version_step(table_dir: str, v: int) -> list[_CdcSplit]:
-    """File-granular change splits for commit ``v`` (manifest v-1 → v),
-    from metadata alone. v=1 diffs against an empty table."""
+    """File-granular change splits for commit ``v`` against its recorded
+    PARENT snapshot (the branch head the commit was computed from; v-1
+    for legacy manifests), from metadata alone. Parent-chain diffing is
+    what keeps a branch's staged files out of main's feed until a
+    publish: the publish commit's parent is the old main head, so its
+    diff is exactly the published content. A first commit (parent 0)
+    diffs against an empty table."""
+    m1 = load_manifest(table_dir, v)
+    parent = int(m1.get("parent", v - 1))
     by0 = (
-        {f["path"]: f for f in load_manifest(table_dir, v - 1)["files"]}
-        if v > 1
+        {f["path"]: f for f in load_manifest(table_dir, parent)["files"]}
+        if parent >= 1
         else {}
     )
-    by1 = {f["path"]: f for f in load_manifest(table_dir, v)["files"]}
+    by1 = {f["path"]: f for f in m1["files"]}
     ap = lambda p: os.path.join(table_dir, p)  # noqa: E731
     splits: list[_CdcSplit] = []
     for p, f in by1.items():
@@ -495,6 +585,11 @@ class DocStoreCdcStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         splits: list[_CdcSplit] = []
         for v in range(lo + 1, hi + 1):
+            # the feed follows MAIN: branch commits (staged WAP writes) and
+            # refs-only metadata commits never reach it — a publish surfaces
+            # the branch's net content once, via its parent-chain diff
+            if load_manifest(self.table_dir, v).get("branch", "main") != "main":
+                continue
             splits.extend(_diff_version_step(self.table_dir, v))
         return splits or [_CdcSplit("")]
 
@@ -589,7 +684,10 @@ def _merge_schemas(old_json: str, new_json: str) -> StructType:
 
 
 def _evolved_ids(
-    prior_manifest: dict | None, schema_names: list[str], overwrite: bool = False
+    prior_manifest: dict | None,
+    schema_names: list[str],
+    overwrite: bool = False,
+    floor: int = 0,
 ) -> tuple[dict, int]:
     """(field_ids, last_field_id) after a commit introducing
     ``schema_names``: established names keep their ids, new names draw
@@ -597,7 +695,10 @@ def _evolved_ids(
     forever — re-adding the name mints a new id, which is what stops old
     files' bytes resurrecting). A legacy table initializes ids in its
     established field order — safe because every pre-id file resolves by
-    name until a rename/drop back-fills its name_map."""
+    name until a rename/drop back-fills its name_map. ``floor`` raises
+    the counter to the TABLE-WIDE maximum before minting: branch commits
+    evolve ids against their branch head, but ids must stay unique across
+    every branch (two branches each adding a column must not collide)."""
     if prior_manifest is None:
         fid: dict[str, int] = {}
         last = 0
@@ -608,6 +709,7 @@ def _evolved_ids(
             for n in (f["name"] for f in json.loads(prior_manifest["schema"])["fields"]):
                 last += 1
                 fid[n] = last
+    last = max(last, int(floor))
     for n in schema_names:
         if n not in fid:
             last += 1
@@ -633,7 +735,18 @@ class DocStoreWriter(DataSourceArrowWriter):
         self.table_dir = options["path"]
         self.schema_json = schema.json()
         self.overwrite = overwrite
+        self.branch = options.get("branch") or "main"
         os.makedirs(self.table_dir, exist_ok=True)
+        if self.branch != "main":
+            # fail BEFORE tasks write data files: the branch must exist
+            # (create_branch) and not be a tag; commit re-checks under CAS
+            ref = table_refs(self.table_dir).get(self.branch)
+            if ref is None:
+                raise ValueError(
+                    f"no branch '{self.branch}' — create_branch() first"
+                )
+            if ref.get("type") == "tag":
+                raise ValueError(f"'{self.branch}' is a tag — tags are immutable")
 
     def write(self, batches) -> _FilesWritten:
         import pyarrow as pa
@@ -694,13 +807,23 @@ class DocStoreWriter(DataSourceArrowWriter):
         write_names = [f["name"] for f in json.loads(self.schema_json)["fields"]]
         for _ in range(64):
             base = current_version(self.table_dir)
-            prior = load_manifest(self.table_dir, base) if base else None
+            newest = load_manifest(self.table_dir, base) if base else None
+            # content base: the TARGET BRANCH's head (append base + schema
+            # evolution), not the newest manifest; the id floor is global
+            prior = (
+                load_manifest(self.table_dir, ref=self.branch)
+                if base and (self.branch != "main" or newest is not None)
+                else None
+            )
+            floor = int((newest or {}).get("last_field_id") or 0)
             schema_json = self.schema_json
             if not self.overwrite and prior is not None:
                 schema_json = _merge_schemas(
                     prior["schema"], self.schema_json
                 ).json()
-            fid, last = _evolved_ids(prior, write_names, overwrite=self.overwrite)
+            fid, last = _evolved_ids(
+                prior, write_names, overwrite=self.overwrite, floor=floor
+            )
             nm = {str(fid[n]): n for n in write_names}
             files = [{**f, "name_map": nm} for f in new_files] if fid else list(new_files)
             if not self.overwrite and prior is not None:
@@ -709,6 +832,7 @@ class DocStoreWriter(DataSourceArrowWriter):
                 commit_snapshot(
                     self.table_dir, files, schema_json,
                     expected_base=base, field_ids=fid, last_field_id=last,
+                    branch=self.branch,
                 )
                 return
             except CommitConflict:
@@ -739,7 +863,11 @@ class DocStoreDataSource(DataSource):
 
     def schema(self) -> StructType:
         v = self.options.get("version")
-        manifest = load_manifest(self.options["path"], int(v) if v is not None else None)
+        manifest = load_manifest(
+            self.options["path"],
+            int(v) if v is not None else None,
+            ref=self.options.get("ref") or self.options.get("branch"),
+        )
         st = StructType.fromJson(json.loads(manifest["schema"]))
         if str(self.options.get("cdc", "")).lower() == "true":
             from pyspark.sql.types import IntegerType, StringType
@@ -786,10 +914,22 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     removed FIRST (making those versions unreadable), then data files
     referenced only by them — a crash mid-way leaves extra unreferenced
     files (invisible to manifest-driven scans), never a readable snapshot
-    with missing data."""
+    with missing data.
+
+    Refs are retention anchors (the Iceberg model): every snapshot a
+    branch or tag points at survives regardless of ``keep_last`` — a tag
+    pins its snapshot until the tag is dropped. The newest manifest always
+    survives (it carries the refs map and id registry)."""
     head = current_version(table_dir)
     keep = set(range(max(1, head - keep_last + 1), head + 1))
-    expired = [v for v in range(1, head + 1) if v not in keep]
+    keep.update(
+        int(r["version"]) for r in table_refs(table_dir, _head=head).values()
+    )
+    expired = [
+        v for v in range(1, head + 1)
+        if v not in keep
+        and os.path.exists(os.path.join(table_dir, f"manifest-v{v}.json"))
+    ]
     def _refs(v: int) -> set[str]:
         refs: set[str] = set()
         for f in load_manifest(table_dir, v)["files"]:
@@ -799,6 +939,8 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
 
     live_files: set[str] = set()
     for v in keep:
+        if not os.path.exists(os.path.join(table_dir, f"manifest-v{v}.json")):
+            continue  # reclaimed before it became a keep candidate
         live_files.update(_refs(v))
     dead_files: set[str] = set()
     for v in expired:
@@ -991,14 +1133,16 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     its FIELD ID stays put, and reads resolve each file's physical column
     through its id map. Top-level columns only (nested field ids are out
     of scope). Returns the new snapshot version."""
+    base = current_version(table_dir)  # CAS base BEFORE the content read
     m = load_manifest(table_dir)
+    newest = load_manifest(table_dir, base)
     sch = json.loads(m["schema"])
     names = [f["name"] for f in sch["fields"]]
     if old not in names:
         raise ValueError(f"no column '{old}' in {names}")
     if new in names:
         raise ValueError(f"column '{new}' already exists")
-    fid, last = _evolved_ids(m, names)
+    fid, last = _evolved_ids(m, names, floor=int(newest.get("last_field_id") or 0))
     files = _backfill_name_maps([dict(f) for f in m["files"]], fid, names)
     fid[new] = fid.pop(old)
     for f in sch["fields"]:
@@ -1006,7 +1150,7 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
             f["name"] = new
     return commit_snapshot(
         table_dir, files, json.dumps(sch),
-        expected_base=m["version"], field_ids=fid, last_field_id=last,
+        expected_base=base, field_ids=fid, last_field_id=last,
     )
 
 
@@ -1017,18 +1161,169 @@ def drop_column(table_dir: str, name: str) -> int:
     projected away on read, and a later re-add of the same name mints a
     fresh id, so the old bytes never resurrect (the name-based-mapping
     hazard this module's field ids exist to close)."""
+    base = current_version(table_dir)
     m = load_manifest(table_dir)
+    newest = load_manifest(table_dir, base)
     sch = json.loads(m["schema"])
     names = [f["name"] for f in sch["fields"]]
     if name not in names:
         raise ValueError(f"no column '{name}' in {names}")
-    fid, last = _evolved_ids(m, names)
+    fid, last = _evolved_ids(m, names, floor=int(newest.get("last_field_id") or 0))
     files = _backfill_name_maps([dict(f) for f in m["files"]], fid, names)
     fid.pop(name)
     sch["fields"] = [f for f in sch["fields"] if f["name"] != name]
     return commit_snapshot(
         table_dir, files, json.dumps(sch),
-        expected_base=m["version"], field_ids=fid, last_field_id=last,
+        expected_base=base, field_ids=fid, last_field_id=last,
+    )
+
+
+# ---------------------------------------------------------------------------
+# refs: branches + tags (the Iceberg snapshot-ref model)
+# ---------------------------------------------------------------------------
+
+def _meta_commit(table_dir: str, refs_update: dict, base: int, **kw) -> int:
+    """Refs-only commit: mirrors the main head's files/schema (time travel
+    to this version shows the table as of the commit) and applies the ref
+    assignments. ``base`` is the linear head the caller validated against
+    — any commit since then fails the CAS and the caller retries, so ref
+    validation and ref mutation are atomic together. Registry carried
+    forward from the newest manifest."""
+    src = load_manifest(table_dir)
+    return commit_snapshot(
+        table_dir,
+        src["files"],
+        src["schema"],
+        expected_base=base,
+        branch=None,
+        refs_update=refs_update,
+        **kw,
+    )
+
+
+@_retry_on_conflict
+def create_branch(table_dir: str, name: str, at_version: int | None = None) -> int:
+    """Create branch ``name`` at ``at_version`` (default: the main head) —
+    a metadata-only commit (the Iceberg ``CREATE BRANCH``). Writes then
+    target it via ``.option('branch', name)``; reads via
+    ``.option('ref', name)``. Returns the commit's snapshot version."""
+    base = current_version(table_dir)
+    refs = table_refs(table_dir, _head=base)
+    if name in refs:
+        raise ValueError(f"ref '{name}' already exists")
+    target = (
+        int(at_version) if at_version is not None
+        else int(refs["main"]["version"]) if refs else base
+    )
+    load_manifest(table_dir, target)  # fail loudly on expired/uncommitted
+    return _meta_commit(
+        table_dir, {name: {"type": "branch", "version": target}}, base
+    )
+
+
+@_retry_on_conflict
+def create_tag(table_dir: str, name: str, at_version: int | None = None) -> int:
+    """Create immutable tag ``name`` at ``at_version`` (default: the main
+    head) — the Iceberg ``CREATE TAG``: a retention anchor (expire keeps
+    its snapshot) and a stable read name; committing to it fails."""
+    base = current_version(table_dir)
+    refs = table_refs(table_dir, _head=base)
+    if name in refs:
+        raise ValueError(f"ref '{name}' already exists")
+    target = (
+        int(at_version) if at_version is not None
+        else int(refs["main"]["version"]) if refs else base
+    )
+    load_manifest(table_dir, target)
+    return _meta_commit(table_dir, {name: {"type": "tag", "version": target}}, base)
+
+
+@_retry_on_conflict
+def drop_ref(table_dir: str, name: str) -> int:
+    """Drop a branch or tag (``main`` is permanent). Its snapshots stay
+    time-travel-readable until expire_snapshots reclaims them."""
+    if name == "main":
+        raise ValueError("cannot drop 'main'")
+    base = current_version(table_dir)
+    if name not in table_refs(table_dir, _head=base):
+        raise ValueError(f"no ref '{name}'")
+    return _meta_commit(table_dir, {name: None}, base)
+
+
+def _ancestry(table_dir: str, version: int) -> list[int]:
+    """Parent chain of a snapshot, newest first, ending at 0. Legacy
+    manifests (no recorded parent) chain linearly."""
+    chain, v = [], int(version)
+    while v >= 1:
+        try:
+            m = load_manifest(table_dir, v)
+        except FileNotFoundError:  # expired — lineage ends here
+            break
+        chain.append(v)
+        v = int(m.get("parent", v - 1))
+    return chain
+
+
+@_retry_on_conflict
+def fast_forward(table_dir: str, from_ref: str, to_branch: str = "main") -> int:
+    """Fast-forward ``to_branch`` to ``from_ref``'s state (the Iceberg
+    ``fast_forward`` procedure — the PUBLISH half of write-audit-publish):
+    requires ``to_branch``'s head to be an ancestor of ``from_ref``'s (no
+    divergent commits to overwrite), then commits ``from_ref``'s exact
+    files/schema/registry as the new ``to_branch`` head. Metadata-only —
+    zero data files move; the change feed of ``to_branch`` sees the
+    published rows exactly once (this commit's parent is the old head, so
+    the CDC diff is precisely what publishing introduced)."""
+    base = current_version(table_dir)
+    refs = table_refs(table_dir, _head=base)
+    if from_ref not in refs:
+        raise ValueError(f"no ref '{from_ref}'")
+    src_v = int(refs[from_ref]["version"])
+    if to_branch not in refs:
+        raise ValueError(f"no ref '{to_branch}'")
+    if refs[to_branch].get("type") == "tag":
+        raise ValueError(f"ref '{to_branch}' is a tag — tags are immutable")
+    to_v = int(refs[to_branch]["version"])
+    if src_v == to_v:
+        return current_version(table_dir)
+    if to_v not in _ancestry(table_dir, src_v):
+        raise ValueError(
+            f"cannot fast-forward: '{to_branch}' (v{to_v}) is not an "
+            f"ancestor of '{from_ref}' (v{src_v}) — rebase or merge instead"
+        )
+    src = load_manifest(table_dir, src_v)
+    newest = load_manifest(table_dir, base)
+    return commit_snapshot(
+        table_dir,
+        src["files"],
+        src["schema"],
+        expected_base=base,
+        field_ids=src.get("field_ids"),
+        last_field_id=newest.get("last_field_id") or src.get("last_field_id"),
+        branch=to_branch,
+        parent=to_v,
+    )
+
+
+@_retry_on_conflict
+def rollback_to(table_dir: str, version: int, branch: str = "main") -> int:
+    """Roll a branch back to an earlier snapshot's exact state (the
+    Iceberg ``rollback_to_snapshot``): a NEW commit whose content is the
+    old snapshot's files + schema — history is preserved, nothing is
+    deleted, and the change feed shows the rollback as the net
+    delete/insert diff it really is. Retired field ids stay retired
+    (``last_field_id`` keeps the global floor)."""
+    base = current_version(table_dir)
+    old = load_manifest(table_dir, int(version))
+    newest = load_manifest(table_dir, base)
+    return commit_snapshot(
+        table_dir,
+        old["files"],
+        old["schema"],
+        expected_base=base,
+        field_ids=old.get("field_ids"),
+        last_field_id=newest.get("last_field_id") or old.get("last_field_id"),
+        branch=branch,
     )
 
 
@@ -1048,6 +1343,7 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
     """
     from pyspark.sql import functions as F
 
+    base = current_version(table_dir)  # CAS base BEFORE the content read
     manifest = load_manifest(table_dir)
     by_name = {f["path"]: f for f in manifest["files"]}
     paths = [os.path.join(table_dir, p) for p in by_name]
@@ -1089,7 +1385,7 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
         new_entries = [{**e, "name_map": nm} for e in new_entries]
     v = commit_snapshot(
         table_dir, kept_entries + new_entries, manifest["schema"],
-        expected_base=manifest["version"],
+        expected_base=base,
     )
     return {
         "new_version": v,
@@ -1125,6 +1421,7 @@ def merge_into(
     """
     from pyspark.sql import functions as F
 
+    base = current_version(table_dir)  # CAS base BEFORE the content read
     manifest = load_manifest(table_dir)
     ukeys = updates.select(key_col).distinct().persist()
     n_keys = ukeys.count()
@@ -1182,7 +1479,11 @@ def merge_into(
     shutil.rmtree(tmpdir, ignore_errors=True)
     merged = _merge_schemas(manifest["schema"], updates.schema.json())
     schema_json = merged.json()
-    fid, last = _evolved_ids(manifest, [f.name for f in merged.fields])
+    fid, last = _evolved_ids(
+        manifest,
+        [f.name for f in merged.fields],
+        floor=int(load_manifest(table_dir, base).get("last_field_id") or 0),
+    )
     if fid:
         kept_names = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
         upd_names = [f.name for f in updates.schema.fields]
@@ -1197,7 +1498,7 @@ def merge_into(
         ]
     v = commit_snapshot(
         table_dir, kept_entries + new_entries, schema_json,
-        expected_base=manifest["version"], field_ids=fid, last_field_id=last,
+        expected_base=base, field_ids=fid, last_field_id=last,
     )
     ukeys.unpersist()
     return {
@@ -1234,6 +1535,7 @@ def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    base = current_version(table_dir)  # CAS base BEFORE the content read
     manifest = load_manifest(table_dir)
     if not manifest["files"]:
         return {"new_version": manifest["version"], "delete_files": 0, "deleted_rows": 0}
@@ -1270,7 +1572,7 @@ def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
         new_files.append(entry)
     v = commit_snapshot(
         table_dir, new_files, manifest["schema"],
-        expected_base=manifest["version"],
+        expected_base=base,
     )
     return {
         "new_version": v,
@@ -1452,3 +1754,101 @@ def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
         F.lit("update_postimage").alias("_change_type"),
     )
     return deletes.unionByName(inserts).unionByName(pre).unionByName(post)
+
+
+# ---------------------------------------------------------------------------
+# metadata tables (the Iceberg `table$snapshots` / `$files` / `$refs` model)
+# ---------------------------------------------------------------------------
+
+def metadata_table(spark, table_dir: str, kind: str, ref: str | None = None):
+    """Table metadata as a queryable DataFrame — the inspection surface a
+    scheduler or operator joins against without touching data files:
+
+    * ``snapshots``: one row per committed snapshot (version, branch —
+      NULL for refs-only metadata commits, parent, n_files,
+      n_delete_files, rows); expired versions are absent.
+    * ``refs``: one row per branch/tag (name, type, version).
+    * ``files``: one row per data file of a snapshot (default: main head;
+      ``ref`` selects a branch/tag) — path, rows, n_deletes, and the
+      pruning stats as a map<string, array<string>> of [min, max].
+    * ``history``: the ancestry of ``ref`` (default main), newest first —
+      version, branch, parent, is_current; the lineage rollback/publish
+      decisions read.
+
+    Metadata is manifest-sized (file counts, not row counts), so building
+    these driver-side matches how Iceberg itself plans metadata tables —
+    the frames are then distributed for arbitrary downstream SQL."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, IntegerType, LongType, MapType, StringType,
+        StructField, StructType,
+    )
+
+    if kind == "snapshots":
+        schema = StructType([
+            StructField("version", IntegerType(), False),
+            StructField("branch", StringType(), True),
+            StructField("parent", IntegerType(), False),
+            StructField("n_files", IntegerType(), False),
+            StructField("n_delete_files", IntegerType(), False),
+            StructField("rows", LongType(), False),
+        ])
+        rows = []
+        for v in range(1, current_version(table_dir) + 1):
+            try:
+                m = load_manifest(table_dir, v)
+            except FileNotFoundError:
+                continue
+            rows.append((
+                v,
+                m.get("branch", "main"),
+                int(m.get("parent", v - 1)),
+                len(m["files"]),
+                sum(len(f.get("deletes", ())) for f in m["files"]),
+                sum(f["rows"] for f in m["files"]),
+            ))
+        return spark.createDataFrame(rows, schema)
+    if kind == "refs":
+        schema = StructType([
+            StructField("name", StringType(), False),
+            StructField("type", StringType(), False),
+            StructField("version", IntegerType(), False),
+        ])
+        rows = [
+            (name, r["type"], int(r["version"]))
+            for name, r in sorted(table_refs(table_dir).items())
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "files":
+        schema = StructType([
+            StructField("path", StringType(), False),
+            StructField("rows", LongType(), False),
+            StructField("n_deletes", IntegerType(), False),
+            StructField("stats", MapType(StringType(), ArrayType(StringType())), True),
+        ])
+        m = load_manifest(table_dir, ref=ref)
+        rows = [
+            (
+                f["path"],
+                int(f["rows"]),
+                len(f.get("deletes", ())),
+                {c: [str(b[0]), str(b[1])] for c, b in (f.get("stats") or {}).items()},
+            )
+            for f in m["files"]
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "history":
+        schema = StructType([
+            StructField("version", IntegerType(), False),
+            StructField("branch", StringType(), True),
+            StructField("parent", IntegerType(), False),
+            StructField("is_current", BooleanType(), False),
+        ])
+        head = resolve_ref(table_dir, ref or "main")
+        rows = []
+        for v in _ancestry(table_dir, head):
+            m = load_manifest(table_dir, v)
+            rows.append((v, m.get("branch", "main"), int(m.get("parent", v - 1)), v == head))
+        return spark.createDataFrame(rows, schema)
+    raise ValueError(
+        f"unknown metadata table '{kind}' (snapshots|refs|files|history)"
+    )
