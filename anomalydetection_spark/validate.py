@@ -87,6 +87,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-quantile-gap", type=float, default=0.2,
                     help="--quantile-baseline: max relative quantile gap before a "
                          "partition flags")
+    ap.add_argument("--wap-ingest", metavar="PARQUET",
+                    help="write-audit-publish (requires --docs-path + "
+                         "--docs-format docstore): stage the parquet batch on "
+                         "an audit branch, validate the touched partitions, "
+                         "publish to main ONLY if every error-severity "
+                         "constraint passes; exit 0 = published, 3 = blocked "
+                         "(branch kept for inspection)")
+    ap.add_argument("--wap-branch", default=None,
+                    help="--wap-ingest: audit branch name (default audit-<hex>)")
+    ap.add_argument("--wap-scope", default="staged", choices=["staged", "full"],
+                    help="--wap-ingest: audit only the touched partitions "
+                         "(metadata-bounded; uniqueness stays table-wide) or "
+                         "the full staged state")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -169,6 +182,28 @@ def main(argv: list[str] | None = None) -> int:
             # flag forces the cache OFF; otherwise the size gate decides
             persist_exploded=False if args.no_persist_exploded else None,
         )
+
+    if args.wap_ingest:
+        if not (args.docs_path and args.docs_format == "docstore"):
+            ap.error("--wap-ingest requires --docs-path and --docs-format docstore")
+        from anomalydetection_spark.plans.wap import write_audit_publish
+
+        batch = spark.read.parquet(args.wap_ingest)
+        res = write_audit_publish(
+            spark, args.docs_path, batch, media, baseline,
+            cfg=suite_cfg, constraints=selected_constraints,
+            branch=args.wap_branch, scope=args.wap_scope,
+        )
+        print(json.dumps({
+            k: res[k]
+            for k in ("published", "branch", "base_version", "staged_version",
+                      "published_version", "audited_partitions", "n_violations")
+        }))
+        for v in res["verdicts"]:
+            print(f"  constraint={v['constraint']:<20} "
+                  f"{'PASS' if v['passed'] else 'FAIL'} "
+                  f"violations={v['violation_count']} severity={v['severity']}")
+        return 0 if res["published"] else 3
 
     t0 = time.time()
     if args.state_dir:
