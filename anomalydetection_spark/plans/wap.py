@@ -51,6 +51,7 @@ def write_audit_publish(
     scope: str = "staged",
     partition_col: str = "partition_id",
     drop_branch_on_publish: bool = True,
+    publish_tag: str | None = None,
 ) -> dict:
     """Stage ``batch`` on an audit branch, run the suite, publish iff
     every error-severity constraint passed.
@@ -60,7 +61,9 @@ def write_audit_publish(
     entire staged state. ``branch`` names the audit branch (default: a
     fresh ``audit-<hex>``); on failure the branch SURVIVES with the
     staged commit for drill-down — re-running with the same name fails
-    loudly rather than double-staging.
+    loudly rather than double-staging. ``publish_tag`` tags the published
+    snapshot atomically with the publish commit — the marker a replaying
+    caller (the streaming sink) checks to skip an already-published batch.
 
     Returns {published, branch, base_version, staged_version,
     published_version, audited_partitions, verdicts, n_violations,
@@ -129,7 +132,9 @@ def write_audit_publish(
     }
     if gating_failures:
         return out  # branch kept for inspection; main never saw the batch
-    out["published_version"] = ds.fast_forward(table_dir, name, "main")
+    out["published_version"] = ds.fast_forward(
+        table_dir, name, "main", tag=publish_tag
+    )
     out["published"] = True
     if drop_branch_on_publish:
         ds.drop_ref(table_dir, name)

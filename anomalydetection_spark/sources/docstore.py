@@ -186,6 +186,7 @@ def commit_snapshot(
     branch: str | None = "main",
     parent: int | None = None,
     refs_update: dict | None = None,
+    eq_deletes: list | None = None,
 ) -> int:
     """Optimistic-concurrency commit (the Iceberg metadata-pointer CAS):
     the EXCLUSIVE creation of manifest-v{N+1}.json — a fully-written temp
@@ -211,6 +212,15 @@ def commit_snapshot(
     create_branch / create_tag / drop_ref ride it. Writing to a TAG
     fails: tags are immutable.
 
+    Sequence numbers (the Iceberg V2 ordering that scopes equality
+    deletes): every file entry carries ``seq`` = the version that first
+    committed it; entries arriving without one are stamped with THIS
+    commit's version (correct for new files; carried legacy entries are
+    back-stamped 0 by the first delete_where_eq, see there). The
+    table-level ``eq_deletes`` list is carried from the PARENT manifest
+    when not passed — content lineage, so a branch's equality deletes
+    never leak into main through a later main commit.
+
     The version hint is updated best-effort AFTER the link; a crash
     between the two leaves a stale hint that current_version's forward
     probe repairs. A crash before the link leaves the previous snapshot
@@ -222,6 +232,7 @@ def commit_snapshot(
             f"table advanced to v{head} since base v{expected_base}"
         )
     v = head + 1
+    files = [f if "seq" in f else {**f, "seq": v} for f in files]
     manifest = {"version": v, "schema": schema_json, "files": files}
     prior = load_manifest(table_dir, head, _raw=True) if head else None
     refs = dict((prior or {}).get("refs") or {})
@@ -232,6 +243,8 @@ def commit_snapshot(
             if tgt is None:
                 refs.pop(name, None)
             else:
+                if tgt.get("version") is None:  # "the version being committed"
+                    tgt = {**tgt, "version": v}
                 refs[name] = tgt
     if branch is not None:
         existing = refs.get(branch)
@@ -246,6 +259,17 @@ def commit_snapshot(
         manifest["branch"] = None
         manifest["parent"] = head
     manifest["refs"] = refs
+    if eq_deletes is None:  # carry the content lineage's equality deletes
+        p = int(manifest["parent"])
+        try:
+            eq_deletes = (
+                (load_manifest(table_dir, p).get("eq_deletes") or []) if p >= 1 else []
+            )
+        except FileNotFoundError:  # parent expired: nothing to carry
+            eq_deletes = []
+    eq_deletes = [e if e.get("seq") is not None else {**e, "seq": v} for e in eq_deletes]
+    if eq_deletes:
+        manifest["eq_deletes"] = eq_deletes
     if field_ids is None and head:  # carry the id registry forward verbatim
         field_ids = prior.get("field_ids")
         last_field_id = prior.get("last_field_id")
@@ -288,6 +312,11 @@ class _FileSplit(InputPartition):
     # keyed by FIELD ID (the Iceberg column-ID model), empty for files that
     # predate id tracking (those resolve by name)
     name_map: tuple = ()
+    # merge-on-read EQUALITY deletes applicable to this file (Iceberg V2's
+    # second delete flavor): ((eq_file_abs_path, current_col_name), ...) —
+    # only eq files whose sequence is newer than the data file's; rows
+    # whose key value appears in an eq file are skipped while streaming
+    eq_deletes: tuple = ()
 
 
 def _mapped_source(
@@ -303,6 +332,35 @@ def _mapped_source(
         return field_name
     fid = field_ids.get(field_name)
     return name_map.get(str(fid)) if fid is not None else None
+
+
+def _eq_current_col(manifest: dict, eq: dict) -> str | None:
+    """CURRENT schema name of an equality-delete file's key column: the
+    delete binds by FIELD ID (rename-safe — renaming the key column does
+    not detach past deletes); None when the id was retired by a column
+    drop (the delete can no longer bind — its rows were value-matched on
+    a column that no longer exists). Legacy eq entries without an id
+    resolve by their recorded name."""
+    fid = eq.get("col_id")
+    if fid is None:
+        return eq.get("col")
+    for name, i in (manifest.get("field_ids") or {}).items():
+        if int(i) == int(fid):
+            return name
+    return None
+
+
+def _eq_value_filter(batch, src: str, values):
+    """Remove batch rows whose ``src`` value appears in ``values``
+    (NULLs never match — eq-delete keys are written non-null)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if src not in batch.schema.names or not values:
+        return batch
+    vset = pa.array(list(values), type=batch.schema.field(src).type)
+    hit = pc.is_in(batch.column(src), value_set=vset)
+    return batch.filter(pc.fill_null(pc.invert(hit), True))
 
 
 class DocStoreReader(DataSourceReader):
@@ -396,10 +454,19 @@ class DocStoreReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         bounds, self._bounds = self._bounds, {}
         in_sets, self._in_sets = self._in_sets, {}  # consumed: next scan clean
+        eq_resolved = [
+            (
+                os.path.join(self.table_dir, e["path"]),
+                _eq_current_col(self.manifest, e),
+                int(e["seq"]),
+            )
+            for e in (self.manifest.get("eq_deletes") or [])
+        ]
         splits = []
         for f in self.manifest["files"]:
             if self._file_pruned(f["stats"], bounds, in_sets):
                 continue
+            fseq = int(f.get("seq", 0))
             splits.append(
                 _FileSplit(
                     os.path.join(self.table_dir, f["path"]),
@@ -409,6 +476,10 @@ class DocStoreReader(DataSourceReader):
                         for d in f.get("deletes", ())
                     ),
                     tuple(sorted((f.get("name_map") or {}).items())),
+                    tuple(
+                        (p, c) for p, c, s in eq_resolved
+                        if c is not None and s > fseq
+                    ),
                 )
             )
         # empty-scan guard: Spark requires >= 1 partition
@@ -438,6 +509,22 @@ class DocStoreReader(DataSourceReader):
         dropped: set[int] = set()
         for dpath in part.deletes:
             dropped.update(pq.read_table(dpath, columns=["pos"])["pos"].to_pylist())
+        # equality deletes: each applicable eq file's keys load once per
+        # task into a hash set (exactly Iceberg's execution model — eq
+        # deletes are task-memory-resident) and filter every batch; the
+        # key column is resolved through THIS file's id map, so renames
+        # never detach a delete
+        eq_sets: list[tuple[str, set]] = []
+        nm_eq = dict(part.name_map)
+        fids_eq = self.manifest.get("field_ids") or {}
+        for epath, cur in part.eq_deletes:
+            src = _mapped_source(cur, fids_eq, nm_eq)
+            if src is None:
+                continue
+            vals = set(pq.read_table(epath).column(0).to_pylist())
+            vals.discard(None)
+            if vals:
+                eq_sets.append((src, vals))
         offset = 0
         for batch in pf.iter_batches():
             start, offset = offset, offset + batch.num_rows
@@ -450,6 +537,10 @@ class DocStoreReader(DataSourceReader):
                     batch = batch.take(pa.array(keep, type=pa.int32()))
                     if batch.num_rows == 0:
                         continue
+            for src, vals in eq_sets:
+                batch = _eq_value_filter(batch, src, vals)
+            if batch.num_rows == 0:
+                continue
             if expected is None or (
                 srcs == expected.names and batch.schema.names == expected.names
             ):
@@ -493,6 +584,11 @@ class _CdcSplit(InputPartition):
     skip_positions: tuple = ()  # delete files bounding VISIBILITY (paths)
     only_positions: tuple = ()  # delete files whose positions to EMIT (paths)
     name_map: tuple = ()  # ((id_str, physical_name), ...) — field-id mapping
+    # equality-delete scoping, value-based mirrors of the two above:
+    # ((eq_abs_path, current_col), ...) — skip_eq bounds visibility (rows
+    # already eq-deleted), only_eq selects rows a NEW eq delete removes
+    skip_eq: tuple = ()
+    only_eq: tuple = ()
 
 
 def _diff_version_step(table_dir: str, v: int) -> list[_CdcSplit]:
@@ -502,23 +598,47 @@ def _diff_version_step(table_dir: str, v: int) -> list[_CdcSplit]:
     what keeps a branch's staged files out of main's feed until a
     publish: the publish commit's parent is the old main head, so its
     diff is exactly the published content. A first commit (parent 0)
-    diffs against an empty table."""
+    diffs against an empty table.
+
+    Equality deletes: a NEW eq-delete file in commit ``v`` contributes
+    one 'delete' split per data file it scopes to (file.seq < eq.seq),
+    emitting exactly the rows it removed — bounded by the file's position
+    deletes and OLDER applicable eq deletes, so already-invisible rows
+    never re-emit. Visibility of added/removed files is likewise bounded
+    by the eq deletes applicable at their side of the diff."""
     m1 = load_manifest(table_dir, v)
     parent = int(m1.get("parent", v - 1))
-    by0 = (
-        {f["path"]: f for f in load_manifest(table_dir, parent)["files"]}
-        if parent >= 1
-        else {}
-    )
+    m0 = load_manifest(table_dir, parent) if parent >= 1 else None
+    by0 = {f["path"]: f for f in m0["files"]} if m0 else {}
     by1 = {f["path"]: f for f in m1["files"]}
     ap = lambda p: os.path.join(table_dir, p)  # noqa: E731
+
+    def _eqs(m: dict | None, fseq: int, upto: int | None = None) -> tuple:
+        """(abs_path, current_col) of eq files in ``m`` scoping a file of
+        sequence ``fseq`` (optionally only those with seq < upto)."""
+        if m is None:
+            return ()
+        return tuple(
+            (ap(e["path"]), _eq_current_col(m, e))
+            for e in (m.get("eq_deletes") or [])
+            if _eq_current_col(m, e) is not None
+            and int(e.get("seq", 0)) > fseq
+            and (upto is None or int(e.get("seq", 0)) < upto)
+        )
+
+    eq0_paths = {e["path"] for e in ((m0 or {}).get("eq_deletes") or [])}
+    new_eqs = [
+        e for e in (m1.get("eq_deletes") or []) if e["path"] not in eq0_paths
+    ]
     splits: list[_CdcSplit] = []
     for p, f in by1.items():
+        fseq = int(f.get("seq", 0))
         if p not in by0:  # added file: its v-visible rows are inserts
             splits.append(
                 _CdcSplit(ap(p), "insert", v,
                           skip_positions=tuple(ap(d) for d in f.get("deletes", ())),
-                          name_map=tuple(sorted((f.get("name_map") or {}).items())))
+                          name_map=tuple(sorted((f.get("name_map") or {}).items())),
+                          skip_eq=_eqs(m1, fseq))
             )
             continue
         new_dels = [d for d in f.get("deletes", ())
@@ -527,14 +647,34 @@ def _diff_version_step(table_dir: str, v: int) -> list[_CdcSplit]:
             splits.append(
                 _CdcSplit(ap(p), "delete", v,
                           only_positions=tuple(ap(d) for d in new_dels),
-                          name_map=tuple(sorted((f.get("name_map") or {}).items())))
+                          name_map=tuple(sorted((f.get("name_map") or {}).items())),
+                          skip_eq=_eqs(m0, fseq))
             )
     for p, f in by0.items():
         if p not in by1:  # removed file: its (v-1)-visible rows are deletes
             splits.append(
                 _CdcSplit(ap(p), "delete", v,
                           skip_positions=tuple(ap(d) for d in f.get("deletes", ())),
-                          name_map=tuple(sorted((f.get("name_map") or {}).items())))
+                          name_map=tuple(sorted((f.get("name_map") or {}).items())),
+                          skip_eq=_eqs(m0, int(f.get("seq", 0))))
+            )
+    for e in new_eqs:  # new equality delete: value-matched rows are deletes
+        cur = _eq_current_col(m1, e)
+        if cur is None:
+            continue
+        eseq = int(e.get("seq", 0))
+        for p, f in by1.items():
+            fseq = int(f.get("seq", 0))
+            if fseq >= eseq or p not in by0:
+                continue  # later files escape; added files handled above
+            splits.append(
+                _CdcSplit(ap(p), "delete", v,
+                          skip_positions=tuple(ap(d) for d in f.get("deletes", ())),
+                          name_map=tuple(sorted((f.get("name_map") or {}).items())),
+                          # rows an OLDER eq delete already removed are
+                          # invisible — they must not re-emit as deletes
+                          skip_eq=_eqs(m0, fseq, upto=eseq),
+                          only_eq=((ap(e["path"]), cur),))
             )
     return splits
 
@@ -619,6 +759,23 @@ class DocStoreCdcStreamReader(DataSourceStreamReader):
             only = set()
             for dpath in part.only_positions:
                 only.update(pq.read_table(dpath, columns=["pos"])["pos"].to_pylist())
+
+        def _eq_pairs(specs: tuple) -> list[tuple[str, set]]:
+            """Resolve (eq_path, current_col) specs to this FILE's physical
+            column + value set; unresolvable columns contribute nothing."""
+            out = []
+            for epath, cur in specs:
+                src = _mapped_source(cur, self.field_ids, dict(part.name_map))
+                if src is None:
+                    continue
+                vals = set(pq.read_table(epath).column(0).to_pylist())
+                vals.discard(None)
+                if vals:
+                    out.append((src, vals))
+            return out
+
+        skip_eq = _eq_pairs(part.skip_eq)
+        only_eq = _eq_pairs(part.only_eq)
         offset = 0
         for batch in pq.ParquetFile(part.path).iter_batches():
             start, offset = offset, offset + batch.num_rows
@@ -630,6 +787,25 @@ class DocStoreCdcStreamReader(DataSourceStreamReader):
             ]
             if len(keep) < batch.num_rows:
                 batch = batch.take(pa.array(keep, type=pa.int32()))
+            for src, vals in skip_eq:  # rows already eq-deleted: invisible
+                batch = _eq_value_filter(batch, src, vals)
+            if part.only_eq:  # emit ONLY rows the new eq delete removed
+                import pyarrow.compute as pc
+
+                mask = None
+                for src, vals in only_eq:
+                    if src not in batch.schema.names:
+                        continue
+                    vset = pa.array(list(vals), type=batch.schema.field(src).type)
+                    hit = pc.fill_null(
+                        pc.is_in(batch.column(src), value_set=vset), False
+                    )
+                    mask = hit if mask is None else pc.or_(mask, hit)
+                batch = (
+                    batch.filter(mask)
+                    if mask is not None
+                    else batch.slice(0, 0)
+                )
             if batch.num_rows == 0:
                 continue
             n = batch.num_rows
@@ -833,6 +1009,11 @@ class DocStoreWriter(DataSourceArrowWriter):
                     self.table_dir, files, schema_json,
                     expected_base=base, field_ids=fid, last_field_id=last,
                     branch=self.branch,
+                    # overwrite replaces the content — stale equality
+                    # deletes must not apply to the fresh files (their seq
+                    # would escape anyway; clearing keeps the manifest
+                    # honest); append carries the branch lineage's list
+                    eq_deletes=[] if self.overwrite else None,
                 )
                 return
             except CommitConflict:
@@ -932,9 +1113,11 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     ]
     def _refs(v: int) -> set[str]:
         refs: set[str] = set()
-        for f in load_manifest(table_dir, v)["files"]:
+        m = load_manifest(table_dir, v)
+        for f in m["files"]:
             refs.add(f["path"])
             refs.update(f.get("deletes", ()))  # MOR delete files are data too
+        refs.update(e["path"] for e in m.get("eq_deletes") or [])
         return refs
 
     live_files: set[str] = set()
@@ -956,6 +1139,62 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
         except OSError:
             pass
     return {"expired_versions": expired, "removed_files": removed}
+
+
+def remove_orphan_files(
+    table_dir: str, older_than_seconds: float = 3 * 24 * 3600
+) -> dict:
+    """Delete data/delete files NO committed snapshot references (the
+    Iceberg ``remove_orphan_files`` procedure) — the third maintenance
+    primitive next to expire_snapshots (dead history) and
+    compact_snapshot (layout). Orphans accumulate from aborted writes,
+    losing optimistic-retry attempts, and crashes between data write and
+    manifest link; they are invisible to every scan (planning is
+    manifest-driven) but hold disk.
+
+    ``older_than_seconds`` is the SAFETY WINDOW (Iceberg's default is
+    also 3 days): a file younger than it may belong to an IN-FLIGHT
+    commit whose manifest hasn't linked yet — deleting it would corrupt
+    that commit when it lands. Mtime is read per file; only
+    ``data-*.parquet`` / ``delete-*.parquet`` names are candidates
+    (manifests, hints, and temp files are never touched — temp files are
+    cleaned by their own writers)."""
+    import time as _time
+
+    live: set[str] = set()
+    for v in range(1, current_version(table_dir) + 1):
+        try:
+            m = load_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue
+        for f in m["files"]:
+            live.add(f["path"])
+            live.update(f.get("deletes", ()))
+        live.update(e["path"] for e in m.get("eq_deletes") or [])
+    cutoff = _time.time() - float(older_than_seconds)
+    removed, kept_young = 0, 0
+    for name in os.listdir(table_dir):
+        if not (
+            (
+                name.startswith("data-")
+                or name.startswith("delete-")
+                or name.startswith("eqdelete-")
+            )
+            and name.endswith(".parquet")
+        ):
+            continue
+        if name in live:
+            continue
+        full = os.path.join(table_dir, name)
+        try:
+            if os.path.getmtime(full) > cutoff:
+                kept_young += 1  # possibly an in-flight commit's file
+                continue
+            os.remove(full)
+            removed += 1
+        except OSError:
+            pass
+    return {"removed_files": removed, "kept_young": kept_young}
 
 
 def compact_snapshot(
@@ -1091,6 +1330,37 @@ def _read_files_visible(
     out = parts[0]
     for sub in parts[1:]:
         out = out.unionByName(sub)
+    eqs = [e for e in (m.get("eq_deletes") or []) if _eq_current_col(m, e)]
+    if eqs:
+        # equality deletes, sequence-scoped: join each file's seq in via
+        # its (unique) basename — a file-count-sized broadcast — then one
+        # anti join per eq file on (key match AND file predates delete).
+        # Rewrites MUST read through this: raw files would resurrect
+        # eq-deleted rows into the rewritten snapshot.
+        base_df = spark.createDataFrame(
+            [(e["path"], int(e.get("seq", 0))) for e in entries],
+            "_fbase string, _fseq int",
+        )
+        out = (
+            out.withColumn(
+                "_fbase", F.element_at(F.split(F.col("_file"), "/"), -1)
+            )
+            .join(F.broadcast(base_df), "_fbase", "left")
+            .drop("_fbase")
+        )
+        for e in eqs:
+            cur = _eq_current_col(m, e)
+            n_keys, _ = _footer_stats(os.path.join(table_dir, e["path"]))
+            kdf = spark.read.parquet(os.path.join(table_dir, e["path"])).toDF("_eqk")
+            if n_keys <= 5_000_000:  # executor-memory-sized → broadcast
+                kdf = F.broadcast(kdf)
+            out = out.join(
+                kdf,
+                (F.col(cur) == F.col("_eqk"))
+                & (F.col("_fseq") < F.lit(int(e.get("seq", 0)))),
+                "left_anti",
+            )
+        out = out.drop("_fseq")
     return out if with_file_col else out.drop("_file", "_pos")
 
 
@@ -1197,6 +1467,7 @@ def _meta_commit(table_dir: str, refs_update: dict, base: int, **kw) -> int:
         expected_base=base,
         branch=None,
         refs_update=refs_update,
+        eq_deletes=src.get("eq_deletes") or [],
         **kw,
     )
 
@@ -1265,7 +1536,12 @@ def _ancestry(table_dir: str, version: int) -> list[int]:
 
 
 @_retry_on_conflict
-def fast_forward(table_dir: str, from_ref: str, to_branch: str = "main") -> int:
+def fast_forward(
+    table_dir: str,
+    from_ref: str,
+    to_branch: str = "main",
+    tag: str | None = None,
+) -> int:
     """Fast-forward ``to_branch`` to ``from_ref``'s state (the Iceberg
     ``fast_forward`` procedure — the PUBLISH half of write-audit-publish):
     requires ``to_branch``'s head to be an ancestor of ``from_ref``'s (no
@@ -1273,7 +1549,10 @@ def fast_forward(table_dir: str, from_ref: str, to_branch: str = "main") -> int:
     files/schema/registry as the new ``to_branch`` head. Metadata-only —
     zero data files move; the change feed of ``to_branch`` sees the
     published rows exactly once (this commit's parent is the old head, so
-    the CDC diff is precisely what publishing introduced)."""
+    the CDC diff is precisely what publishing introduced). ``tag``
+    additionally creates a tag on the published snapshot IN THE SAME
+    COMMIT — the atomic publish marker exactly-once consumers (the
+    streaming WAP sink's replay guard) key on."""
     base = current_version(table_dir)
     refs = table_refs(table_dir, _head=base)
     if from_ref not in refs:
@@ -1284,8 +1563,14 @@ def fast_forward(table_dir: str, from_ref: str, to_branch: str = "main") -> int:
     if refs[to_branch].get("type") == "tag":
         raise ValueError(f"ref '{to_branch}' is a tag — tags are immutable")
     to_v = int(refs[to_branch]["version"])
+    if tag is not None and tag in refs:
+        raise ValueError(f"ref '{tag}' already exists")
     if src_v == to_v:
-        return current_version(table_dir)
+        if tag is None:
+            return base
+        return _meta_commit(
+            table_dir, {tag: {"type": "tag", "version": to_v}}, base
+        )
     if to_v not in _ancestry(table_dir, src_v):
         raise ValueError(
             f"cannot fast-forward: '{to_branch}' (v{to_v}) is not an "
@@ -1302,6 +1587,10 @@ def fast_forward(table_dir: str, from_ref: str, to_branch: str = "main") -> int:
         last_field_id=newest.get("last_field_id") or src.get("last_field_id"),
         branch=to_branch,
         parent=to_v,
+        refs_update=(
+            {tag: {"type": "tag", "version": None}} if tag is not None else None
+        ),
+        eq_deletes=src.get("eq_deletes") or [],
     )
 
 
@@ -1324,6 +1613,7 @@ def rollback_to(table_dir: str, version: int, branch: str = "main") -> int:
         field_ids=old.get("field_ids"),
         last_field_id=newest.get("last_field_id") or old.get("last_field_id"),
         branch=branch,
+        eq_deletes=old.get("eq_deletes") or [],
     )
 
 
@@ -1581,6 +1871,82 @@ def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
     }
 
 
+@_retry_on_conflict
+def delete_where_eq(spark, table_dir: str, key_col: str, keys) -> dict:
+    """Merge-on-read EQUALITY delete (the Iceberg V2 equality-delete
+    flavor, completing the delete model next to COW rewrites and MOR
+    position deletes): commit ONE small delete file of key VALUES —
+    no probe scan, no data rewrite, O(|keys|) work regardless of table
+    size. The use case position deletes can't serve at scale: bulk
+    key-based removal (GDPR erasure, retracting a bad producer's doc_ids)
+    where finding the rows' positions would itself cost a table scan.
+
+    Semantics (sequence-number scoped, the Iceberg V2 rule): the delete
+    applies to rows of data files COMMITTED BEFORE it (file.seq <
+    delete.seq) whose ``key_col`` equals any key; files committed later —
+    including a re-insert of the same key — are untouched. The key binds
+    by FIELD ID, so renaming the column never detaches past deletes;
+    NULL keys are dropped at write (equality on NULL is undefined).
+
+    ``keys``: a DataFrame bearing ``key_col`` (written out distributed —
+    the driver never holds the key set) or a small python iterable.
+    Readers load each applicable delete file into a per-task hash set
+    (Iceberg's own execution model); compact_snapshot folds eq deletes
+    into a rewrite, after which the fresh snapshot carries none."""
+    import shutil
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    base = current_version(table_dir)
+    manifest = load_manifest(table_dir)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    names = [f.name for f in schema.fields]
+    if key_col not in names:
+        raise ValueError(f"no column '{key_col}' in {names}")
+    if not isinstance(keys, _DF):
+        from pyspark.sql.types import StructField
+
+        keys = spark.createDataFrame(
+            [(k,) for k in keys],
+            StructType([StructField(key_col, schema[key_col].dataType, True)]),
+        )
+    tmpdir = os.path.join(table_dir, f"._eqtmp.{uuid.uuid4().hex}")
+    (
+        keys.select(F.col(key_col))
+        .where(F.col(key_col).isNotNull())
+        .distinct()
+        .coalesce(1)
+        .write.parquet(tmpdir)
+    )
+    part = [fn for fn in os.listdir(tmpdir) if fn.endswith(".parquet")]
+    name = f"eqdelete-{uuid.uuid4().hex}.parquet"
+    os.replace(os.path.join(tmpdir, part[0]), os.path.join(table_dir, name))
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    n_keys, _ = _footer_stats(os.path.join(table_dir, name))
+    if n_keys == 0:
+        os.remove(os.path.join(table_dir, name))
+        return {"new_version": manifest["version"], "delete_file": None, "n_keys": 0}
+    # back-stamp legacy entries seq=0: every current file provably
+    # predates this delete; new files get their commit version from
+    # commit_snapshot onwards
+    files = [f if "seq" in f else {**f, "seq": 0} for f in manifest["files"]]
+    eq = list(manifest.get("eq_deletes") or [])
+    eq.append(
+        {
+            "path": name,
+            "col": key_col,
+            "col_id": (manifest.get("field_ids") or {}).get(key_col),
+            "seq": None,  # stamped with the committed version
+        }
+    )
+    v = commit_snapshot(
+        table_dir, files, manifest["schema"],
+        expected_base=base, eq_deletes=eq,
+    )
+    return {"new_version": v, "delete_file": name, "n_keys": int(n_keys)}
+
+
 def changed_partitions(
     table_dir: str,
     v_from: int,
@@ -1608,14 +1974,31 @@ def changed_partitions(
     everything.
     """
     try:
-        by0 = {f["path"]: f for f in load_manifest(table_dir, v_from)["files"]}
+        m0 = load_manifest(table_dir, v_from)
     except (FileNotFoundError, ValueError):
         return None
-    by1 = {f["path"]: f for f in load_manifest(table_dir, v_to)["files"]}
+    m1 = load_manifest(table_dir, v_to)
+    by0 = {f["path"]: f for f in m0["files"]}
+    by1 = {f["path"]: f for f in m1["files"]}
+
+    def _eq_sig(m: dict, f: dict) -> tuple:
+        """Applicable equality-delete files for one data file — a new eq
+        delete changes rows WITHOUT touching the file list, so it must
+        count as a change for every file it scopes to."""
+        fseq = int(f.get("seq", 0))
+        return tuple(sorted(
+            e["path"] for e in (m.get("eq_deletes") or [])
+            if int(e.get("seq", 0)) > fseq
+        ))
+
     changed: list[dict] = []
     for p, f in by1.items():
         prev = by0.get(p)
-        if prev is None or tuple(prev.get("deletes", ())) != tuple(f.get("deletes", ())):
+        if (
+            prev is None
+            or tuple(prev.get("deletes", ())) != tuple(f.get("deletes", ()))
+            or _eq_sig(m0, prev) != _eq_sig(m1, f)
+        ):
             changed.append(f)
     changed.extend(f for p, f in by0.items() if p not in by1)
     pids: set[int] = set()
@@ -1680,27 +2063,68 @@ def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
             spark.read.parquet(*[os.path.join(table_dir, p) for p in paths]), entry
         )
 
-    def _visible(entry: dict, version_files: dict):
-        """Rows of one data file minus its position deletes at a version."""
+    def _eq_keys(e: dict):
+        return spark.read.parquet(os.path.join(table_dir, e["path"])).toDF("_eqk")
+
+    def _eq_anti(df, m: dict, entry: dict):
+        """Subtract rows equality deletes applicable to ``entry`` at
+        manifest ``m`` removed (one anti join per eq file; names are the
+        v_to projection's, resolved through m1's registry)."""
+        fseq = int(entry.get("seq", 0))
+        for e in m.get("eq_deletes") or []:
+            if int(e.get("seq", 0)) <= fseq:
+                continue
+            cur = _eq_current_col(m1, e)
+            if cur is None or cur not in df.columns:
+                continue
+            df = df.join(
+                F.broadcast(_eq_keys(e)),
+                F.col(cur) == F.col("_eqk"), "left_anti",
+            )
+        return df
+
+    def _visible(entry: dict, version_files: dict, m: dict):
+        """Rows of one data file minus its position AND equality deletes
+        at a version."""
         df = _read([entry["path"]], entry)
         dels = version_files.get(entry["path"], {}).get("deletes", ())
-        if not dels:
-            return df
-        import pyarrow.parquet as pq
+        if dels:
+            import pyarrow.parquet as pq
 
-        dropped: list[int] = []
-        for d in dels:
-            dropped.extend(
-                pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
+            dropped: list[int] = []
+            for d in dels:
+                dropped.extend(
+                    pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
+                )
+            raw = spark.read.parquet(os.path.join(table_dir, entry["path"])).withColumn(
+                "_pos", F.col("_metadata.row_index")
             )
-        raw = spark.read.parquet(os.path.join(table_dir, entry["path"])).withColumn(
-            "_pos", F.col("_metadata.row_index")
-        )
-        return _project(raw, entry).filter(~F.col("_pos").isin(dropped)).drop("_pos")
+            df = _project(raw, entry).filter(~F.col("_pos").isin(dropped)).drop("_pos")
+        return _eq_anti(df, m, entry)
 
     # old side: removed files as visible at v_from, plus carried files'
     # rows newly deleted by MOR between the versions
-    old_parts = [_visible(by0[p], by0) for p in removed]
+    old_parts = [_visible(by0[p], by0, m0) for p in removed]
+    # ... plus carried files' rows a NEW equality delete removed: rows
+    # visible at v_from whose key the new delete file names (semi join)
+    eq0_paths = {e["path"] for e in (m0.get("eq_deletes") or [])}
+    for e in m1.get("eq_deletes") or []:
+        if e["path"] in eq0_paths:
+            continue
+        cur = _eq_current_col(m1, e)
+        if cur is None:
+            continue
+        for p in by0:
+            if p not in by1:
+                continue
+            if int(by1[p].get("seq", 0)) >= int(e.get("seq", 0)):
+                continue
+            old_parts.append(
+                _visible(by0[p], by0, m0).join(
+                    F.broadcast(_eq_keys(e)),
+                    F.col(cur) == F.col("_eqk"), "left_semi",
+                )
+            )
     for p in by0:
         if p not in by1:
             continue
@@ -1723,7 +2147,7 @@ def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
     old_side = old_parts[0] if old_parts else _read([])
     for part in old_parts[1:]:
         old_side = old_side.unionByName(part)
-    new_parts = [_read([p], by1[p]) for p in added]
+    new_parts = [_visible(by1[p], by1, m1) for p in added]
     new_side = new_parts[0] if new_parts else _read([])
     for part in new_parts[1:]:
         new_side = new_side.unionByName(part)
@@ -1790,6 +2214,7 @@ def metadata_table(spark, table_dir: str, kind: str, ref: str | None = None):
             StructField("parent", IntegerType(), False),
             StructField("n_files", IntegerType(), False),
             StructField("n_delete_files", IntegerType(), False),
+            StructField("n_eq_deletes", IntegerType(), False),
             StructField("rows", LongType(), False),
         ])
         rows = []
@@ -1804,6 +2229,7 @@ def metadata_table(spark, table_dir: str, kind: str, ref: str | None = None):
                 int(m.get("parent", v - 1)),
                 len(m["files"]),
                 sum(len(f.get("deletes", ())) for f in m["files"]),
+                len(m.get("eq_deletes") or []),
                 sum(f["rows"] for f in m["files"]),
             ))
         return spark.createDataFrame(rows, schema)

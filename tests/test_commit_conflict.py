@@ -129,6 +129,7 @@ def test_manifest_content_atomic_under_link(tmp_path):
     v = docstore.commit_snapshot(t, files, "{}")
     with open(os.path.join(t, f"manifest-v{v}.json")) as f:
         m = json.load(f)
-    assert m["files"] == files
+    # commit stamps each new entry with its sequence number (= this version)
+    assert m["files"] == [{**f, "seq": v} for f in files]
     # no temp litter
     assert not [p for p in os.listdir(t) if p.startswith("._manifest")]

@@ -1,0 +1,208 @@
+"""Equality deletes (the Iceberg V2 second delete flavor).
+
+Sequence-scoped key-value deletes: O(|keys|) commit cost, applied at
+read time by every surface — batch reader, rewrite paths, CDC stream
+diffs, changelog, incremental-validation change detection — with
+re-inserts of a deleted key escaping (they out-sequence the delete).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalydetection_spark.datagen import (
+    DataGenConfig,
+    clean_config,
+    generate_documents,
+)
+from anomalydetection_spark.sources import docstore as ds
+from anomalydetection_spark.sources.io import read_table, write_table
+
+CFG = DataGenConfig(n_docs=300, n_partitions=3, n_media=150)
+CLEAN = clean_config(CFG)
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def _read(spark, path, **opts):
+    r = spark.read.format("docstore").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    docs = generate_documents(spark, CLEAN)
+    write_table(docs, path, fmt="docstore")
+    return path, docs
+
+
+def test_eq_delete_and_reinsert_escapes(spark, table):
+    """Deleted keys vanish from every read; a LATER re-insert of the same
+    key is visible (file.seq > delete.seq — the Iceberg sequence rule);
+    time travel before the delete still sees the original rows."""
+    path, docs = table
+    all_ids = _ids(docs)
+    victims = all_ids[:7]
+    out = ds.delete_where_eq(spark, path, "doc_id", victims)
+    assert out["n_keys"] == 7
+
+    left = _ids(_read(spark, path))
+    assert set(left) == set(all_ids) - set(victims)
+    assert _ids(_read(spark, path, version=1)) == all_ids  # time travel intact
+
+    # re-insert two of the victims: new files out-sequence the delete
+    back = docs.filter(F.col("doc_id").isin(victims[:2]))
+    back.write.format("docstore").option("path", path).mode("append").save()
+    now = _ids(_read(spark, path))
+    assert set(now) == (set(all_ids) - set(victims)) | set(victims[:2])
+
+    # a SECOND eq delete hits the re-inserted rows too (newer seq)
+    ds.delete_where_eq(spark, path, "doc_id", victims[:1])
+    assert victims[0] not in set(_ids(_read(spark, path)))
+    assert victims[1] in set(_ids(_read(spark, path)))
+
+
+def test_eq_delete_dataframe_keys_and_nulls(spark, table):
+    """Keys as a DataFrame (the distributed path — driver never holds the
+    set); NULL keys are dropped at write; an all-null key frame no-ops."""
+    path, docs = table
+    all_ids = _ids(docs)
+    keys = (
+        docs.select("doc_id").limit(5)
+        .unionByName(spark.createDataFrame([(None,)], "doc_id string"))
+    )
+    out = ds.delete_where_eq(spark, path, "doc_id", keys)
+    assert out["n_keys"] == 5
+    assert len(_ids(_read(spark, path))) == len(all_ids) - 5
+
+    v_before = ds.current_version(path)
+    out2 = ds.delete_where_eq(spark, path, "doc_id", [None])
+    assert out2["n_keys"] == 0 and out2["delete_file"] is None
+    assert ds.current_version(path) == v_before  # no empty commit
+
+
+def test_eq_delete_survives_rename(spark, table):
+    """The delete binds by FIELD ID: renaming the key column after the
+    delete keeps it applied; a delete issued AFTER a rename still scopes
+    files written under the old name."""
+    path, docs = table
+    all_ids = _ids(docs)
+    ds.delete_where_eq(spark, path, "doc_id", all_ids[:3])
+    ds.rename_column(path, "doc_id", "document_id")
+    left = sorted(
+        r["document_id"]
+        for r in _read(spark, path).select("document_id").collect()
+    )
+    assert set(left) == set(all_ids) - set(all_ids[:3])
+
+    ds.delete_where_eq(spark, path, "document_id", all_ids[3:5])
+    left2 = sorted(
+        r["document_id"]
+        for r in _read(spark, path).select("document_id").collect()
+    )
+    assert set(left2) == set(all_ids) - set(all_ids[:5])
+
+
+def test_rewrites_never_resurrect_eq_deleted_rows(spark, table):
+    """compact_snapshot reads through the eq filter — the rewritten
+    snapshot holds the surviving rows only and carries NO eq deletes
+    (they are folded in); a COW delete_where on another predicate also
+    keeps eq-deleted rows out of its rewritten files."""
+    path, docs = table
+    all_ids = _ids(docs)
+    ds.delete_where_eq(spark, path, "doc_id", all_ids[:4])
+    survivors = set(all_ids) - set(all_ids[:4])
+
+    ds.compact_snapshot(spark, path, n_files=2)
+    m = ds.load_manifest(path)
+    assert not m.get("eq_deletes")  # folded away by the rewrite
+    assert set(_ids(_read(spark, path))) == survivors
+
+    # fresh table for the COW interaction (compaction already folded)
+    path2 = path + "_cow"
+    write_table(docs, path2, fmt="docstore")
+    ds.delete_where_eq(spark, path2, "doc_id", all_ids[:4])
+    gone_too = [i for i in sorted(survivors)][:2]
+    ds.delete_where(spark, path2, f"doc_id in ('{gone_too[0]}', '{gone_too[1]}')")
+    assert set(_ids(_read(spark, path2))) == survivors - set(gone_too)
+
+
+def test_cdc_emits_eq_deleted_rows_once(spark, table, tmp_path):
+    """The CDC stream surfaces an eq-delete commit as 'delete' rows for
+    exactly the removed keys; a second eq delete does not re-emit the
+    first one's rows."""
+    path, docs = table
+    all_ids = _ids(docs)
+    v0 = ds.current_version(path)
+    ds.delete_where_eq(spark, path, "doc_id", all_ids[:3])
+    ds.delete_where_eq(spark, path, "doc_id", all_ids[3:5])
+
+    feed = (
+        spark.readStream.format("docstore")
+        .option("path", path)
+        .option("cdc", "true")
+        .option("startingVersion", str(v0))
+        .load()
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("eq_cdc")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from eq_cdc").collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["doc_id"] for r in rows) == sorted(all_ids[:5])
+    by_commit = {}
+    for r in rows:
+        by_commit.setdefault(r["_commit_version"], set()).add(r["doc_id"])
+    assert by_commit[v0 + 1] == set(all_ids[:3])
+    assert by_commit[v0 + 2] == set(all_ids[3:5])  # no re-emit of the first 3
+
+
+def test_changelog_and_changed_partitions_see_eq_deletes(spark, table):
+    """Batch changelog over an eq-delete range emits the removed rows as
+    deletes; changed_partitions flags the scoped files' partitions even
+    though the FILE LIST never changed."""
+    path, docs = table
+    all_ids = _ids(docs)
+    v0 = ds.current_version(path)
+    ds.delete_where_eq(spark, path, "doc_id", all_ids[:3])
+    v1 = ds.current_version(path)
+
+    ch = ds.changelog(spark, path, "doc_id", v0, v1).collect()
+    assert sorted(r["doc_id"] for r in ch) == sorted(all_ids[:3])
+    assert all(r["_change_type"] == "delete" for r in ch)
+
+    pids = ds.changed_partitions(path, v0, v1)
+    assert pids is not None and len(pids) > 0  # eq-only commit still detected
+
+
+def test_maintenance_keeps_eq_files(spark, table):
+    """expire_snapshots and remove_orphan_files treat eq-delete files as
+    live data; reads after maintenance stay correct."""
+    path, docs = table
+    all_ids = _ids(docs)
+    ds.delete_where_eq(spark, path, "doc_id", all_ids[:3])
+    eqf = ds.load_manifest(path)["eq_deletes"][0]["path"]
+
+    ds.expire_snapshots(path, keep_last=1)
+    out = ds.remove_orphan_files(path, older_than_seconds=0)
+    assert os.path.exists(os.path.join(path, eqf))
+    assert set(_ids(_read(spark, path))) == set(all_ids) - set(all_ids[:3])
+
+    # fold the delete away, expire history: the eq file becomes dead
+    ds.compact_snapshot(spark, path, n_files=1)
+    ds.expire_snapshots(path, keep_last=1)
+    assert not os.path.exists(os.path.join(path, eqf))
+    assert set(_ids(_read(spark, path))) == set(all_ids) - set(all_ids[:3])
