@@ -42,6 +42,7 @@ pyarrow over Arrow record batches — no per-row Python on either path.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import uuid
@@ -68,6 +69,13 @@ from pyspark.sql.types import StructType
 
 STATS_COLUMN = "partition_id"  # always-tracked layout column (back-compat)
 _HINT = "version-hint.text"
+
+# Manifest segmentation (the Iceberg manifest-file model): once a
+# manifest's INLINE file list exceeds this, the commit rolls it into an
+# immutable `seg-*.json` segment and references it — so append commits
+# write O(delta) metadata, not O(table). Tests shrink it to force
+# multi-segment layouts at toy scale.
+SEGMENT_ROLL = 512
 
 
 def _stat_safe(v):
@@ -105,6 +113,34 @@ def current_version(table_dir: str) -> int:
     return v
 
 
+@functools.lru_cache(maxsize=256)
+def _load_segment(abs_path: str) -> tuple:
+    """Entries of one immutable manifest segment (`seg-*.json`), cached
+    process-wide: segments are write-once (a new layout writes a NEW
+    segment file), so path identity is a sound cache key. Callers must
+    not mutate the returned entries — expansion copies them."""
+    with open(abs_path) as f:
+        return tuple(json.load(f))
+
+
+def _expand_manifest(table_dir: str, m: dict) -> dict:
+    """Expand a manifest's segment references into its ``files`` list
+    (segments in order, then inline entries) — the single point where
+    the segmented layout becomes the flat list every consumer reads.
+    Entry dicts are shallow-copied out of the segment cache."""
+    segs = m.get("segments")
+    if not segs:
+        return m
+    expanded: list[dict] = []
+    for s in segs:
+        expanded.extend(
+            dict(e) for e in _load_segment(os.path.join(table_dir, s["path"]))
+        )
+    expanded.extend(m.get("files") or [])
+    m["files"] = expanded
+    return m
+
+
 def load_manifest(
     table_dir: str,
     version: int | None = None,
@@ -131,7 +167,7 @@ def load_manifest(
     if not (1 <= v <= head):
         raise ValueError(f"snapshot v{v} not committed (table at v{head})")
     with open(os.path.join(table_dir, f"manifest-v{v}.json")) as f:
-        return json.load(f)
+        return _expand_manifest(table_dir, json.load(f))
 
 
 def table_refs(table_dir: str, _head: int | None = None) -> dict:
@@ -176,6 +212,57 @@ def snapshots(table_dir: str) -> list[dict]:
     return out
 
 
+def _segment_layout(
+    table_dir: str,
+    parent_m: dict | None,
+    files: list[dict],
+    v: int,
+    roll: int | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """(segments, inline) layout for a new manifest whose visible file
+    list is ``files`` — the Iceberg manifest-file reuse rule: a PARENT
+    segment is carried by reference iff every one of its entries appears
+    unchanged in ``files``; everything else (new files, files whose entry
+    changed — a MOR delete gain, a seq back-stamp — and survivors of a
+    partially-invalidated segment) goes inline. Inline entries without a
+    sequence number are stamped ``v`` (they are new in this commit). When
+    the inline list exceeds :data:`SEGMENT_ROLL` it is rolled into a
+    fresh immutable ``seg-*.json`` — so steady-state appends write
+    O(delta + n_segments) metadata instead of re-serializing the table's
+    whole file list, and a single-file mutation re-inlines one segment's
+    entries, not the table. A segment written by a commit attempt that
+    loses the CAS race is an orphan (remove_orphan_files reclaims it
+    after the safety window)."""
+    new_by_path = {f["path"]: f for f in files}
+    kept: list[dict] = []
+    covered: set[str] = set()
+    for seg in (parent_m or {}).get("segments") or []:
+        entries = _load_segment(os.path.join(table_dir, seg["path"]))
+        if all(new_by_path.get(e["path"]) == e for e in entries):
+            kept.append(seg)
+            covered.update(e["path"] for e in entries)
+    inline = [
+        f if "seq" in f else {**f, "seq": v}
+        for f in files
+        if f["path"] not in covered
+    ]
+    if len(inline) > (SEGMENT_ROLL if roll is None else int(roll)):
+        name = f"seg-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(table_dir, f"._seg.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(inline, f)
+        os.replace(tmp, os.path.join(table_dir, name))
+        kept.append(
+            {
+                "path": name,
+                "n_files": len(inline),
+                "rows": sum(int(e["rows"]) for e in inline),
+            }
+        )
+        inline = []
+    return kept, inline
+
+
 def commit_snapshot(
     table_dir: str,
     files: list[dict],
@@ -187,6 +274,7 @@ def commit_snapshot(
     parent: int | None = None,
     refs_update: dict | None = None,
     eq_deletes: list | None = None,
+    segment_roll: int | None = None,
 ) -> int:
     """Optimistic-concurrency commit (the Iceberg metadata-pointer CAS):
     the EXCLUSIVE creation of manifest-v{N+1}.json — a fully-written temp
@@ -232,8 +320,7 @@ def commit_snapshot(
             f"table advanced to v{head} since base v{expected_base}"
         )
     v = head + 1
-    files = [f if "seq" in f else {**f, "seq": v} for f in files]
-    manifest = {"version": v, "schema": schema_json, "files": files}
+    manifest = {"version": v, "schema": schema_json}
     prior = load_manifest(table_dir, head, _raw=True) if head else None
     refs = dict((prior or {}).get("refs") or {})
     if not refs and head:  # legacy table: main implicitly tracked the chain
@@ -259,14 +346,21 @@ def commit_snapshot(
         manifest["branch"] = None
         manifest["parent"] = head
     manifest["refs"] = refs
-    if eq_deletes is None:  # carry the content lineage's equality deletes
-        p = int(manifest["parent"])
+    parent_m = None
+    p = int(manifest["parent"])
+    if p >= 1:
         try:
-            eq_deletes = (
-                (load_manifest(table_dir, p).get("eq_deletes") or []) if p >= 1 else []
-            )
-        except FileNotFoundError:  # parent expired: nothing to carry
-            eq_deletes = []
+            parent_m = load_manifest(table_dir, p)
+        except FileNotFoundError:  # parent expired (expire_snapshots)
+            parent_m = None
+    segments, inline = _segment_layout(
+        table_dir, parent_m, files, v, roll=segment_roll
+    )
+    manifest["files"] = inline
+    if segments:
+        manifest["segments"] = segments
+    if eq_deletes is None:  # carry the content lineage's equality deletes
+        eq_deletes = (parent_m or {}).get("eq_deletes") or []
     eq_deletes = [e if e.get("seq") is not None else {**e, "seq": v} for e in eq_deletes]
     if eq_deletes:
         manifest["eq_deletes"] = eq_deletes
@@ -912,6 +1006,12 @@ class DocStoreWriter(DataSourceArrowWriter):
         self.schema_json = schema.json()
         self.overwrite = overwrite
         self.branch = options.get("branch") or "main"
+        # manifest-segment roll threshold as a write option: the writer's
+        # commit runs in a Spark python worker, where the module global
+        # isn't the caller's (tests shrink it to force multi-segment
+        # layouts; production leaves the default)
+        sr = options.get("segment_roll")
+        self.segment_roll = int(sr) if sr is not None else None
         os.makedirs(self.table_dir, exist_ok=True)
         if self.branch != "main":
             # fail BEFORE tasks write data files: the branch must exist
@@ -1014,6 +1114,7 @@ class DocStoreWriter(DataSourceArrowWriter):
                     # would escape anyway; clearing keeps the manifest
                     # honest); append carries the branch lineage's list
                     eq_deletes=[] if self.overwrite else None,
+                    segment_roll=self.segment_roll,
                 )
                 return
             except CommitConflict:
@@ -1118,6 +1219,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
             refs.add(f["path"])
             refs.update(f.get("deletes", ()))  # MOR delete files are data too
         refs.update(e["path"] for e in m.get("eq_deletes") or [])
+        refs.update(s["path"] for s in m.get("segments") or [])
         return refs
 
     live_files: set[str] = set()
@@ -1171,6 +1273,7 @@ def remove_orphan_files(
             live.add(f["path"])
             live.update(f.get("deletes", ()))
         live.update(e["path"] for e in m.get("eq_deletes") or [])
+        live.update(s["path"] for s in m.get("segments") or [])
     cutoff = _time.time() - float(older_than_seconds)
     removed, kept_young = 0, 0
     for name in os.listdir(table_dir):
@@ -1181,7 +1284,7 @@ def remove_orphan_files(
                 or name.startswith("eqdelete-")
             )
             and name.endswith(".parquet")
-        ):
+        ) and not (name.startswith("seg-") and name.endswith(".json")):
             continue
         if name in live:
             continue
