@@ -36,9 +36,10 @@ def group_sketch_blobs(
     capacity: int = 256,
     bloom_m_bits: int = 1 << 17,
 ) -> DataFrame:
-    """All four manifest sketch families in ONE scan: per partition_id a
-    (digest, hll, mg, bloom) blob quad — t-digest over text_len, HLL +
-    Misra-Gries over media_ref, Bloom over doc_id.
+    """All five manifest sketch families in ONE scan: per partition_id a
+    (digest, hll, mg, bloom, ref_bloom) blob tuple — t-digest over
+    text_len, HLL + Misra-Gries over media_ref, Bloom over doc_id, Bloom
+    over media_ref.
 
     The naive composition (one ``group_digests`` + one ``group_hlls`` +
     one ``group_mgs`` call) triggers three separate jobs, each re-scanning
@@ -58,6 +59,12 @@ def group_sketch_blobs(
     (bloom.blobs_intersect) and is skipped. Hashing is JVM xxhash64
     (bloom.probe_positions) so these blobs share build_words' hash family;
     a saturated filter only degrades the skip rate, never correctness.
+
+    The media_ref Bloom is the referential analog: it records every
+    media_ref a partition's spans mention (matched OR dangling), so an
+    incremental run can probe the media catalog's key delta against it
+    and re-validate only partitions that actually reference a changed
+    key (``ResumableValidator._media_ripple``).
     """
     from collections.abc import Iterator
 
@@ -76,8 +83,15 @@ def group_sketch_blobs(
             F.col("media_ref").isNotNull(), F.xxhash64("media_ref")
         ).alias("_h"),  # JVM-side hash, same as hll.group_hlls
         bloomops.probe_positions(F.col("doc_id"), m_bits=bloom_m_bits).alias("_bp"),
+        F.when(
+            F.col("media_ref").isNotNull(),
+            bloomops.probe_positions(F.col("media_ref"), m_bits=bloom_m_bits),
+        ).alias("_rbp"),
     )
-    schema = "partition_id int, digest binary, hll binary, mg binary, bloom binary"
+    schema = (
+        "partition_id int, digest binary, hll binary, mg binary, "
+        "bloom binary, ref_bloom binary"
+    )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -96,9 +110,16 @@ def group_sketch_blobs(
                 mg.add_counts(refs["_ref"].astype(str).value_counts())
                 pos = np.concatenate(g["_bp"].to_numpy()) if len(g) else np.array([], dtype=np.int64)
                 bl = bloomops.blob_from_positions(pos, m_bits=bloom_m_bits)
-                rows.append((key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl))
+                rpos = (
+                    np.concatenate(refs["_rbp"].to_numpy())
+                    if len(refs)
+                    else np.array([], dtype=np.int64)
+                )
+                rbl = bloomops.blob_from_positions(rpos, m_bits=bloom_m_bits)
+                rows.append((key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl, rbl))
             yield pd.DataFrame(
-                rows, columns=["partition_id", "digest", "hll", "mg", "bloom"]
+                rows,
+                columns=["partition_id", "digest", "hll", "mg", "bloom", "ref_bloom"],
             )
 
     partials = narrow.mapInPandas(partial, schema)
@@ -116,9 +137,10 @@ def group_sketch_blobs(
         for blob in pdf["mg"]:
             mg.merge(MisraGries.from_bytes(bytes(blob)))
         bl = reduce(bloomops.merge_blobs, (bytes(b) for b in pdf["bloom"]))
+        rbl = reduce(bloomops.merge_blobs, (bytes(b) for b in pdf["ref_bloom"]))
         return pd.DataFrame(
-            [(*key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl)],
-            columns=["partition_id", "digest", "hll", "mg", "bloom"],
+            [(*key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl, rbl)],
+            columns=["partition_id", "digest", "hll", "mg", "bloom", "ref_bloom"],
         )
 
     return partials.groupBy("partition_id").applyInPandas(merge, schema)
@@ -240,7 +262,7 @@ class ManifestStore:
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
         existing = self.read()
         # older manifests may predate a sketch column — fill, don't KeyError
-        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob")
+        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob", "ref_bloom_blob")
         prev = (
             {
                 r["partition_id"]: {**{c: None for c in blob_cols}, **r.asDict()}
@@ -260,13 +282,14 @@ class ManifestStore:
                 "hll_blob": row.get("hll_blob"),
                 "mg_blob": row.get("mg_blob"),
                 "bloom_blob": row.get("bloom_blob"),
+                "ref_bloom_blob": row.get("ref_bloom_blob"),
                 "updated_at": now,
             }
         df = self.spark.createDataFrame(
             list(prev.values()),
             "partition_id int, status string, row_count long, violation_count long, "
             "run_id string, sketch_blob binary, hll_blob binary, mg_blob binary, "
-            "bloom_blob binary, updated_at string",
+            "bloom_blob binary, ref_bloom_blob binary, updated_at string",
         )
         self._publish(df)
 
@@ -276,7 +299,7 @@ class ManifestStore:
         m = self.read()
         if m is None:
             return
-        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob")
+        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob", "ref_bloom_blob")
         rows = [{**{c: None for c in blob_cols}, **r.asDict()} for r in m.collect()]
         for r in rows:
             if r["partition_id"] in set(partition_ids):
@@ -285,7 +308,7 @@ class ManifestStore:
             rows,
             "partition_id int, status string, row_count long, violation_count long, "
             "run_id string, sketch_blob binary, hll_blob binary, mg_blob binary, "
-            "bloom_blob binary, updated_at string",
+            "bloom_blob binary, ref_bloom_blob binary, updated_at string",
         )
         self._publish(df)
 
@@ -413,13 +436,15 @@ class ResumableValidator:
         """One (possibly resumed) validation pass. Returns run summary with
         the set of partitions validated this pass.
 
-        ``with_sketches``: additionally computes the four mergeable blob
+        ``with_sketches``: additionally computes the five mergeable blob
         families per partition (t-digest over text_len, HLL + Misra-Gries
-        over media_ref, Bloom over doc_id) in one scan and stores them in
-        the manifest (X2/U5) — incremental consumers merge new partials
-        into global quantiles without rescanning finished partitions, and
-        resumed runs use the doc_id Blooms to bound the global-uniqueness
-        rescan to pending + possibly-overlapping finished partitions.
+        over media_ref, Blooms over doc_id and media_ref) in one scan and
+        stores them in the manifest (X2/U5) — incremental consumers merge
+        new partials into global quantiles without rescanning finished
+        partitions, resumed runs use the doc_id Blooms to bound the
+        global-uniqueness rescan to pending + possibly-overlapping
+        finished partitions, and media-catalog changes probe the media_ref
+        Blooms to bound referential re-validation (_media_ripple).
 
         ``partition_ids``: the table's partition values when the caller
         knows them from table METADATA (Iceberg partition summaries / Hive
@@ -448,6 +473,7 @@ class ResumableValidator:
         hlls: dict[int, bytes] = {}
         mgs: dict[int, bytes] = {}
         blooms: dict[int, bytes] = {}
+        ref_blooms: dict[int, bytes] = {}
         if with_sketches:
             from anomalydetection_spark.operators.reassembly import explode_spans_meta
 
@@ -460,6 +486,7 @@ class ResumableValidator:
                 hlls[pid] = bytes(r["hll"])
                 mgs[pid] = bytes(r["mg"])
                 blooms[pid] = bytes(r["bloom"])
+                ref_blooms[pid] = bytes(r["ref_bloom"])
 
         # uniqueness is semantically global: a pending doc can collide with
         # a doc in any FINISHED partition. Rather than always rescanning the
@@ -508,6 +535,22 @@ class ResumableValidator:
         res.violations.write.mode("overwrite").partitionBy("partition_id").parquet(
             f"{self.out_dir}/violations"
         )
+        # dynamic overwrite replaces only partitions PRESENT in the new
+        # frame — a re-validated partition that came back fully clean
+        # writes no violation files, which would leave the previous run's
+        # violation rows behind it. Delete those directories explicitly:
+        # driver-side, |validated-and-clean|-bounded, idempotent.
+        rollup_collected = res.partition_rollup.collect()
+        jvm = self.spark._jvm  # noqa: SLF001
+        hconf = self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        for r in rollup_collected:
+            if r["violation_count"] == 0:
+                hpath = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.out_dir}/violations/partition_id={r['partition_id']}"
+                )
+                fs = hpath.getFileSystem(hconf)
+                if fs.exists(hpath):
+                    fs.delete(hpath, True)
         rollup_rows = [
             {
                 **r.asDict(),
@@ -515,8 +558,9 @@ class ResumableValidator:
                 "hll_blob": hlls.get(r["partition_id"]),
                 "mg_blob": mgs.get(r["partition_id"]),
                 "bloom_blob": blooms.get(r["partition_id"]),
+                "ref_bloom_blob": ref_blooms.get(r["partition_id"]),
             }
-            for r in res.partition_rollup.collect()
+            for r in rollup_collected
         ]
         self.manifest.mark_done(rollup_rows, run_id)
         self._append_run_report(run_id, todo, done, rollup_rows)
@@ -665,19 +709,31 @@ class ResumableValidator:
         return self.spark.read.parquet(f"{self.out_dir}/verdicts")
 
     def violations(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.out_dir}/violations")
+        # explicit schema: a run that repaired every violation leaves the
+        # directory with zero data files (the clean-partition cleanup in
+        # ``run``), and schema inference would fail on it — an empty frame
+        # with the declared violations schema is the correct answer there
+        from anomalydetection_spark.schema import VIOLATIONS_SCHEMA
+
+        return self.spark.read.schema(VIOLATIONS_SCHEMA).parquet(
+            f"{self.out_dir}/violations"
+        )
 
     # -- CDC-incremental validation over a docstore snapshot table --------
 
-    def _watermark_path(self) -> Path:
-        return Path(self.manifest.state_dir) / "snapshot_watermark.json"
+    def _watermark_path(self, name: str = "snapshot_watermark") -> Path:
+        return Path(self.manifest.state_dir) / f"{name}.json"
 
-    def read_snapshot_watermark(self, table_dir: str) -> int | None:
+    def read_snapshot_watermark(
+        self, table_dir: str, name: str = "snapshot_watermark"
+    ) -> int | None:
         """Last fully-dispatched snapshot version for ``table_dir``, or
-        None (never validated, or the state dir tracks a different table)."""
+        None (never validated, or the state dir tracks a different table).
+        ``name`` selects the watermark file — the docs table and the media
+        catalog keep independent watermarks in the same state dir."""
         import json
 
-        p = self._watermark_path()
+        p = self._watermark_path(name)
         if not p.exists():
             return None
         wm = json.loads(p.read_text())
@@ -685,11 +741,13 @@ class ResumableValidator:
             return None
         return int(wm["version"])
 
-    def _write_snapshot_watermark(self, table_dir: str, version: int) -> None:
+    def _write_snapshot_watermark(
+        self, table_dir: str, version: int, name: str = "snapshot_watermark"
+    ) -> None:
         import json
         import os
 
-        p = self._watermark_path()
+        p = self._watermark_path(name)
         tmp = p.with_name(f"._wm.{uuid.uuid4().hex}")
         tmp.write_text(json.dumps({"table_dir": str(table_dir), "version": version}))
         os.replace(tmp, p)  # atomic: crash leaves the old watermark intact
@@ -697,11 +755,13 @@ class ResumableValidator:
     def run_docstore_incremental(
         self,
         table_dir: str,
-        media: DataFrame,
+        media: DataFrame | None,
         baseline: DataFrame,
         cfg: SuiteConfig = SuiteConfig(),
         with_sketches: bool = True,
         partition_col: str = "partition_id",
+        media_table_dir: str | None = None,
+        media_key_col: str = "media_ref",
     ) -> dict:
         """Validate a docstore table INCREMENTALLY across snapshots: only
         partitions whose file set changed since the last validated snapshot
@@ -723,6 +783,18 @@ class ResumableValidator:
         Bloom); false positives only widen re-validation. Every other
         constraint (stats, referential, drift, volume) is partition-local
         given a fixed media table and baseline, so no other ripple exists.
+
+        Referential gains the symmetric ripple when the media catalog is
+        ITSELF a docstore table (``media_table_dir``): a media key that
+        appears or disappears between the catalog's validated snapshot
+        and its current head can flip the referential verdict of a doc
+        partition whose own files never moved (delete → PASS-to-FAIL
+        orphan; insert → FAIL-to-PASS repair). ``_media_ripple`` bounds
+        that with the stored media_ref Blooms — see its docstring. When
+        ``media_table_dir`` is given, ``media`` may be None (the catalog
+        is read from the table's current main head); a separate media
+        snapshot watermark advances only after the run's manifest commit,
+        same crash contract as the docs watermark.
 
         Crash safety: the watermark advances only AFTER the run's manifest
         commit, so a kill mid-run leaves the old watermark and the
@@ -752,12 +824,45 @@ class ResumableValidator:
                 invalidated = sorted((set(changed) & done) | ripple)
             if invalidated:
                 self.manifest.invalidate(invalidated)
+        media_invalidated: list[int] = []
+        cur_media = last_media = None
+        if media_table_dir is not None:
+            cur_media = ds.resolve_ref(media_table_dir, "main")
+            last_media = self.read_snapshot_watermark(
+                media_table_dir, name="media_watermark"
+            )
+            if last_media is not None and last_media != cur_media:
+                ripple = self._media_ripple(
+                    media_table_dir,
+                    last_media,
+                    cur_media,
+                    self.manifest.done_partitions(),
+                    media_key_col,
+                )
+                media_invalidated = sorted(ripple)
+                if media_invalidated:
+                    self.manifest.invalidate(media_invalidated)
+            if media is None:
+                media = (
+                    self.spark.read.format("docstore")
+                    .option("path", media_table_dir)
+                    .load()
+                )
+        if media is None:
+            raise ValueError("media DataFrame or media_table_dir is required")
         docs = self.spark.read.format("docstore").option("path", table_dir).load()
         summary = self.run(docs, media, baseline, cfg, with_sketches=with_sketches)
         self._write_snapshot_watermark(table_dir, cur)
         summary["snapshot_version"] = cur
         summary["previous_snapshot"] = last
         summary["invalidated_partitions"] = invalidated
+        if media_table_dir is not None:
+            self._write_snapshot_watermark(
+                media_table_dir, cur_media, name="media_watermark"
+            )
+            summary["media_snapshot_version"] = cur_media
+            summary["media_previous_snapshot"] = last_media
+            summary["media_invalidated_partitions"] = media_invalidated
         return summary
 
     def _uniqueness_ripple(
@@ -808,5 +913,66 @@ class ResumableValidator:
             if r["partition_id"] in others
         }
         no_bloom = others - set(blooms)
+        hits = blooms_containing_any(self.spark, delta, blooms) if blooms else set()
+        return hits | no_bloom
+
+    def _media_ripple(
+        self,
+        media_table_dir: str,
+        v_from: int,
+        v_to: int,
+        done: set[int],
+        media_key_col: str = "media_ref",
+    ) -> set[int]:
+        """Done doc partitions whose referential verdict may have flipped
+        because the media catalog changed: their stored media_ref Bloom
+        contains a key that EXISTS in exactly one of the catalog's two
+        snapshots (deleted keys orphan matching spans; inserted keys cure
+        previously-dangling ones). Membership is what matters, not
+        multiplicity, so the delta is the symmetric difference of the two
+        snapshots' distinct key sets — two scans of the catalog, the
+        broadcast-small dim side by the referential constraint's own
+        contract (operators/referential.py), never of the doc table. No
+        false negatives: a flipped verdict requires the partition's spans
+        to mention the changed key, which puts it in the partition's
+        ref_bloom (group_sketch_blobs records matched AND dangling refs).
+        Partitions predating the ref_bloom column re-validate
+        conservatively."""
+        if not done:
+            return set()
+
+        def _keys(version: int) -> DataFrame:
+            return (
+                self.spark.read.format("docstore")
+                .option("path", media_table_dir)
+                .option("version", str(version))
+                .load()
+                .select(media_key_col)
+                .distinct()
+            )
+
+        delta = (
+            _keys(v_from).withColumn("_old", F.lit(1))
+            .join(
+                _keys(v_to).withColumn("_new", F.lit(1)),
+                media_key_col,
+                "full_outer",
+            )
+            .filter(F.col("_old").isNull() | F.col("_new").isNull())
+            .select(media_key_col)
+        )
+        if delta.isEmpty():
+            return set()
+        m = self.manifest.read()
+        if m is None or "ref_bloom_blob" not in m.columns:
+            return set(done)  # manifest predates the media_ref Blooms
+        blooms = {
+            r["partition_id"]: bytes(r["ref_bloom_blob"])
+            for r in m.filter(
+                (F.col("status") == STATUS_DONE) & F.col("ref_bloom_blob").isNotNull()
+            ).select("partition_id", "ref_bloom_blob").collect()
+            if r["partition_id"] in done
+        }
+        no_bloom = done - set(blooms)
         hits = blooms_containing_any(self.spark, delta, blooms) if blooms else set()
         return hits | no_bloom

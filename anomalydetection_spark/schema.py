@@ -88,6 +88,8 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("sketch_blob", T.BinaryType(), True),  # serialized t-digests
         T.StructField("hll_blob", T.BinaryType(), True),     # serialized HyperLogLog
         T.StructField("mg_blob", T.BinaryType(), True),      # serialized Misra-Gries
+        T.StructField("bloom_blob", T.BinaryType(), True),   # doc_id Bloom
+        T.StructField("ref_bloom_blob", T.BinaryType(), True),  # media_ref Bloom
         T.StructField("updated_at", T.StringType(), True),
     ]
 )

@@ -128,6 +128,7 @@ def start_validation_stream(
                     "hll_blob": bytes(blobs[r["partition_id"]]["hll"]),
                     "mg_blob": bytes(blobs[r["partition_id"]]["mg"]),
                     "bloom_blob": bytes(blobs[r["partition_id"]]["bloom"]),
+                    "ref_bloom_blob": bytes(blobs[r["partition_id"]]["ref_bloom"]),
                 }
                 for r in res.partition_rollup.collect()
             ]

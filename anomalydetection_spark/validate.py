@@ -27,7 +27,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="--docs-path format: plain parquet, or the docstore "
                          "snapshot table format (sources/docstore.py — the "
                          "Iceberg-shaped path; reads the current snapshot)")
-    ap.add_argument("--media-path", help="parquet of media_assets")
+    ap.add_argument("--media-path", help="media_assets table (media_ref catalog)")
+    ap.add_argument("--media-format", default="parquet", choices=["parquet", "docstore"],
+                    help="docstore + --state-dir: resumable runs track the catalog's "
+                         "snapshot watermark and re-validate only doc partitions whose "
+                         "media_ref Blooms contain a changed catalog key")
     ap.add_argument("--baseline-path", help="parquet of baseline histograms")
     ap.add_argument("--n-docs", type=int, default=10_000)
     ap.add_argument("--n-partitions", type=int, default=8)
@@ -135,7 +139,12 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.docs_path)
     else:
         docs = generate_documents(spark, cfg)
-    if args.media_path:
+    if args.media_path and args.media_format == "docstore":
+        from anomalydetection_spark.sources import docstore as _mds
+
+        _mds.register(spark)
+        media = spark.read.format("docstore").option("path", args.media_path).load()
+    elif args.media_path:
         media = spark.read.parquet(args.media_path)
     else:
         media = generate_media_assets(spark, cfg)
@@ -217,7 +226,10 @@ def main(argv: list[str] | None = None) -> int:
             # since the last validated snapshot are invalidated from
             # manifest METADATA alone and re-validated with the pending set
             run_info = v.run_docstore_incremental(
-                args.docs_path, media, baseline, suite_cfg
+                args.docs_path, media, baseline, suite_cfg,
+                media_table_dir=(
+                    args.media_path if args.media_format == "docstore" else None
+                ),
             )
         else:
             run_info = v.run(docs, media, baseline, suite_cfg)
@@ -232,7 +244,9 @@ def main(argv: list[str] | None = None) -> int:
             "elapsed_sec": round(elapsed, 3),
             "n_violations": n_viol,
         }
-        for k in ("snapshot_version", "previous_snapshot", "invalidated_partitions"):
+        for k in ("snapshot_version", "previous_snapshot", "invalidated_partitions",
+                  "media_snapshot_version", "media_previous_snapshot",
+                  "media_invalidated_partitions"):
             if k in run_info:
                 summary[k] = run_info[k]
         print(json.dumps(summary))
