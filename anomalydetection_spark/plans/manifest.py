@@ -19,6 +19,7 @@ from __future__ import annotations
 import datetime
 import uuid
 from pathlib import Path
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -422,6 +423,9 @@ class ResumableValidator:
         self.spark = spark
         self.manifest = ManifestStore(spark, state_dir)
         self.out_dir = out_dir
+        # optional opened-file journal for the incremental path's bounded
+        # docstore loads (scan-bounding evidence in tests; no-op unset)
+        self.docstore_journal: str | None = None
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def run(
@@ -432,9 +436,21 @@ class ResumableValidator:
         cfg: SuiteConfig = SuiteConfig(),
         with_sketches: bool = True,
         partition_ids: list[int] | None = None,
+        docs_loader: Callable[[list[int]], DataFrame] | None = None,
     ) -> dict:
         """One (possibly resumed) validation pass. Returns run summary with
         the set of partitions validated this pass.
+
+        ``docs_loader``: optional bounded loader — called with a list of
+        partition ids, returns a frame holding exactly those partitions'
+        rows, planned over ONLY the files that can hold them (the
+        docstore ``partition_in`` load option + the row-level filter).
+        When given (requires ``partition_ids``), the pending scan and the
+        uniqueness rescan never read finished partitions' files at all —
+        the Iceberg scan-planning contract: re-validating 1 of 10^5
+        partitions costs 1 partition's bytes. Without it, the same
+        row-level filters apply over ``docs`` and Spark discards the
+        finished partitions' rows AFTER reading them.
 
         ``with_sketches``: additionally computes the five mergeable blob
         families per partition (t-digest over text_len, HLL + Misra-Gries
@@ -454,10 +470,14 @@ class ResumableValidator:
         """
         done = self.manifest.done_partitions()
         manifest_df = self.manifest.read()
-        pending_docs = pending_partition_filter(docs, done, manifest_df)
         if partition_ids is not None:
             todo = [p for p in partition_ids if p not in done]
+            if docs_loader is not None:
+                pending_docs = docs_loader([int(p) for p in todo])
+            else:
+                pending_docs = pending_partition_filter(docs, done, manifest_df)
         else:
+            pending_docs = pending_partition_filter(docs, done, manifest_df)
             todo = [
                 r["partition_id"]
                 for r in pending_docs.select("partition_id").distinct().collect()
@@ -512,7 +532,11 @@ class ResumableValidator:
                     self.spark, pending_ids, done_blooms
                 )
                 scope_ids = sorted(set(int(p) for p in todo) | intersecting)
-                scope = scope_partition_filter(docs, scope_ids)
+                scope = (
+                    docs_loader(scope_ids)
+                    if docs_loader is not None
+                    else scope_partition_filter(docs, scope_ids)
+                )
 
         # The metadata-known todo list also arms volume's missing-partition
         # detection: a partition the metastore lists but the scan never
@@ -851,7 +875,32 @@ class ResumableValidator:
         if media is None:
             raise ValueError("media DataFrame or media_table_dir is required")
         docs = self.spark.read.format("docstore").option("path", table_dir).load()
-        summary = self.run(docs, media, baseline, cfg, with_sketches=with_sketches)
+        # partition enumeration + bounded loads from snapshot METADATA when
+        # the table's layout permits (every file clustered to one partition
+        # value): run() then plans the pending scan and the uniqueness
+        # rescan over ONLY the files that can hold those partitions — a
+        # re-validation of 1 of 10^5 partitions reads 1 partition's bytes.
+        # partition_in is plan-stable (fixed at load()), so the reused-frame
+        # pushdown-cache hazard that keeps pruned_scan opt-in does not
+        # apply; the row-level filter keeps correctness independent of the
+        # file bound (a partition-spanning legacy file only widens the read).
+        pvals = ds.partition_values(table_dir, partition_col)
+
+        def _bounded(ids: list[int]) -> DataFrame:
+            rd = (
+                self.spark.read.format("docstore")
+                .option("path", table_dir)
+                .option("partition_in", ",".join(str(int(p)) for p in ids))
+            )
+            if self.docstore_journal:
+                rd = rd.option("journal", self.docstore_journal)
+            return scope_partition_filter(rd.load(), ids)
+
+        summary = self.run(
+            docs, media, baseline, cfg, with_sketches=with_sketches,
+            partition_ids=pvals,
+            docs_loader=_bounded if pvals is not None else None,
+        )
         self._write_snapshot_watermark(table_dir, cur)
         summary["snapshot_version"] = cur
         summary["previous_snapshot"] = last
@@ -888,6 +937,11 @@ class ResumableValidator:
                 self.spark.read.format("docstore")
                 .option("path", table_dir)
                 .option("version", str(version))
+                # plan-stable file bound: only files that can hold the
+                # changed partitions are read (clustered files of other
+                # partitions never leave disk); the row-level filter
+                # below keeps spanning legacy files correct
+                .option("partition_in", ",".join(str(int(p)) for p in changed))
                 .load()
             )
             return scope_partition_filter(d, changed).groupBy("doc_id").agg(

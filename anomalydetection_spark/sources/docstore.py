@@ -411,6 +411,56 @@ class _FileSplit(InputPartition):
     # only eq files whose sequence is newer than the data file's; rows
     # whose key value appears in an eq file are skipped while streaming
     eq_deletes: tuple = ()
+    # pushed predicate bounds for ROW-GROUP pruning inside this file
+    # (parquet footer statistics — the second pruning tier below the
+    # manifest's file-level stats): ((current_col, lo, hi), ...) and
+    # ((current_col, (v, ...)), ...). Advisory only: Spark re-applies
+    # every filter post-scan, so a kept group never breaks correctness.
+    bounds: tuple = ()
+    in_sets: tuple = ()
+
+
+def _rg_pruned(rg_meta, col_idx: dict, bounds, in_sets) -> bool:
+    """True when one row group's parquet footer statistics prove no row
+    can match the pushed predicates — the in-file tier of the same
+    pruning the manifest does per file (_file_pruned). Identical safety
+    discipline: columns without usable stats never prune, float stats
+    never prune (parquet min/max is NaN-blind while Spark orders NaN
+    above every double), and any cross-type comparison surprise keeps
+    the group rather than risking it. Parquet string stats may be
+    TRUNCATED bounds, but truncation preserves the bound property
+    (min ≤ all values ≤ max), which is all pruning needs."""
+
+    def _mm(col):
+        j = col_idx.get(col)
+        if j is None:
+            return None, None
+        st = rg_meta.column(j).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        rmin, rmax = st.min, st.max
+        if rmin is None or isinstance(rmin, float) or isinstance(rmax, float):
+            return None, None
+        return rmin, rmax
+
+    try:
+        for col, lo, hi in bounds:
+            rmin, rmax = _mm(col)
+            if rmin is None:
+                continue
+            if lo is not None and rmax < lo:
+                return True
+            if hi is not None and rmin > hi:
+                return True
+        for col, vals in in_sets:
+            rmin, rmax = _mm(col)
+            if rmin is None:
+                continue
+            if not any(rmin <= v <= rmax for v in vals):
+                return True
+    except TypeError:
+        return False  # incomparable stat/value types: never prune
+    return False
 
 
 def _mapped_source(
@@ -464,6 +514,21 @@ class DocStoreReader(DataSourceReader):
         # (the pruning-evidence hook for tests; no-op unless set)
         self.journal_dir = options.get("journal") or None
         self.pruned_scan = str(options.get("pruned_scan", "")).lower() == "true"
+        # load-time partition bound (CSV of partition_id values): unlike
+        # pushFilters state, this is fixed at load() and therefore PLAN-
+        # STABLE — every action on the returned DataFrame sees the same
+        # file list, so it is safe on reused frames where ``pruned_scan``
+        # is not (the pushdown-cache hazard in the module docstring).
+        # It is an Iceberg scan-planning bound, NOT a row filter: files
+        # whose partition_id stats intersect the set are read whole, and
+        # callers who need exact rows still apply the row-level predicate
+        # (correctness never depends on the option).
+        pin = options.get("partition_in")
+        self.part_in: set[int] | None = (
+            {int(x) for x in str(pin).split(",") if x.strip() != ""}
+            if pin is not None
+            else None
+        )
         v = options.get("version")
         self.manifest = load_manifest(
             self.table_dir,
@@ -518,7 +583,11 @@ class DocStoreReader(DataSourceReader):
             elif isinstance(flt, (LessThan, LessThanOrEqual)):
                 hi = flt.value if hi is None else min(hi, flt.value)
             elif isinstance(flt, In):
-                s = set(flt.values)
+                # the In dataclass carries its array in `value` (a tuple),
+                # unlike the JVM v2 filter's values()
+                s = {v for v in flt.value if v is not None}
+                if not s:
+                    continue
                 prev = self._in_sets.get(col)
                 self._in_sets[col] = s if prev is None else (prev & s)
             self._bounds[col] = (lo, hi)
@@ -548,6 +617,13 @@ class DocStoreReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         bounds, self._bounds = self._bounds, {}
         in_sets, self._in_sets = self._in_sets, {}  # consumed: next scan clean
+        if self.part_in is not None:
+            # the load-time partition bound joins the pruning predicates —
+            # file tier here, row-group tier via the split's in_sets
+            prev = in_sets.get(STATS_COLUMN)
+            in_sets[STATS_COLUMN] = (
+                self.part_in if prev is None else prev & self.part_in
+            )
         eq_resolved = [
             (
                 os.path.join(self.table_dir, e["path"]),
@@ -556,6 +632,11 @@ class DocStoreReader(DataSourceReader):
             )
             for e in (self.manifest.get("eq_deletes") or [])
         ]
+        # predicates survive into the splits so each task can prune ROW
+        # GROUPS from its file's parquet footer — the tier below manifest
+        # stats: a kept file's non-matching groups never leave disk
+        split_bounds = tuple((c, lo, hi) for c, (lo, hi) in bounds.items())
+        split_in = tuple((c, tuple(s)) for c, s in in_sets.items())
         splits = []
         for f in self.manifest["files"]:
             if self._file_pruned(f["stats"], bounds, in_sets):
@@ -574,10 +655,23 @@ class DocStoreReader(DataSourceReader):
                         (p, c) for p, c, s in eq_resolved
                         if c is not None and s > fseq
                     ),
+                    split_bounds,
+                    split_in,
                 )
             )
         # empty-scan guard: Spark requires >= 1 partition
         return splits or [_FileSplit("", None)]
+
+    @staticmethod
+    def _file_batches(pf, kept: list[int], rg_start: list[int]):
+        """(batch, absolute_start_row) over the kept row groups — one
+        iter_batches call per group so each batch knows its file-absolute
+        position regardless of which groups pruning skipped."""
+        for rg in kept:
+            offset = rg_start[rg]
+            for batch in pf.iter_batches(row_groups=[rg]):
+                yield batch, offset
+                offset += batch.num_rows
 
     def read(self, part: _FileSplit):  # -> Iterator[pa.RecordBatch]
         import pyarrow as pa
@@ -619,9 +713,51 @@ class DocStoreReader(DataSourceReader):
             vals.discard(None)
             if vals:
                 eq_sets.append((src, vals))
-        offset = 0
-        for batch in pf.iter_batches():
-            start, offset = offset, offset + batch.num_rows
+        md = pf.metadata
+        n_rg = md.num_row_groups
+        kept = list(range(n_rg))
+        if (part.bounds or part.in_sets) and n_rg > 0:
+            # map pushed CURRENT-schema columns to this file's physical
+            # names through its id map (rename-safe, like column reads);
+            # unmapped columns simply don't prune
+            pb = [
+                (src, lo, hi)
+                for col, lo, hi in part.bounds
+                if (src := _mapped_source(col, fids_eq, nm_eq)) is not None
+            ]
+            pi = [
+                (src, vals)
+                for col, vals in part.in_sets
+                if (src := _mapped_source(col, fids_eq, nm_eq)) is not None
+            ]
+            if (pb or pi) and n_rg > 0:
+                rg0 = md.row_group(0)
+                col_idx = {
+                    rg0.column(j).path_in_schema: j
+                    for j in range(rg0.num_columns)
+                }
+                kept = [
+                    i
+                    for i in range(n_rg)
+                    if not _rg_pruned(md.row_group(i), col_idx, pb, pi)
+                ]
+        if part.journal_dir:
+            open(
+                os.path.join(
+                    part.journal_dir,
+                    f"rg-{os.path.basename(part.path)}-{len(kept)}-of-{n_rg}",
+                ),
+                "w",
+            ).close()
+        # per-group starting row index: position deletes address rows by
+        # absolute index within the FILE, so skipped groups must not shift
+        # the offsets of the groups that remain
+        rg_start = []
+        acc = 0
+        for i in range(n_rg):
+            rg_start.append(acc)
+            acc += md.row_group(i).num_rows
+        for batch, start in self._file_batches(pf, kept, rg_start):
             if dropped:
                 # apply the position-delete bitmap for this batch's span
                 keep = [
@@ -2048,6 +2184,42 @@ def delete_where_eq(spark, table_dir: str, key_col: str, keys) -> dict:
         expected_base=base, eq_deletes=eq,
     )
     return {"new_version": v, "delete_file": name, "n_keys": int(n_keys)}
+
+
+def partition_values(
+    table_dir: str,
+    partition_col: str = "partition_id",
+    version: int | None = None,
+    ref: str = "main",
+) -> list[int] | None:
+    """EXACT partition values present in a snapshot, from manifest
+    metadata alone (the Iceberg partition-summary read: no data scan,
+    cost ∝ file count) — defined only when every data file is clustered
+    to a single partition (its recorded ``partition_col`` min == max,
+    the layout `write_table(df.repartitionByRange(...))` produces).
+
+    Returns ``None`` when any file lacks stats or spans partitions: a
+    range [2,5] does not certify that value 3 exists, and inventing it
+    would arm the volume constraint's missing-partition FAIL for a
+    partition that never existed. Callers fall back to the scan-based
+    ``distinct()`` enumeration."""
+    try:
+        m = load_manifest(table_dir, version, ref=ref)
+    except (FileNotFoundError, ValueError):
+        return None
+    vals: set[int] = set()
+    for f in m["files"]:
+        st = (f.get("stats") or {}).get(partition_col)
+        if (
+            not st
+            or st[0] is None
+            or st[1] is None
+            or isinstance(st[0], (float, str))
+            or st[0] != st[1]
+        ):
+            return None
+        vals.add(int(st[0]))
+    return sorted(vals)
 
 
 def changed_partitions(

@@ -233,3 +233,71 @@ def test_incremental_unbounded_change_invalidates_all_done(spark, tmp_path, inpu
     s = v.run_docstore_incremental(path, media, baseline)
     assert s["invalidated_partitions"] == [0, 1, 2, 3, 4, 5]
     assert s["validated_partitions"] == [0, 1, 2, 3, 4, 5]
+
+
+def test_partition_values_from_metadata(spark, tmp_path, inputs):
+    docs, _media, _baseline = inputs
+    path = _make_table(spark, docs, str(tmp_path / "t5"))
+    assert docstore.partition_values(path) == [0, 1, 2, 3, 4, 5]
+    # a stats-less file breaks the exact-enumeration contract → None
+    docstore.commit_snapshot(
+        path, _append_statsless_copy(path), docstore.load_manifest(path)["schema"]
+    )
+    assert docstore.partition_values(path) is None
+
+
+def test_incremental_scan_is_file_bounded(spark, tmp_path):
+    """Re-validating one changed partition must OPEN only the files that
+    can hold it (plus any uniqueness-scope hits) — the docstore
+    ``partition_in`` load bound, evidenced by the reader journal. Before
+    this bound, the pending row-filter still scanned every file and
+    discarded the finished partitions' rows after reading them."""
+    import glob as _glob
+    import os
+
+    # CLEAN docs: the shared fixture injects cross-partition duplicate
+    # doc_ids, which would make the uniqueness scope legitimately pull
+    # colliding partitions' files — this test isolates the file bound
+    ccfg = clean_config(CFG)
+    docs = generate_documents(spark, ccfg)
+    media = generate_media_assets(spark, ccfg)
+    baseline = drift.compute_baseline(reassembly.explode_spans_meta(docs))
+    path = _make_table(spark, docs, str(tmp_path / "t6"))
+    v = ResumableValidator(spark, str(tmp_path / "state6"), str(tmp_path / "out6"))
+    v.run_docstore_incremental(path, media, baseline)
+
+    # fresh ids in partition 3 only: no uniqueness ripple, no scope hits
+    write_table(
+        _extra(
+            spark,
+            [
+                ("zz-bound-1", [("text", "body one", None, 0)], 3),
+                ("zz-bound-2", [("text", "body two", None, 0)], 3),
+            ],
+        ),
+        path, mode="append", fmt="docstore",
+    )
+    journal = str(tmp_path / "j6")
+    os.makedirs(journal)
+    v.docstore_journal = journal
+    s = v.run_docstore_incremental(path, media, baseline)
+    assert s["validated_partitions"] == [3]
+
+    # only the files whose stats can hold partition 3 may be opened by
+    # the bounded loads — every other partition's file stays on disk
+    man = docstore.load_manifest(path)
+    p3_files = {
+        f["path"] for f in man["files"]
+        if f["stats"]["partition_id"][0] <= 3 <= f["stats"]["partition_id"][1]
+    }
+    assert 2 <= len(p3_files) < len(man["files"])
+    opened = {
+        os.path.basename(m)[len("opened-"):]
+        for m in _glob.glob(f"{journal}/opened-*")
+    }
+    assert opened == p3_files
+    # and the bounded run's verdicts still match a from-scratch suite
+    truth = run_suite(
+        spark.read.format("docstore").option("path", path).load(), media, baseline
+    )
+    assert _verdict_key(v.verdicts()) == _verdict_key(truth.verdicts)
