@@ -106,7 +106,21 @@ def write_audit_publish(
         pids = ds.changed_partitions(table_dir, base_main, staged_v, partition_col)
         if pids is not None and len(pids) <= MAX_SCOPED_PARTITIONS:
             audited = sorted(pids)
-            scoped = docs.filter(F.col(partition_col).isin(audited))
+            rd = (
+                spark.read.format("docstore")
+                .option("path", table_dir)
+                .option("version", str(staged_v))
+            )
+            if partition_col == "partition_id":
+                # plan-stable file bound: the audit scan opens only the
+                # files that can hold the touched partitions (the
+                # partition_in option prunes on the always-tracked
+                # layout column); the row filter below stays the
+                # correctness boundary for spanning/legacy files
+                rd = rd.option(
+                    "partition_in", ",".join(str(int(p)) for p in audited)
+                )
+            scoped = rd.load().filter(F.col(partition_col).isin(audited))
             uniqueness_scope = docs  # table-wide duplicate detection
     elif scope != "full":
         raise ValueError(f"unknown scope '{scope}' (staged|full)")

@@ -694,9 +694,20 @@ class DocStoreReader(DataSourceReader):
             nm = dict(part.name_map)
             fids = self.manifest.get("field_ids") or {}
             srcs = [_mapped_source(f.name, fids, nm) for f in expected]
-        dropped: set[int] = set()
-        for dpath in part.deletes:
-            dropped.update(pq.read_table(dpath, columns=["pos"])["pos"].to_pylist())
+        import numpy as np
+
+        dropped: "np.ndarray | None" = None
+        if part.deletes:
+            dropped = np.unique(
+                np.concatenate(
+                    [
+                        pq.read_table(dpath, columns=["pos"])["pos"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        for dpath in part.deletes
+                    ]
+                )
+            )
         # equality deletes: each applicable eq file's keys load once per
         # task into a hash set (exactly Iceberg's execution model — eq
         # deletes are task-memory-resident) and filter every batch; the
@@ -758,13 +769,16 @@ class DocStoreReader(DataSourceReader):
             rg_start.append(acc)
             acc += md.row_group(i).num_rows
         for batch, start in self._file_batches(pf, kept, rg_start):
-            if dropped:
-                # apply the position-delete bitmap for this batch's span
-                keep = [
-                    i for i in range(batch.num_rows) if start + i not in dropped
-                ]
-                if len(keep) < batch.num_rows:
-                    batch = batch.take(pa.array(keep, type=pa.int32()))
+            if dropped is not None and dropped.size:
+                # position-delete bitmap for this batch's span, applied
+                # vectorized: binary-search each absolute row index into
+                # the sorted delete positions (no per-row Python)
+                idx = np.arange(start, start + batch.num_rows, dtype=np.int64)
+                ins = np.searchsorted(dropped, idx)
+                ins[ins == dropped.size] = dropped.size - 1
+                hit = dropped[ins] == idx
+                if hit.any():
+                    batch = batch.filter(pa.array(~hit))
                     if batch.num_rows == 0:
                         continue
             for src, vals in eq_sets:

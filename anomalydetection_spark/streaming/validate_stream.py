@@ -782,6 +782,7 @@ def start_cdc_validation_stream(
     from anomalydetection_spark.plans.manifest import (
         ResumableValidator,
         blooms_containing_any,
+        scope_partition_filter,
     )
     from anomalydetection_spark.sources import docstore
 
@@ -835,7 +836,27 @@ def start_cdc_validation_stream(
         if invalid:
             validator.manifest.invalidate(invalid)
         docs = spark.read.format("docstore").option("path", table_dir).load()
-        validator.run(docs, media, baseline, cfg)
+        # metadata partition enumeration + file-bounded loads, exactly as
+        # run_docstore_incremental: the re-validation scans open only the
+        # pending partitions' files (partition_in is plan-stable, safe on
+        # reused frames); spanning/legacy layouts degrade to row filters
+        pvals = docstore.partition_values(table_dir)
+
+        def _bounded(ids):
+            rd = (
+                spark.read.format("docstore")
+                .option("path", table_dir)
+                .option("partition_in", ",".join(str(int(p)) for p in ids))
+            )
+            if validator.docstore_journal:
+                rd = rd.option("journal", validator.docstore_journal)
+            return scope_partition_filter(rd.load(), ids)
+
+        validator.run(
+            docs, media, baseline, cfg,
+            partition_ids=pvals,
+            docs_loader=_bounded if pvals is not None else None,
+        )
 
     return (
         stream.writeStream.foreachBatch(process)
