@@ -1957,10 +1957,16 @@ def merge_into(
     broadcast while its exact count (one cheap job over the persisted
     keys) is ≤ ``broadcast_max_keys``; above that both joins fall back
     to shuffle joins, which scale with the data instead of with executor
-    memory. The file-granular rewrite shape is unchanged. Returns
-    {new_version, rewritten_files, replaced_rows, upserted_rows, plans}
-    where ``plans`` holds the formatted physical plans of the probe and
-    kept-row jobs so callers/tests can assert the join strategy.
+    memory. The file-granular rewrite shape is unchanged.
+
+    Probe planning prunes candidate files from manifest key stats before
+    any read (the Iceberg MERGE scan-planning skip): a clustered table
+    probes only the files whose key range can intersect the update keys
+    — point upserts against a 10^5-file table scan a handful of files.
+    Returns {new_version, rewritten_files, replaced_rows, upserted_rows,
+    plans, broadcast_hint, probed_files, total_files}; ``plans`` holds
+    the formatted physical plans of the probe and kept-row jobs so
+    callers/tests can assert the join strategy.
     """
     from pyspark.sql import functions as F
 
@@ -1972,10 +1978,57 @@ def merge_into(
     jkeys = F.broadcast(ukeys) if hint_broadcast else ukeys
     plans: dict[str, str] = {}
     probe = []
-    if manifest["files"]:
+    # probe-candidate pruning from manifest key stats (the Iceberg MERGE
+    # planning skip): a file whose key_col min/max provably excludes every
+    # update key cannot be rewritten — drop it from the probe scan before
+    # any read. Small key sets prune per-key (one bounded driver collect,
+    # used ONLY for pruning — the joins below still never see a literal);
+    # large ones prune on the keys' [min,max] envelope (2-value agg).
+    # Stat-less/float stats or incomparable types keep the file (sound).
+    probe_entries = list(manifest["files"])
+    if probe_entries:
+        if n_keys <= 10_000:
+            import bisect
+
+            kvals = sorted(
+                r[key_col] for r in ukeys.collect() if r[key_col] is not None
+            )
+
+            def _may(st) -> bool:
+                if not st or st[0] is None or isinstance(st[0], float):
+                    return True
+                try:
+                    i = bisect.bisect_left(kvals, st[0])
+                except TypeError:
+                    return True
+                return i < len(kvals) and kvals[i] <= st[1]
+
+        elif n_keys:
+            row = ukeys.agg(
+                F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+            ).first()
+            klo, khi = row["lo"], row["hi"]
+
+            def _may(st) -> bool:
+                if not st or st[0] is None or isinstance(st[0], float) or klo is None:
+                    return True
+                try:
+                    return not (st[1] < klo or st[0] > khi)
+                except TypeError:
+                    return True
+
+        else:
+
+            def _may(st) -> bool:
+                return False  # zero non-null keys match nothing
+
+        probe_entries = [
+            f for f in probe_entries if _may((f.get("stats") or {}).get(key_col))
+        ]
+    if probe_entries:
         probe_df = (
             _read_files_visible(
-                spark, table_dir, manifest["files"], manifest=manifest,
+                spark, table_dir, probe_entries, manifest=manifest,
                 with_file_col=True,
             )
             .join(jkeys, key_col, "left_semi")
@@ -2051,6 +2104,8 @@ def merge_into(
         "upserted_rows": updates.count(),
         "plans": plans,
         "broadcast_hint": hint_broadcast,
+        "probed_files": len(probe_entries),
+        "total_files": len(manifest["files"]),
     }
 
 

@@ -631,3 +631,52 @@ def test_layout_evolution_prunes_per_files_own_cluster_column(spark, tmp_path):
     rows, opened = scan(str(tmp_path / "j2"), "user_id", 650)
     assert rows == [650]
     assert opened == 1
+
+
+def test_merge_into_probe_prunes_files_from_key_stats(spark, tmp_path):
+    """Probe planning skips files whose manifest key stats exclude every
+    update key (the Iceberg MERGE scan-planning skip): a point upsert
+    against a key-clustered table probes only the file(s) whose doc_id
+    range can hold the keys, and the merge result is byte-identical to
+    an unpruned one."""
+    path = str(tmp_path / "merge_pruned")
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("partition_id"),
+        F.lit("old").alias("status"),
+    ).repartitionByRange(8, "doc_id")  # 8 files clustered by KEY
+    write_table(base, path, fmt="docstore")
+    n_files = len(docstore.load_manifest(path)["files"])
+    assert n_files == 8
+
+    # two keys in one id-range file + one brand-new key far beyond
+    updates = spark.createDataFrame(
+        [(1500, 1, "new"), (1501, 2, "new"), (999_999, 3, "new")],
+        "doc_id long, partition_id long, status string",
+    )
+    report = docstore.merge_into(spark, path, updates, "doc_id")
+    assert report["total_files"] == 8
+    assert report["probed_files"] <= 2  # the 1500s file (+range edge)
+    assert report["rewritten_files"] <= report["probed_files"]
+    assert report["replaced_rows"] == 2
+    got = read_table(spark, path, fmt="docstore")
+    assert got.count() == 4001
+    assert got.filter("status = 'new'").count() == 3
+    assert {r["doc_id"] for r in got.filter("status = 'new'").collect()} == {
+        1500, 1501, 999_999
+    }
+
+    # the large-key path prunes on the keys' min/max envelope: an update
+    # frame spanning only high ids must not probe the low-id files
+    upd2 = spark.range(3_000, 23_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("partition_id"),
+        F.lit("v2").alias("status"),
+    )
+    report2 = docstore.merge_into(
+        spark, path, upd2, "doc_id", broadcast_max_keys=100
+    )
+    assert report2["probed_files"] < report2["total_files"]
+    assert report2["replaced_rows"] == 1000  # ids 3000..3999 existed
+    got2 = read_table(spark, path, fmt="docstore")
+    assert got2.count() == 4001 - 1000 + 20_000
