@@ -85,6 +85,113 @@ def _stat_safe(v):
 
 
 # ---------------------------------------------------------------------------
+# bucket transform (the Iceberg `bucket(n, col)` hidden-partition analog)
+#
+# Per-file min/max stats prune every ORDER-preserving layout (identity,
+# truncate, days — a range predicate on the source column prunes directly),
+# but NOT hash clustering: files bucketed by hash hold overlapping key
+# ranges, so a point lookup scans everything. The transform closes that:
+# the writer records, per file, min/max of `bucket(key) = pmod(hash(key),
+# n)` under a VIRTUAL stats column `__bucket_{col}_{n}`, and the reader
+# turns a pushed equality/IN on the source column into a membership test
+# on the virtual column — reusing the existing stats-pruning machinery,
+# with no partition-spec registry (files written under different n, or
+# none, carry different virtual columns and prune independently — spec
+# evolution for free, same as layout evolution).
+#
+# The hash must agree between the Spark plan that CLUSTERS writes and the
+# Python writer/reader that records/consults stats:
+#   integers → Spark `xxhash64(cast(col as bigint))` (seed 42), mirrored
+#     below in vectorized numpy (XXH64.hashLong, Spark's 8-byte path);
+#   strings  → Spark `crc32(encode(col,'utf-8'))`, mirrored by zlib.crc32.
+# Parity is asserted in tests by clustering with bucket_expr() and then
+# requiring point lookups to open exactly the matching file(s).
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_long(vals, seed: int = 42):
+    """Vectorized mirror of Spark's XXH64.hashLong (xxhash64 over a
+    bigint column, default seed 42). Returns signed int64 ndarray."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = np.asarray(vals, dtype=np.int64).view(np.uint64)
+        r31, r27 = np.uint64(31), np.uint64(27)
+        w = np.uint64(64)
+        h = np.uint64((seed + _XXP5 + 8) & 0xFFFFFFFFFFFFFFFF)
+        k = x * np.uint64(_XXP2)
+        k = (k << r31) | (k >> (w - r31))
+        k *= np.uint64(_XXP1)
+        h = h ^ k
+        h = (h << r27) | (h >> (w - r27))
+        h = h * np.uint64(_XXP1) + np.uint64(_XXP4)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_XXP2)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_XXP3)
+        h ^= h >> np.uint64(32)
+        return h.view(np.int64)
+
+
+def _bucket_of(values, n: int):
+    """bucket numbers (non-negative, < n) for a list/array of key values —
+    ints via the xxhash64 mirror, strings via crc32; mixed/other types
+    raise (callers gate on the column type)."""
+    import numpy as np
+    import zlib
+
+    vals = list(values)
+    if all(isinstance(v, (int,)) and not isinstance(v, bool) for v in vals):
+        return [int(b) for b in np.mod(_xxh64_long(vals), np.int64(n))]
+    if all(isinstance(v, str) for v in vals):
+        return [zlib.crc32(v.encode("utf-8")) % n for v in vals]
+    raise TypeError("bucket transform supports int and string keys")
+
+
+def bucket_expr(df, col: str, n: int):
+    """Spark Column computing the SAME bucket number the writer records
+    stats for — use it to cluster writes, e.g.
+    ``df.repartitionByRange(n, bucket_expr(df, "doc_id", n))`` (range, not
+    hash, so each file covers a contiguous bucket interval and the virtual
+    min/max stats are tight). Integer columns are cast to bigint first so
+    Spark takes xxhash64's 8-byte path the numpy mirror implements."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, LongType, ShortType, StringType, ByteType
+
+    t = df.schema[col].dataType
+    if isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+        return F.pmod(F.xxhash64(F.col(col).cast("long")), F.lit(n))
+    if isinstance(t, StringType):
+        return F.pmod(F.crc32(F.encode(F.col(col), "utf-8")), F.lit(n))
+    raise TypeError(f"bucket transform supports int and string keys, got {t}")
+
+
+def _bucket_stat_key(col: str, n: int) -> str:
+    return f"__bucket_{col}_{n}"
+
+
+def _bucket_specs_in(files: list[dict]) -> dict[str, set[int]]:
+    """{source_col: {n, ...}} for every virtual bucket stats column any
+    file carries — multiple n values coexist under spec evolution."""
+    specs: dict[str, set[int]] = {}
+    for f in files:
+        for k in (f.get("stats") or {}):
+            if not k.startswith("__bucket_"):
+                continue
+            body = k[len("__bucket_"):]
+            col, _, num = body.rpartition("_")
+            if col and num.isdigit():
+                specs.setdefault(col, set()).add(int(num))
+    return specs
+
+
+# ---------------------------------------------------------------------------
 # snapshot metadata
 # ---------------------------------------------------------------------------
 
@@ -624,6 +731,32 @@ class DocStoreReader(DataSourceReader):
             in_sets[STATS_COLUMN] = (
                 self.part_in if prev is None else prev & self.part_in
             )
+        # bucket-transform pruning: a pushed equality/IN on a source column
+        # becomes a membership test on the virtual __bucket_ stats column —
+        # the one predicate shape order-based min/max can NOT serve under
+        # hash clustering. Multiple n (spec evolution) prune independently;
+        # files lacking the virtual stats are untouched (kept unless other
+        # stats prune them).
+        for col, ns in _bucket_specs_in(self.manifest["files"]).items():
+            if col in in_sets:
+                vals = set(in_sets[col])
+            else:
+                lo, hi = bounds.get(col, (None, None))
+                vals = (
+                    {lo}
+                    if lo is not None and lo == hi and not isinstance(lo, float)
+                    else None
+                )
+            if not vals:
+                continue
+            for n in ns:
+                try:
+                    bks = set(_bucket_of(vals, n))
+                except TypeError:
+                    continue  # non-int/str key values: no bucket pruning
+                vkey = _bucket_stat_key(col, n)
+                prev = in_sets.get(vkey)
+                in_sets[vkey] = bks if prev is None else prev & bks
         eq_resolved = [
             (
                 os.path.join(self.table_dir, e["path"]),
@@ -1162,6 +1295,18 @@ class DocStoreWriter(DataSourceArrowWriter):
         # layouts; production leaves the default)
         sr = options.get("segment_roll")
         self.segment_roll = int(sr) if sr is not None else None
+        # bucket transform spec "col:n" — the writer records min/max of
+        # bucket(col) per file under the virtual stats column
+        # __bucket_{col}_{n} so hash-clustered point lookups prune (see
+        # the transform header above); malformed specs fail the write
+        bb = options.get("bucket_by")
+        self.bucket_col: str | None = None
+        self.bucket_n = 0
+        if bb:
+            col, _, num = str(bb).rpartition(":")
+            if not col or not num.isdigit() or int(num) < 1:
+                raise ValueError(f"bucket_by must be 'col:n', got {bb!r}")
+            self.bucket_col, self.bucket_n = col, int(num)
         os.makedirs(self.table_dir, exist_ok=True)
         if self.branch != "main":
             # fail BEFORE tasks write data files: the branch must exist
@@ -1216,6 +1361,23 @@ class DocStoreWriter(DataSourceArrowWriter):
                 c = field.name
                 mins[c] = lo if c not in mins else min(mins[c], lo)
                 maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+            if self.bucket_col and self.bucket_col in batch.schema.names:
+                import numpy as np
+
+                vc = batch.column(self.bucket_col).drop_null()
+                if len(vc):
+                    if pa.types.is_integer(vc.type):
+                        bk = np.mod(
+                            _xxh64_long(vc.to_numpy(zero_copy_only=False)),
+                            np.int64(self.bucket_n),
+                        )
+                        blo, bhi = int(bk.min()), int(bk.max())
+                    else:
+                        bk = _bucket_of(vc.to_pylist(), self.bucket_n)
+                        blo, bhi = min(bk), max(bk)
+                    key = _bucket_stat_key(self.bucket_col, self.bucket_n)
+                    mins[key] = blo if key not in mins else min(mins[key], blo)
+                    maxs[key] = bhi if key not in maxs else max(maxs[key], bhi)
         if writer is None:
             return _FilesWritten([])
         writer.close()
@@ -2025,6 +2187,41 @@ def merge_into(
         probe_entries = [
             f for f in probe_entries if _may((f.get("stats") or {}).get(key_col))
         ]
+        # second tier, orthogonal to key ranges: bucket-transform stats.
+        # On a hash-clustered table key min/max overlap everywhere, but a
+        # small update set hits few buckets — a file whose recorded
+        # __bucket_{key}_{n} interval misses every update-key bucket can
+        # be dropped. Large key sets skip this (they cover ~all buckets).
+        if 0 < n_keys <= 10_000:
+            import bisect as _bisect
+
+            bcache: dict[int, list[int]] = {}
+
+            def _bks(n: int) -> list[int]:
+                if n not in bcache:
+                    try:
+                        bcache[n] = sorted(set(_bucket_of(kvals, n)))
+                    except TypeError:
+                        bcache[n] = list(range(n))  # unbucketable: keep all
+                return bcache[n]
+
+            def _bucket_may(stats: dict) -> bool:
+                pref = f"__bucket_{key_col}_"
+                for k, st in stats.items():
+                    if not (k.startswith(pref) and st and st[0] is not None):
+                        continue
+                    num = k.rpartition("_")[2]
+                    if not num.isdigit():
+                        continue
+                    bks = _bks(int(num))
+                    i = _bisect.bisect_left(bks, st[0])
+                    if not (i < len(bks) and bks[i] <= st[1]):
+                        return False
+                return True
+
+            probe_entries = [
+                f for f in probe_entries if _bucket_may(f.get("stats") or {})
+            ]
     if probe_entries:
         probe_df = (
             _read_files_visible(

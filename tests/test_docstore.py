@@ -680,3 +680,138 @@ def test_merge_into_probe_prunes_files_from_key_stats(spark, tmp_path):
     assert report2["replaced_rows"] == 1000  # ids 3000..3999 existed
     got2 = read_table(spark, path, fmt="docstore")
     assert got2.count() == 4001 - 1000 + 20_000
+
+
+def test_bucket_transform_prunes_point_lookups(spark, tmp_path):
+    """Iceberg `bucket(n, col)` analog: files hash-clustered by doc_id
+    carry overlapping doc_id ranges (min/max can't prune), but the
+    writer's virtual __bucket_ stats let an equality/IN lookup open only
+    the matching bucket file(s) — with exact results either way."""
+    docstore.register(spark)
+    path = str(tmp_path / "bucketed")
+    n = 16
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("partition_id"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("payload"),
+    )
+    (
+        df.repartitionByRange(n, docstore.bucket_expr(df, "doc_id", n))
+        .write.format("docstore")
+        .option("path", path)
+        .option("bucket_by", f"doc_id:{n}")
+        .mode("append")
+        .save()
+    )
+    man = docstore.load_manifest(path)
+    n_files = len(man["files"])
+    assert n_files >= 8
+    key = f"__bucket_doc_id_{n}"
+    assert all(key in f["stats"] for f in man["files"])
+    # hash layout: doc_id min/max overlap across ~every file
+    wide = sum(
+        1 for f in man["files"]
+        if f["stats"]["doc_id"][0] < 1000 and f["stats"]["doc_id"][1] > 7000
+    )
+    assert wide == n_files
+
+    def lookup(pred):
+        j = str(tmp_path / f"j{abs(hash(pred))%99999}")
+        os.makedirs(j)
+        got = (
+            spark.read.format("docstore")
+            .option("path", path)
+            .option("pruned_scan", "true")
+            .option("journal", j)
+            .load()
+            .filter(pred)
+        )
+        rows = sorted(r["doc_id"] for r in got.collect())
+        return rows, len(glob.glob(f"{j}/opened-*"))
+
+    rows, opened = lookup("doc_id = 4242")
+    assert rows == [4242]
+    assert opened < n_files and opened <= 3  # range-partitioned buckets: ~1 file
+    rows, opened = lookup("doc_id IN (17, 4242, 7777)")
+    assert rows == [17, 4242, 7777]
+    assert opened < n_files
+
+
+def test_bucket_transform_string_keys_and_spec_evolution(spark, tmp_path):
+    """String keys bucket via crc32; an append under a DIFFERENT n (spec
+    evolution) prunes by its own virtual column with no spec registry,
+    and unpruned reads stay exact across both specs."""
+    docstore.register(spark)
+    path = str(tmp_path / "bucketed_str")
+    d1 = spark.range(0, 2000).select(
+        F.concat(F.lit("doc-"), F.format_string("%06d", F.col("id"))).alias("doc_id"),
+        F.lit(0).alias("partition_id"),
+    )
+    (
+        d1.repartitionByRange(8, docstore.bucket_expr(d1, "doc_id", 8))
+        .write.format("docstore")
+        .option("path", path).option("bucket_by", "doc_id:8")
+        .mode("append").save()
+    )
+    d2 = spark.range(2000, 4000).select(
+        F.concat(F.lit("doc-"), F.format_string("%06d", F.col("id"))).alias("doc_id"),
+        F.lit(1).alias("partition_id"),
+    )
+    (
+        d2.repartitionByRange(4, docstore.bucket_expr(d2, "doc_id", 4))
+        .write.format("docstore")
+        .option("path", path).option("bucket_by", "doc_id:4")
+        .mode("append").save()
+    )
+    man = docstore.load_manifest(path)
+    specs = docstore._bucket_specs_in(man["files"])
+    assert specs == {"doc_id": {8, 4}}
+    j = str(tmp_path / "jb")
+    os.makedirs(j)
+    got = (
+        spark.read.format("docstore")
+        .option("path", path).option("pruned_scan", "true").option("journal", j)
+        .load().filter("doc_id = 'doc-003123'")
+    )
+    assert [r["partition_id"] for r in got.collect()] == [1]
+    opened = len(glob.glob(f"{j}/opened-*"))
+    # old-spec files prune by __bucket_doc_id_8, new-spec by _4: at most
+    # one file per spec survives the point lookup (range-bucket layout)
+    assert opened <= 3 < len(man["files"])
+    full = spark.read.format("docstore").option("path", path).load()
+    assert full.count() == 4000
+
+
+def test_merge_into_probes_bucket_files_only(spark, tmp_path):
+    """On a hash-clustered table every file's key range overlaps every
+    update key, so range probe-pruning keeps all files — bucket stats
+    still bound the probe to the files whose bucket interval can hold an
+    update key."""
+    docstore.register(spark)
+    path = str(tmp_path / "bucketed_merge")
+    n = 16
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("partition_id"),
+        F.lit("old").alias("status"),
+    )
+    (
+        df.repartitionByRange(n, docstore.bucket_expr(df, "doc_id", n))
+        .write.format("docstore")
+        .option("path", path).option("bucket_by", f"doc_id:{n}")
+        .mode("append").save()
+    )
+    total = len(docstore.load_manifest(path)["files"])
+    upd = spark.createDataFrame(
+        [(4242, 0, "new"), (9_999_999, 1, "new")],
+        "doc_id long, partition_id long, status string",
+    )
+    report = docstore.merge_into(spark, path, upd, "doc_id")
+    assert report["total_files"] == total
+    assert report["probed_files"] <= 4 < total
+    assert report["replaced_rows"] == 1
+    got = read_table(spark, path, fmt="docstore")
+    assert got.count() == 8001
+    assert {r["doc_id"] for r in got.filter("status='new'").collect()} == {
+        4242, 9_999_999
+    }
