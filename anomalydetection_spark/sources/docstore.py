@@ -1547,6 +1547,10 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
         os.remove(os.path.join(table_dir, f"manifest-v{v}.json"))
     removed = 0
     for path in dead_files:
+        if os.path.isabs(path):
+            # add_files import: the table references the file but does
+            # not OWN it — maintenance never deletes external data
+            continue
         try:
             os.remove(os.path.join(table_dir, path))
             removed += 1
@@ -1610,6 +1614,77 @@ def remove_orphan_files(
         except OSError:
             pass
     return {"removed_files": removed, "kept_young": kept_young}
+
+
+def add_files(spark, table_dir: str, paths, branch: str = "main") -> dict:
+    """Register EXISTING parquet files as a new snapshot without moving
+    or rewriting a byte — the Iceberg ``add_files`` / migrate procedure:
+    onboarding a plain-parquet corpus into the table format costs one
+    FOOTER read per file (rows + prunable min/max via _footer_stats),
+    never a data copy, so importing 10^5 files over 100 TB is a
+    metadata-only job. Entries keep their ABSOLUTE paths: the reader's
+    ``os.path.join(table_dir, path)`` passes an absolute path through
+    untouched, so scans, pruning, CDC, time travel, MOR deletes and
+    incremental validation work unchanged; maintenance treats imported
+    files as referenced-but-not-owned (expire_snapshots skips absolute
+    entries; remove_orphan_files only ever sweeps the table directory).
+    Commit is the standard optimistic loop: schema merged with the
+    branch head's, fresh field ids minted for new column names.
+
+    ``paths``: file path(s), director(y/ies) (their ``*.parquet``), or
+    glob patterns."""
+    import glob as _glob
+
+    flat: list[str] = []
+    for p in paths if isinstance(paths, (list, tuple)) else [paths]:
+        hits = sorted(_glob.glob(p)) if any(c in p for c in "*?[") else [p]
+        for h in hits:
+            if os.path.isdir(h):
+                flat.extend(sorted(_glob.glob(os.path.join(h, "*.parquet"))))
+            else:
+                flat.append(h)
+    if not flat:
+        raise ValueError(f"add_files: nothing matched {paths!r}")
+    entries = []
+    for p in flat:
+        ap = os.path.abspath(p)
+        rows, stats = _footer_stats(ap)
+        entries.append({"path": ap, "rows": rows, "stats": stats})
+    schema = spark.read.parquet(*flat).schema
+    write_names = [f.name for f in schema.fields]
+    os.makedirs(table_dir, exist_ok=True)
+    for _ in range(64):
+        base = current_version(table_dir)
+        newest = load_manifest(table_dir, base) if base else None
+        prior = (
+            load_manifest(table_dir, ref=branch)
+            if base and (branch != "main" or newest is not None)
+            else None
+        )
+        floor = int((newest or {}).get("last_field_id") or 0)
+        schema_json = schema.json()
+        if prior is not None:
+            schema_json = _merge_schemas(prior["schema"], schema.json()).json()
+        fid, last = _evolved_ids(prior, write_names, overwrite=False, floor=floor)
+        nm = {str(fid[n]): n for n in write_names}
+        files = [{**e, "name_map": nm} for e in entries] if fid else list(entries)
+        if prior is not None:
+            files = prior["files"] + files
+        try:
+            v = commit_snapshot(
+                table_dir, files, schema_json, expected_base=base,
+                field_ids=fid, last_field_id=last, branch=branch,
+            )
+            return {
+                "new_version": v,
+                "added_files": len(entries),
+                "added_rows": sum(e["rows"] for e in entries),
+            }
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"gave up after 64 contended commit attempts on {table_dir}"
+    )
 
 
 def compact_snapshot(

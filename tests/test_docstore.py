@@ -815,3 +815,58 @@ def test_merge_into_probes_bucket_files_only(spark, tmp_path):
     assert {r["doc_id"] for r in got.filter("status='new'").collect()} == {
         4242, 9_999_999
     }
+
+
+def test_add_files_imports_parquet_without_copy(spark, tmp_path):
+    """Iceberg add_files/migrate analog: existing parquet registers as a
+    snapshot via footer metadata only — no byte is copied or moved,
+    scans + stats pruning + time travel work unchanged, and maintenance
+    never deletes the imported (referenced-but-not-owned) files."""
+    docstore.register(spark)
+    ext = str(tmp_path / "external")
+    src = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("partition_id"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    src.repartitionByRange(6, "doc_id").write.parquet(ext)
+    path = str(tmp_path / "imported")
+    rep = docstore.add_files(spark, path, ext)
+    assert rep["added_files"] == 6 and rep["added_rows"] == 3000
+    man = docstore.load_manifest(path)
+    assert all(os.path.isabs(f["path"]) for f in man["files"])
+    got = read_table(spark, path, fmt="docstore")
+    assert got.count() == 3000
+    assert sorted(r["doc_id"] for r in got.filter("doc_id < 5").collect()) == [0, 1, 2, 3, 4]
+
+    # footer stats drive pruning exactly like written files
+    j = str(tmp_path / "jimp")
+    os.makedirs(j)
+    hit = (
+        spark.read.format("docstore")
+        .option("path", path).option("pruned_scan", "true").option("journal", j)
+        .load().filter("doc_id = 1500")
+    )
+    assert [r["doc_id"] for r in hit.collect()] == [1500]
+    assert len(glob.glob(f"{j}/opened-*")) < 6
+
+    # a second import with a NEW column merges schema (old rows null)
+    ext2 = str(tmp_path / "external2")
+    spark.range(3000, 3500).select(
+        F.col("id").alias("doc_id"),
+        F.lit(9).cast("long").alias("partition_id"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        F.lit("en").alias("lang"),
+    ).write.parquet(ext2)
+    docstore.add_files(spark, path, ext2)
+    allrows = read_table(spark, path, fmt="docstore")
+    assert allrows.count() == 3500
+    assert allrows.filter("lang IS NULL").count() == 3000
+    assert allrows.filter("lang = 'en'").count() == 500
+
+    # imported files survive snapshot expiry and orphan cleanup
+    n_ext = len(glob.glob(f"{ext}/*.parquet"))
+    docstore.expire_snapshots(path, keep_last=1)
+    docstore.remove_orphan_files(path, older_than_seconds=0)
+    assert len(glob.glob(f"{ext}/*.parquet")) == n_ext
+    assert read_table(spark, path, fmt="docstore").count() == 3500
