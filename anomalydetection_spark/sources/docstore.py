@@ -176,6 +176,136 @@ def _bucket_stat_key(col: str, n: int) -> str:
     return f"__bucket_{col}_{n}"
 
 
+# ---------------------------------------------------------------------------
+# Bloom sidecars (the Iceberg Puffin-blob analog)
+#
+# Bucket stats serve point lookups on tables CLUSTERED by the key; Bloom
+# sidecars serve them on tables that are not: the writer builds one Bloom
+# filter per (file, key column) — `bloom-{file}-{col}.bin` beside the data
+# file — and scan planning drops any candidate file whose Bloom proves
+# every wanted value absent (no false negatives, so pruning is always
+# safe; Spark re-applies the predicate post-scan regardless). Sidecars
+# load LAZILY: only when an equality/IN predicate names a Bloom'd column,
+# only for files that survived min/max + bucket pruning, cached process-
+# wide (immutable once committed). Maintenance owns them like data:
+# expire_snapshots deletes a dead file's sidecars with it, orphan sweep
+# collects unreferenced ones. Rewrites (compact/COW) drop sidecars on the
+# rewritten files — they are optional stats, never correctness.
+#
+# Double hashing (Kirsch-Mitzenmacher): probe_i = (h1 + i·h2) mod m_bits,
+# k=7, ~10 bits/key (fpp ≈ 1%); h1/h2 from the xxhash64 mirror (ints,
+# seeds 42/77) or crc32 of the utf-8 bytes plain/salted (strings) — all
+# vectorized, writer and reader share the one implementation.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_K = 7
+_bloom_cache: dict[str, bytes] = {}
+
+
+def _bloom_hashes(values):
+    """(h1, h2) uint64 arrays for int or string keys; h2 forced odd so
+    the probe stride never degenerates. TypeError for other types."""
+    import numpy as np
+    import zlib
+
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+        with np.errstate(over="ignore"):
+            return (
+                _xxh64_long(values, seed=42).view(np.uint64).copy(),
+                _xxh64_long(values, seed=77).view(np.uint64) | np.uint64(1),
+            )
+    vals = list(values)
+    with np.errstate(over="ignore"):
+        if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            h1 = _xxh64_long(vals, seed=42).view(np.uint64).copy()
+            h2 = _xxh64_long(vals, seed=77).view(np.uint64)
+        elif all(isinstance(v, str) for v in vals):
+            h1 = np.array(
+                [zlib.crc32(v.encode("utf-8")) for v in vals], dtype=np.uint64
+            )
+            h2 = np.array(
+                [zlib.crc32(v.encode("utf-8") + b"\x9e") for v in vals],
+                dtype=np.uint64,
+            )
+        else:
+            raise TypeError("bloom sidecars support int and string keys")
+        return h1, h2 | np.uint64(1)
+
+
+def _bloom_build(h1, h2, n_keys: int) -> bytes:
+    import struct
+
+    import numpy as np
+
+    m = max(1024, ((n_keys * _BLOOM_BITS_PER_KEY + 63) // 64) * 64)
+    m = min(m, 1 << 31)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(_BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                words,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+    return struct.pack("<QII", m, _BLOOM_K, 0) + words.tobytes()
+
+
+def _bloom_may_contain(blob: bytes, values=None, hashes=None) -> bool:
+    """False only when EVERY wanted value is provably absent."""
+    import struct
+
+    import numpy as np
+
+    m, k, _ = struct.unpack_from("<QII", blob)
+    words = np.frombuffer(blob, dtype=np.uint64, offset=16)
+    h1, h2 = hashes if hashes is not None else _bloom_hashes(values)
+    if not len(h1):
+        return False
+    alive = np.ones(len(h1), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            bits = (
+                words[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))
+            ) & np.uint64(1)
+            alive &= bits.astype(bool)
+            if not alive.any():
+                return False
+    return True
+
+
+def _bloom_sidecar(table_dir: str, name: str) -> bytes | None:
+    """Load-and-cache a sidecar blob; None when missing/unreadable
+    (pruning simply doesn't happen)."""
+    full = os.path.join(table_dir, name)
+    blob = _bloom_cache.get(full)
+    if blob is None:
+        try:
+            with open(full, "rb") as fh:
+                blob = fh.read()
+        except OSError:
+            return None
+        _bloom_cache[full] = blob
+    return blob
+
+
+def _point_predicates(bounds: dict, in_sets: dict) -> dict[str, set]:
+    """{col: wanted values} for every pushed equality/IN — the predicate
+    shape bucket stats and Bloom sidecars can serve."""
+    probes: dict[str, set] = {}
+    for col, s in in_sets.items():
+        if not col.startswith("__bucket_"):
+            probes[col] = set(s)
+    for col, (lo, hi) in bounds.items():
+        if lo is not None and lo == hi and not isinstance(lo, float):
+            if col not in probes:
+                probes[col] = {lo}
+    return probes
+
+
 def _bucket_specs_in(files: list[dict]) -> dict[str, set[int]]:
     """{source_col: {n, ...}} for every virtual bucket stats column any
     file carries — multiple n values coexist under spec evolution."""
@@ -731,22 +861,15 @@ class DocStoreReader(DataSourceReader):
             in_sets[STATS_COLUMN] = (
                 self.part_in if prev is None else prev & self.part_in
             )
-        # bucket-transform pruning: a pushed equality/IN on a source column
-        # becomes a membership test on the virtual __bucket_ stats column —
-        # the one predicate shape order-based min/max can NOT serve under
-        # hash clustering. Multiple n (spec evolution) prune independently;
-        # files lacking the virtual stats are untouched (kept unless other
-        # stats prune them).
+        # point-predicate stats tiers: a pushed equality/IN on a source
+        # column prunes via (a) bucket-transform virtual stats — the shape
+        # order-based min/max can NOT serve under hash clustering — and
+        # (b) per-file Bloom sidecars for UNclustered layouts. Multiple
+        # bucket n (spec evolution) prune independently; files lacking
+        # either stat are untouched (kept unless other stats prune them).
+        probes = _point_predicates(bounds, in_sets)
         for col, ns in _bucket_specs_in(self.manifest["files"]).items():
-            if col in in_sets:
-                vals = set(in_sets[col])
-            else:
-                lo, hi = bounds.get(col, (None, None))
-                vals = (
-                    {lo}
-                    if lo is not None and lo == hi and not isinstance(lo, float)
-                    else None
-                )
+            vals = probes.get(col)
             if not vals:
                 continue
             for n in ns:
@@ -757,6 +880,13 @@ class DocStoreReader(DataSourceReader):
                 vkey = _bucket_stat_key(col, n)
                 prev = in_sets.get(vkey)
                 in_sets[vkey] = bks if prev is None else prev & bks
+        probe_h: dict[str, tuple] = {}
+        if probes and any(f.get("blooms") for f in self.manifest["files"]):
+            for col, vals in probes.items():
+                try:
+                    probe_h[col] = _bloom_hashes(sorted(vals))
+                except TypeError:
+                    pass  # non-int/str values: no Bloom pruning
         eq_resolved = [
             (
                 os.path.join(self.table_dir, e["path"]),
@@ -774,6 +904,19 @@ class DocStoreReader(DataSourceReader):
         for f in self.manifest["files"]:
             if self._file_pruned(f["stats"], bounds, in_sets):
                 continue
+            if probe_h:
+                bl = f.get("blooms") or {}
+                pruned = False
+                for col, h in probe_h.items():
+                    sname = bl.get(col)
+                    blob = (
+                        _bloom_sidecar(self.table_dir, sname) if sname else None
+                    )
+                    if blob is not None and not _bloom_may_contain(blob, hashes=h):
+                        pruned = True
+                        break
+                if pruned:
+                    continue
             fseq = int(f.get("seq", 0))
             splits.append(
                 _FileSplit(
@@ -1307,6 +1450,13 @@ class DocStoreWriter(DataSourceArrowWriter):
             if not col or not num.isdigit() or int(num) < 1:
                 raise ValueError(f"bucket_by must be 'col:n', got {bb!r}")
             self.bucket_col, self.bucket_n = col, int(num)
+        # Bloom sidecar spec: CSV of key columns — one per-file Bloom each
+        # (bloom-{file}-{col}.bin), the point-lookup stats for UNclustered
+        # layouts (see the sidecar header above)
+        blm = options.get("bloom_by")
+        self.bloom_cols: list[str] = (
+            [c.strip() for c in str(blm).split(",") if c.strip()] if blm else []
+        )
         os.makedirs(self.table_dir, exist_ok=True)
         if self.branch != "main":
             # fail BEFORE tasks write data files: the branch must exist
@@ -1328,6 +1478,9 @@ class DocStoreWriter(DataSourceArrowWriter):
         tmp = os.path.join(self.table_dir, f"._tmp.{name}")
         writer = None
         rows = 0
+        # per-column (h1, h2) accumulators for Bloom sidecars: 16 B/row/col
+        # of writer memory, bounded by the task's file size
+        bloom_acc: dict[str, list] = {c: [] for c in self.bloom_cols}
         # per-file min/max for EVERY primitive column (the Iceberg
         # manifest-stats model): pruning then works on whatever column a
         # file's layout happens to cluster — which is what makes reads
@@ -1378,12 +1531,43 @@ class DocStoreWriter(DataSourceArrowWriter):
                     key = _bucket_stat_key(self.bucket_col, self.bucket_n)
                     mins[key] = blo if key not in mins else min(mins[key], blo)
                     maxs[key] = bhi if key not in maxs else max(maxs[key], bhi)
+            for c in self.bloom_cols:
+                if c not in batch.schema.names:
+                    continue
+                vc = batch.column(c).drop_null()
+                if len(vc):
+                    vals = (
+                        vc.to_numpy(zero_copy_only=False)
+                        if pa.types.is_integer(vc.type)
+                        else vc.to_pylist()
+                    )
+                    bloom_acc[c].append(_bloom_hashes(vals))
         if writer is None:
             return _FilesWritten([])
         writer.close()
         os.replace(tmp, os.path.join(self.table_dir, name))
         stats = {c: [mins[c], maxs[c]] for c in mins}
-        return _FilesWritten([{"path": name, "rows": rows, "stats": stats}])
+        blooms: dict[str, str] = {}
+        if any(bloom_acc.values()):
+            import numpy as np
+
+            stem = name[len("data-"):-len(".parquet")]
+            for c, parts in bloom_acc.items():
+                if not parts:
+                    continue
+                h1 = np.concatenate([p[0] for p in parts])
+                h2 = np.concatenate([p[1] for p in parts])
+                blob = _bloom_build(h1, h2, len(h1))
+                sname = f"bloom-{stem}-{c}.bin"
+                stmp = os.path.join(self.table_dir, f"._tmp.{sname}")
+                with open(stmp, "wb") as fh:
+                    fh.write(blob)
+                os.replace(stmp, os.path.join(self.table_dir, sname))
+                blooms[c] = sname
+        entry: dict = {"path": name, "rows": rows, "stats": stats}
+        if blooms:
+            entry["blooms"] = blooms
+        return _FilesWritten([entry])
 
     def commit(self, messages: list[_FilesWritten]) -> None:
         new_files: list[dict] = []
@@ -1530,6 +1714,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
         for f in m["files"]:
             refs.add(f["path"])
             refs.update(f.get("deletes", ()))  # MOR delete files are data too
+            refs.update((f.get("blooms") or {}).values())  # sidecars too
         refs.update(e["path"] for e in m.get("eq_deletes") or [])
         refs.update(s["path"] for s in m.get("segments") or [])
         return refs
@@ -1588,6 +1773,7 @@ def remove_orphan_files(
         for f in m["files"]:
             live.add(f["path"])
             live.update(f.get("deletes", ()))
+            live.update((f.get("blooms") or {}).values())
         live.update(e["path"] for e in m.get("eq_deletes") or [])
         live.update(s["path"] for s in m.get("segments") or [])
     cutoff = _time.time() - float(older_than_seconds)
@@ -1600,7 +1786,8 @@ def remove_orphan_files(
                 or name.startswith("eqdelete-")
             )
             and name.endswith(".parquet")
-        ) and not (name.startswith("seg-") and name.endswith(".json")):
+        ) and not (name.startswith("seg-") and name.endswith(".json")) \
+                and not (name.startswith("bloom-") and name.endswith(".bin")):
             continue
         if name in live:
             continue
@@ -2297,6 +2484,22 @@ def merge_into(
             probe_entries = [
                 f for f in probe_entries if _bucket_may(f.get("stats") or {})
             ]
+            # third tier: Bloom sidecars (unclustered layouts) — a file
+            # whose key Bloom proves every update key absent can't rewrite
+            try:
+                kh = _bloom_hashes(sorted(kvals))
+            except TypeError:
+                kh = None
+            if kh is not None and len(kh[0]):
+
+                def _bloom_may(f: dict) -> bool:
+                    sname = (f.get("blooms") or {}).get(key_col)
+                    blob = (
+                        _bloom_sidecar(table_dir, sname) if sname else None
+                    )
+                    return blob is None or _bloom_may_contain(blob, hashes=kh)
+
+                probe_entries = [f for f in probe_entries if _bloom_may(f)]
     if probe_entries:
         probe_df = (
             _read_files_visible(

@@ -870,3 +870,113 @@ def test_add_files_imports_parquet_without_copy(spark, tmp_path):
     docstore.remove_orphan_files(path, older_than_seconds=0)
     assert len(glob.glob(f"{ext}/*.parquet")) == n_ext
     assert read_table(spark, path, fmt="docstore").count() == 3500
+
+
+def test_bloom_sidecars_prune_unclustered_point_lookups(spark, tmp_path):
+    """Bloom sidecars (the Iceberg Puffin analog): on a layout NOT
+    clustered by doc_id every file's min/max overlaps, but per-file key
+    Blooms let a point lookup open only the file(s) that can hold the
+    value — and an absent key opens (almost) nothing. No false
+    negatives, so results stay exact."""
+    docstore.register(spark)
+    path = str(tmp_path / "bloomed")
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("partition_id"),
+        F.sha1(F.col("id").cast("string")).alias("payload"),
+    )
+    (
+        df.repartition(8, "payload")  # UNclustered: doc_id spans every file
+        .write.format("docstore")
+        .option("path", path).option("bloom_by", "doc_id")
+        .mode("append").save()
+    )
+    man = docstore.load_manifest(path)
+    n_files = len(man["files"])
+    assert n_files == 8
+    assert all("doc_id" in (f.get("blooms") or {}) for f in man["files"])
+    assert all(
+        os.path.exists(os.path.join(path, f["blooms"]["doc_id"]))
+        for f in man["files"]
+    )
+
+    def lookup(pred):
+        j = str(tmp_path / f"j{abs(hash(pred)) % 99999}")
+        os.makedirs(j)
+        got = (
+            spark.read.format("docstore")
+            .option("path", path)
+            .option("pruned_scan", "true")
+            .option("journal", j)
+            .load().filter(pred)
+        )
+        return (
+            sorted(r["doc_id"] for r in got.collect()),
+            len(glob.glob(f"{j}/opened-*")),
+        )
+
+    rows, opened = lookup("doc_id = 4242")
+    assert rows == [4242]
+    assert opened <= 2  # the holder + at most a fpp straggler
+    rows, opened = lookup("doc_id = 99999999")  # absent key
+    assert rows == []
+    assert opened <= 1
+    rows, opened = lookup("doc_id IN (11, 4242)")
+    assert rows == [11, 4242]
+    assert opened <= 3
+    # unfiltered read is exact (pruning is planning-only)
+    assert read_table(spark, path, fmt="docstore").count() == 8000
+
+
+def test_bloom_sidecars_strings_merge_and_maintenance(spark, tmp_path):
+    """String-keyed Blooms bound MERGE probes on unclustered tables, and
+    maintenance owns sidecars: expire deletes a dead file's Blooms with
+    it, orphan sweep collects unreferenced ones."""
+    docstore.register(spark)
+    path = str(tmp_path / "bloomed_str")
+    df = spark.range(0, 4000).select(
+        F.concat(F.lit("doc-"), F.format_string("%06d", F.col("id"))).alias("doc_id"),
+        (F.col("id") % 4).alias("partition_id"),
+        F.lit("old").alias("status"),
+    )
+    w = lambda frame, mode: (
+        frame.repartition(8, F.sha1("doc_id")).write.format("docstore")
+        .option("path", path).option("bloom_by", "doc_id").mode(mode).save()
+    )
+    w(df, "append")
+    upd = spark.createDataFrame(
+        [("doc-001500", 1, "new"), ("doc-999999", 2, "new")],
+        "doc_id string, partition_id long, status string",
+    )
+    rep = docstore.merge_into(spark, path, upd, "doc_id")
+    assert rep["total_files"] == 8
+    assert rep["probed_files"] <= 2  # blooms, not key ranges, did this
+    assert rep["replaced_rows"] == 1
+    got = read_table(spark, path, fmt="docstore")
+    assert got.count() == 4001
+    assert got.filter("status = 'new'").count() == 2
+
+    # overwrite kills the old files; expire reclaims them AND their blooms
+    old_sidecars = [
+        f["blooms"]["doc_id"] for f in docstore.load_manifest(path)["files"]
+        if f.get("blooms")
+    ]
+    assert old_sidecars
+    w(df.limit(100), "overwrite")
+    docstore.expire_snapshots(path, keep_last=1)
+    assert all(not os.path.exists(os.path.join(path, s)) for s in old_sidecars)
+    live_sidecars = [
+        f["blooms"]["doc_id"] for f in docstore.load_manifest(path)["files"]
+        if f.get("blooms")
+    ]
+    assert live_sidecars
+    assert all(os.path.exists(os.path.join(path, s)) for s in live_sidecars)
+
+    # a stray (uncommitted) sidecar is an orphan like any data file
+    stray = os.path.join(path, "bloom-deadbeef-doc_id.bin")
+    open(stray, "wb").write(b"\0" * 32)
+    os.utime(stray, (1, 1))
+    docstore.remove_orphan_files(path, older_than_seconds=0)
+    assert not os.path.exists(stray)
+    assert all(os.path.exists(os.path.join(path, s)) for s in live_sidecars)
+    assert read_table(spark, path, fmt="docstore").count() == 100
