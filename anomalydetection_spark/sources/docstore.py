@@ -1219,6 +1219,17 @@ class DocStoreCdcStreamReader(DataSourceStreamReader):
     Options: ``startingVersion`` (default: the current version at stream
     start, i.e. only NEW commits stream — Iceberg's stream-from-now
     default; 0 replays the whole table history as CDC).
+    ``maxVersionsPerBatch``: admission control (the Iceberg
+    ``max-files-per-micro-batch`` analog at this source's natural
+    planning unit) — each micro-batch advances at most that many snapshot
+    versions, so replaying a 10^4-commit backlog becomes a sequence of
+    bounded batches instead of one giant plan (use a processingTime
+    trigger: availableNow latches ONE end offset up front, so it drains
+    at most one clamped batch per invocation). The admission base starts
+    at ``startingVersion`` and ratchets monotonically over every offset
+    observed — including a restarted stream's checkpointed start via
+    ``partitions`` — so restarts resume exactly (restart-probe-verified:
+    no duplicate versions, no backward batch).
 
     A version below ``startingVersion`` that ``expire_snapshots`` has
     reclaimed fails loudly at plan time — silently emitting a partial feed
@@ -1230,6 +1241,11 @@ class DocStoreCdcStreamReader(DataSourceStreamReader):
         self.schema = schema
         sv = options.get("startingVersion")
         self._start = int(sv) if sv is not None else current_version(self.table_dir)
+        mv = options.get("maxVersionsPerBatch")
+        self.max_versions = int(mv) if mv is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("maxVersionsPerBatch must be >= 1")
+        self._last: int | None = self._start if mv is not None else None
         head = current_version(self.table_dir)
         self.field_ids = (
             (load_manifest(self.table_dir, head).get("field_ids") or {}) if head else {}
@@ -1239,10 +1255,21 @@ class DocStoreCdcStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": current_version(self.table_dir)}
+        head = current_version(self.table_dir)
+        if self.max_versions is None:
+            return {"version": head}
+        nxt = max(self._last, min(head, self._last + self.max_versions))
+        self._last = nxt
+        return {"version": nxt}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        if self.max_versions is not None:
+            # keep the admission base monotonic vs everything observed —
+            # including a RESTARTED stream's checkpointed start, which
+            # latestOffset cannot see (restart probe: resumes exactly,
+            # no duplicate and no backward batch)
+            self._last = max(self._last or 0, lo, hi)
         splits: list[_CdcSplit] = []
         for v in range(lo + 1, hi + 1):
             # the feed follows MAIN: branch commits (staged WAP writes) and

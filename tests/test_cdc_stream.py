@@ -208,3 +208,57 @@ def test_cdc_validation_stream_revalidates_changed(spark, tmp_path, inputs):
         spark.read.format("docstore").option("path", table).load(), media, baseline
     )
     assert _verdict_key(v.verdicts()) == _verdict_key(truth.verdicts)
+
+
+def test_cdc_max_versions_per_batch_bounds_each_microbatch(spark, tmp_path):
+    """Admission control: with maxVersionsPerBatch=2 a 6-commit backlog
+    replays as micro-batches spanning at most 2 contiguous snapshot
+    versions each (processingTime trigger — availableNow latches one end
+    offset), a restart resumes from the checkpoint with no duplicates,
+    and the concatenated feed covers every version exactly once."""
+    import time
+
+    table = str(tmp_path / "tbl")
+    docstore.register(spark)
+    for i in range(6):
+        _extra(spark, [(f"d{i}", [("text", f"t{i}", None, 0)], 0)]).write.format(
+            "docstore"
+        ).option("path", table).mode("append").save()
+    assert docstore.current_version(table) == 6
+
+    batches: list[list[int]] = []
+
+    def sink(df, bid):
+        vs = sorted({r["_commit_version"] for r in df.select("_commit_version").collect()})
+        if vs:
+            batches.append(vs)
+
+    def run(stop_after_total):
+        q = (
+            spark.readStream.format("docstore")
+            .option("path", table)
+            .option("cdc", "true")
+            .option("startingVersion", "0")
+            .option("maxVersionsPerBatch", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sum(len(v) for v in batches) >= stop_after_total:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+
+    run(4)   # first session drains versions 1..4 in clamped batches
+    run(6)   # restart from the checkpoint finishes 5..6
+    assert len(batches) >= 3
+    for vs in batches:
+        assert len(vs) <= 2
+        assert vs[-1] - vs[0] <= 1  # contiguous clamp
+    seen = sorted(v for vs in batches for v in vs)
+    assert seen == [1, 2, 3, 4, 5, 6]  # nothing skipped, nothing repeated
