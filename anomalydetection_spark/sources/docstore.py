@@ -1901,6 +1901,112 @@ def add_files(spark, table_dir: str, paths, branch: str = "main") -> dict:
     )
 
 
+def build_sidecars(spark, table_dir: str, cols, branch: str = "main") -> dict:
+    """ANALYZE-style stats backfill: build Bloom sidecars for committed
+    files that lack them — including ``add_files`` imports — without
+    rewriting a byte of data. The per-file work (read ONLY the key
+    column via columnar projection, hash, write the sidecar) runs as a
+    DISTRIBUTED Spark job over the file list (one task per partition of
+    files, driver holds O(files) names only); the commit is the standard
+    optimistic metadata loop, re-attaching sidecar names to their
+    entries. Columns a file physically lacks (schema evolution) are
+    skipped for that file; rename-mapped files resolve the physical
+    name through their field-id map. Sidecars land INSIDE the table dir
+    (owned by maintenance) whatever the data file's location."""
+    import hashlib
+
+    if isinstance(cols, str):
+        cols = [c.strip() for c in cols.split(",") if c.strip()]
+    head = current_version(table_dir)
+    if not head:
+        return {"built": 0, "new_version": head}
+    man = load_manifest(table_dir, ref=branch)
+    fids = man.get("field_ids") or {}
+    todo = []
+    for f in man["files"]:
+        missing = [c for c in cols if c not in (f.get("blooms") or {})]
+        if missing:
+            todo.append((f["path"], dict(f.get("name_map") or {}), missing))
+    if not todo:
+        return {"built": 0, "new_version": current_version(table_dir)}
+
+    tdir = table_dir
+
+    def _work(rows):
+        import pyarrow.parquet as pq
+
+        out = []
+        for path, name_map, missing in rows:
+            full = os.path.join(tdir, path)
+            try:
+                pf = pq.ParquetFile(full)
+            except OSError:
+                continue
+            phys = set(pf.schema_arrow.names)
+            built = {}
+            for c in missing:
+                src = _mapped_source(c, fids, name_map) or c
+                if src not in phys:
+                    continue
+                vc = pf.read(columns=[src]).column(src).drop_null().combine_chunks()
+                if not len(vc):
+                    continue
+                import pyarrow as pa
+
+                vals = (
+                    vc.to_numpy(zero_copy_only=False)
+                    if pa.types.is_integer(vc.type)
+                    else vc.to_pylist()
+                )
+                try:
+                    h1, h2 = _bloom_hashes(vals)
+                except TypeError:
+                    continue
+                blob = _bloom_build(h1, h2, len(h1))
+                stem = hashlib.sha1(path.encode()).hexdigest()[:12]
+                sname = f"bloom-{stem}-{c}.bin"
+                stmp = os.path.join(tdir, f"._tmp.{sname}")
+                with open(stmp, "wb") as fh:
+                    fh.write(blob)
+                os.replace(stmp, os.path.join(tdir, sname))
+                built[c] = sname
+            if built:
+                out.append((path, built))
+        return out
+
+    built_by_path = dict(
+        spark.sparkContext.parallelize(todo, min(len(todo), 64))
+        .mapPartitions(lambda it: _work(list(it)))
+        .collect()
+    )
+    if not built_by_path:
+        return {"built": 0, "new_version": current_version(table_dir)}
+    for _ in range(64):
+        base = current_version(table_dir)
+        cur = load_manifest(table_dir, ref=branch)
+        files = []
+        for f in cur["files"]:
+            add = built_by_path.get(f["path"])
+            if add:
+                f = {**f, "blooms": {**(f.get("blooms") or {}), **add}}
+            files.append(f)
+        try:
+            v = commit_snapshot(
+                table_dir, files, cur["schema"], expected_base=base,
+                field_ids=cur.get("field_ids"),
+                last_field_id=cur.get("last_field_id"), branch=branch,
+            )
+            return {
+                "built": sum(len(b) for b in built_by_path.values()),
+                "new_version": v,
+            }
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"gave up after 64 contended commit attempts on {table_dir}"
+    )
+
+
 def compact_snapshot(
     spark, table_dir: str, n_files: int = 1, zorder_by: list[str] | None = None
 ) -> int:
@@ -2322,6 +2428,31 @@ def rollback_to(table_dir: str, version: int, branch: str = "main") -> int:
 
 
 @_retry_on_conflict
+def _split_affected(
+    table_dir: str, files: list[dict], probe
+) -> tuple[list[dict], list[dict], int]:
+    """(kept_entries, affected_entries, matched_rows) from a probe's
+    ``_metadata.file_path`` groups — matched back to manifest entries by
+    EXACT absolute path (basename matching breaks for add_files imports,
+    whose entries carry absolute paths outside the table dir)."""
+    from urllib.parse import unquote, urlparse
+
+    counts: dict[str, int] = {}
+    for r in probe:
+        u = urlparse(r["_file"])
+        counts[unquote(u.path) if u.scheme else r["_file"]] = r["count"]
+    kept, hit, rows = [], [], 0
+    for f in files:
+        ab = os.path.abspath(os.path.join(table_dir, f["path"]))
+        c = counts.get(ab)
+        if c is None:
+            kept.append(f)
+        else:
+            hit.append(f)
+            rows += int(c)
+    return kept, hit, rows
+
+
 def delete_where(spark, table_dir: str, condition: str) -> dict:
     """Copy-on-write row-level delete (the Iceberg ``DELETE FROM`` in COW
     mode): ONLY data files containing matching rows are rewritten without
@@ -2348,12 +2479,12 @@ def delete_where(spark, table_dir: str, condition: str) -> dict:
         spark, table_dir, manifest["files"], manifest=manifest, with_file_col=True
     )
     probe = visible.filter(cond).groupBy("_file").count().collect()
-    affected = {os.path.basename(r["_file"]): r["count"] for r in probe}
-    if not affected:
+    kept_entries, affected_entries, deleted_rows = _split_affected(
+        table_dir, manifest["files"], probe
+    )
+    if not affected_entries:
         return {"new_version": manifest["version"], "rewritten_files": 0, "deleted_rows": 0}
-    deleted_rows = int(sum(affected.values()))
-    kept_entries = [f for f in manifest["files"] if f["path"] not in affected]
-    affected_entries = [f for f in manifest["files"] if f["path"] in affected]
+    affected = affected_entries  # len() consumer below
     tmpdir = os.path.join(table_dir, f"._rewrite.{uuid.uuid4().hex}")
     _read_files_visible(
         spark, table_dir, affected_entries, manifest=manifest
@@ -2541,9 +2672,10 @@ def merge_into(
             probe_df._jdf.queryExecution(), "formatted"
         )
         probe = probe_df.collect()
-    affected = {os.path.basename(r["_file"]): r["count"] for r in probe}
-    kept_entries = [f for f in manifest["files"] if f["path"] not in affected]
-    affected_entries = [f for f in manifest["files"] if f["path"] in affected]
+    kept_entries, affected_entries, replaced_rows = _split_affected(
+        table_dir, manifest["files"], probe
+    )
+    affected = affected_entries
     new_entries: list[dict] = []
     tmpdir = os.path.join(table_dir, f"._merge.{uuid.uuid4().hex}")
     if affected:
@@ -2602,7 +2734,7 @@ def merge_into(
     return {
         "new_version": v,
         "rewritten_files": len(affected),
-        "replaced_rows": int(sum(affected.values())),
+        "replaced_rows": replaced_rows,
         "upserted_rows": updates.count(),
         "plans": plans,
         "broadcast_hint": hint_broadcast,

@@ -980,3 +980,53 @@ def test_bloom_sidecars_strings_merge_and_maintenance(spark, tmp_path):
     assert not os.path.exists(stray)
     assert all(os.path.exists(os.path.join(path, s)) for s in live_sidecars)
     assert read_table(spark, path, fmt="docstore").count() == 100
+
+
+def test_build_sidecars_backfills_imported_files(spark, tmp_path):
+    """ANALYZE-style backfill: an add_files import has no Blooms; one
+    distributed build_sidecars pass attaches them (data untouched) and
+    point lookups + MERGE probes prune exactly as if the writer had
+    built them."""
+    docstore.register(spark)
+    ext = str(tmp_path / "external")
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("partition_id"),
+        F.sha1(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(6, "payload").write.parquet(ext)  # UNclustered by doc_id
+    path = str(tmp_path / "tbl")
+    docstore.add_files(spark, path, ext)
+    before = [os.path.getmtime(p) for p in sorted(glob.glob(f"{ext}/*.parquet"))]
+    rep = docstore.build_sidecars(spark, path, "doc_id")
+    assert rep["built"] == 6
+    man = docstore.load_manifest(path)
+    assert all("doc_id" in (f.get("blooms") or {}) for f in man["files"])
+    # data untouched; sidecars live INSIDE the table dir
+    assert [os.path.getmtime(p) for p in sorted(glob.glob(f"{ext}/*.parquet"))] == before
+    assert len(glob.glob(f"{path}/bloom-*.bin")) == 6
+
+    j = str(tmp_path / "jb")
+    os.makedirs(j)
+    got = (
+        spark.read.format("docstore")
+        .option("path", path).option("pruned_scan", "true").option("journal", j)
+        .load().filter("doc_id = 3210")
+    )
+    assert [r["doc_id"] for r in got.collect()] == [3210]
+    assert len(glob.glob(f"{j}/opened-*")) <= 2
+
+    # idempotent: a second pass finds nothing to build
+    assert docstore.build_sidecars(spark, path, "doc_id")["built"] == 0
+
+    upd = spark.createDataFrame(
+        [(3210, 2, "x")], "doc_id long, partition_id long, payload string"
+    )
+    rep2 = docstore.merge_into(spark, path, upd, "doc_id")
+    assert rep2["probed_files"] <= 2 and rep2["total_files"] == 6
+    assert rep2["replaced_rows"] == 1
+    got = read_table(spark, path, fmt="docstore")
+    assert got.count() == 6000 and got.filter("payload = 'x'").count() == 1
+    # the merge's rewrites are table-owned files without Blooms — a
+    # fresh backfill pass picks exactly those up
+    assert docstore.build_sidecars(spark, path, "doc_id")["built"] == 2
