@@ -1859,11 +1859,23 @@ def add_files(spark, table_dir: str, paths, branch: str = "main") -> dict:
                 flat.append(h)
     if not flat:
         raise ValueError(f"add_files: nothing matched {paths!r}")
-    entries = []
-    for p in flat:
-        ap = os.path.abspath(p)
-        rows, stats = _footer_stats(ap)
-        entries.append({"path": ap, "rows": rows, "stats": stats})
+    abspaths = [os.path.abspath(p) for p in flat]
+    if len(abspaths) <= 32:
+        footer = {ap: _footer_stats(ap) for ap in abspaths}
+    else:
+        # the per-file footer reads are independent metadata fetches —
+        # serialized on the driver a 10^5-file import would be the slow
+        # path of a "metadata-only" job, so distribute them exactly like
+        # build_sidecars' per-file work (driver holds names only)
+        footer = dict(
+            spark.sparkContext.parallelize(abspaths, min(len(abspaths), 64))
+            .map(lambda ap: (ap, _footer_stats(ap)))
+            .collect()
+        )
+    entries = [
+        {"path": ap, "rows": footer[ap][0], "stats": footer[ap][1]}
+        for ap in abspaths
+    ]
     schema = spark.read.parquet(*flat).schema
     write_names = [f.name for f in schema.fields]
     os.makedirs(table_dir, exist_ok=True)

@@ -872,6 +872,40 @@ def test_add_files_imports_parquet_without_copy(spark, tmp_path):
     assert read_table(spark, path, fmt="docstore").count() == 3500
 
 
+def test_add_files_distributes_footer_reads_above_threshold(spark, tmp_path):
+    """Importing more than 32 files takes the DISTRIBUTED footer-read
+    path (one Spark task batch over the file list, driver holds names
+    only — the build_sidecars pattern); manifest entries must be
+    byte-identical to the driver-side path's _footer_stats truth."""
+    docstore.register(spark)
+    ext = str(tmp_path / "many")
+    spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    ).repartitionByRange(40, "doc_id").write.parquet(ext)
+    n_ext = len(glob.glob(f"{ext}/*.parquet"))
+    assert n_ext == 40 > 32
+    path = str(tmp_path / "imported_many")
+    rep = docstore.add_files(spark, path, ext)
+    assert rep["added_files"] == n_ext and rep["added_rows"] == 4000
+    man = docstore.load_manifest(path)
+    for f in man["files"][:5] + man["files"][-5:]:
+        rows, stats = docstore._footer_stats(f["path"])
+        assert f["rows"] == rows and f["stats"] == stats
+    got = read_table(spark, path, fmt="docstore")
+    assert got.count() == 4000
+    # range-clustered import: footer stats prune a point lookup
+    j = str(tmp_path / "jmany")
+    os.makedirs(j)
+    hit = (
+        spark.read.format("docstore")
+        .option("path", path).option("pruned_scan", "true").option("journal", j)
+        .load().filter("doc_id = 2000")
+    )
+    assert [r["doc_id"] for r in hit.collect()] == [2000]
+    assert len(glob.glob(f"{j}/opened-*")) <= 2
+
+
 def test_bloom_sidecars_prune_unclustered_point_lookups(spark, tmp_path):
     """Bloom sidecars (the Iceberg Puffin analog): on a layout NOT
     clustered by doc_id every file's min/max overlaps, but per-file key
