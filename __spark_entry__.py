@@ -61,6 +61,8 @@ _PRIORITY = [
     "drift_ks_js_hellinger_by_source",  # oracle twin CHANGED: grid is now the full bucket union (current-only buckets count)
     "drift_wasserstein_chisq_by_source",  # same oracle-grid change on the W1/chi-square pair
     # ---- never driver-checked (26 more) ----
+    "kmv_distinct_orders_by_flag",  # NEW round 4: KMV bottom-k distinct sketch, integer estimator re-derived by the twin
+    "kmv_overlap_orders_flags",     # NEW round 4: theta-sketch set intersection (the algebra HLL can't do)
     "mahalanobis_anomaly_by_label",  # full-covariance Mahalanobis scoring, model-literal oracle
     "corr_matrix_events",      # one-pass all-pairs correlation matrix from exact bigint moment sums
     "bigram_nll_by_source",    # order-2 Stupid-Backoff LM scoring, fixed-point ln
@@ -92,7 +94,6 @@ _PRIORITY = [
     "above_brand_avg_lineitems",  # decorrelated per-group scalar-avg predicate
     "pandas_udf_token_stats",  # Arrow scalar-iterator UDF token accounting
     "token_count_bpe",         # BPE-ish subword counting (JVM regex split)
-    "fingerprint_docs",        # min-shingle-hash document fingerprints
     # ---- stalest green: last driver-checked in r02 ----
     "uniqueness_partkey",      # uniqueness VERDICT core (suite constraint family)
     "threshold_verdict_events",  # exact-percentile threshold → verdict rows
@@ -101,12 +102,13 @@ _PRIORITY = [
     "curation_pipeline",       # composed dedup→langid→quality curation plan
     "ann_cosine_topk",         # brute-force exact-cosine top-k baseline
     "dedup_embedding_cosine",  # SRP-banded embedding near-dup
-    "eval_metrics_embeddings", # accuracy/P/R/F1 from confusion counts
     "confusion_matrix_embeddings",  # 2-D label-agreement counts
     "template_mining_events",  # masked template extraction (Drain-analog batch)
     "asof_last_purchase",      # as-of join via conditional last() carry-forward
 ]
 _TAIL = [
+    "eval_metrics_embeddings",     # r02 green, untouched; P/R/F1 derives from the same confusion counts as in-window confusion_matrix_embeddings
+    "fingerprint_docs",            # r02 green, untouched; min-shingle-hash core shared with in-window token_count_bpe + dedup shingle families
     # Every entry below is driver-verified hash-green in CORRECTNESS_r03.json
     # (or r02 where noted) and its operator + oracle twin are UNTOUCHED since
     # that green row; the inline note names the in-window family twin.

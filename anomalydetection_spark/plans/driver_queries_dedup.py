@@ -1492,3 +1492,105 @@ GROUP BY label
 
 QUERIES["mahalanobis_anomaly_by_label"] = mahalanobis_anomaly_by_label
 ORACLE_SQL["mahalanobis_anomaly_by_label"] = _mahal_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketches: set algebra over distinct sets
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct_orders_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag distinct-orderkey estimates from the KMV sketch
+    (operators/kmv.py, k=512 — the estimation path engages: ~11k distinct
+    per flag at sf0.01) next to the exact count. Deterministic end to
+    end: portable md5 hashes + integer-only estimator, so the DuckDB
+    twin re-derives the ESTIMATE itself, not just the exact column."""
+    from anomalydetection_spark.operators.kmv import collect_kmvs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sketches = collect_kmvs(li, "l_orderkey", ["l_returnflag"], k=512)
+    exact = {
+        r["l_returnflag"]: r["ex"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("ex"))
+        .collect()
+    }
+    rows = [
+        (flag, int(exact[flag]), sk.estimate_distinct())
+        for (flag,), sk in sorted(sketches.items())
+    ]
+    return spark.createDataFrame(
+        rows, "flag string, exact_distinct bigint, est_distinct bigint"
+    )
+
+
+_KMV_CTE = """
+h AS (
+  SELECT DISTINCT l_returnflag AS flag,
+    ('0x' || substr(md5(cast(l_orderkey AS varchar)), 1, 15))::bigint AS hv
+  FROM lineitem WHERE l_orderkey IS NOT NULL),
+ranked AS (
+  SELECT flag, hv, row_number() OVER (PARTITION BY flag ORDER BY hv) AS rk
+  FROM h),
+kept AS (SELECT * FROM ranked WHERE rk <= 512),
+th AS (
+  SELECT flag, count(*) AS nv,
+    CASE WHEN count(*) < 512 THEN 1152921504606846976::hugeint
+         ELSE max(CASE WHEN rk = 512 THEN hv END)::hugeint END AS theta
+  FROM kept GROUP BY 1)
+"""
+
+KMV_DISTINCT_SQL = f"""
+WITH {_KMV_CTE},
+ex AS (
+  SELECT l_returnflag AS flag,
+         count(DISTINCT l_orderkey)::bigint AS exact_distinct
+  FROM lineitem GROUP BY 1)
+SELECT t.flag, e.exact_distinct,
+  CASE WHEN t.nv < 512 THEN t.nv::bigint
+       ELSE ((511::hugeint * 1152921504606846976::hugeint) // t.theta)::bigint
+  END AS est_distinct
+FROM th t JOIN ex e ON e.flag = t.flag
+ORDER BY t.flag
+"""
+
+
+def kmv_overlap_orders_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise estimated COMMON distinct orderkeys across returnflags —
+    the set-intersection algebra HLL cannot express, from the same three
+    ≤8 KB sketches, no join over the fact table. Same integer estimator
+    contract as kmv_distinct_orders_by_flag."""
+    from anomalydetection_spark.operators.kmv import group_kmv_overlap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = group_kmv_overlap(spark, li, "l_orderkey", ["l_returnflag"], k=512)
+    return out.select(
+        F.col("a_l_returnflag").alias("flag_a"),
+        F.col("b_l_returnflag").alias("flag_b"),
+        "est_common",
+    )
+
+
+KMV_OVERLAP_SQL = f"""
+WITH {_KMV_CTE},
+pairs AS (
+  SELECT a.flag AS flag_a, b.flag AS flag_b, least(a.theta, b.theta) AS th
+  FROM th a JOIN th b ON a.flag < b.flag),
+mt AS (
+  SELECT p.flag_a, p.flag_b, p.th, count(*) AS matches
+  FROM pairs p
+  JOIN kept ka ON ka.flag = p.flag_a AND ka.hv::hugeint < p.th
+  JOIN kept kb ON kb.flag = p.flag_b AND kb.hv = ka.hv AND kb.hv::hugeint < p.th
+  GROUP BY 1, 2, 3)
+SELECT p.flag_a, p.flag_b,
+  coalesce(((mt.matches::hugeint * 1152921504606846976::hugeint) // p.th)::bigint,
+           0) AS est_common
+FROM pairs p
+LEFT JOIN mt ON mt.flag_a = p.flag_a AND mt.flag_b = p.flag_b
+ORDER BY p.flag_a, p.flag_b
+"""
+
+QUERIES["kmv_distinct_orders_by_flag"] = kmv_distinct_orders_by_flag
+ORACLE_SQL["kmv_distinct_orders_by_flag"] = KMV_DISTINCT_SQL
+QUERIES["kmv_overlap_orders_flags"] = kmv_overlap_orders_flags
+ORACLE_SQL["kmv_overlap_orders_flags"] = KMV_OVERLAP_SQL
