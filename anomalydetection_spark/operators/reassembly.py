@@ -43,12 +43,22 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def explode_spans_meta(docs: DataFrame) -> DataFrame:
+def explode_spans_meta(docs: DataFrame, outer: bool = False) -> DataFrame:
     """Narrow per-span view for the constraint suite: raw ``text`` replaced
     by ``text_len`` (NULL iff text NULL). The suite's aggregations never
     need the string bytes — carrying lengths instead cuts the exploded row
     width ~3×, which is what flows through the shared exchange / agg hash
     tables at 10^12 spans.
+
+    ``outer=True`` switches to ``posexplode_outer``: a ZERO-SPAN doc
+    yields one row with NULL pos/kind/text_len/media_ref instead of
+    vanishing. The suite's span-level constraints correctly never see
+    span-less docs (default inner), but DOC-IDENTITY consumers must:
+    the manifest's doc_id Bloom/KMV blobs bound resumed-uniqueness and
+    ripple probes, and a cross-partition duplicate whose done-side copy
+    has no spans would be invisible to an inner-exploded blob — the
+    probe would skip its partition and the resumed verdict would differ
+    from a full scan.
 
     Built as per-field array extractions (``spans.kind`` etc. —
     GetArrayStructFields) zipped back by position, NOT
@@ -67,10 +77,11 @@ def explode_spans_meta(docs: DataFrame) -> DataFrame:
         F.col("spans.media_ref").alias("_refs"),
         F.col("spans.offset").alias("_offsets"),
     )
+    gen = F.posexplode_outer if outer else F.posexplode
     return base.select(
         "doc_id",
         "partition_id",
-        F.posexplode("_kinds").alias("pos", "kind"),
+        gen("_kinds").alias("pos", "kind"),
         "_tlens",
         "_refs",
         "_offsets",

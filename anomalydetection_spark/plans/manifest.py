@@ -37,10 +37,13 @@ def group_sketch_blobs(
     capacity: int = 256,
     bloom_m_bits: int = 1 << 17,
 ) -> DataFrame:
-    """All five manifest sketch families in ONE scan: per partition_id a
-    (digest, hll, mg, bloom, ref_bloom) blob tuple — t-digest over
+    """All six manifest sketch families in ONE scan: per partition_id a
+    (digest, hll, mg, bloom, ref_bloom, kmv) blob tuple — t-digest over
     text_len, HLL + Misra-Gries over media_ref, Bloom over doc_id, Bloom
-    over media_ref.
+    over media_ref, KMV bottom-k over doc_id (the theta sketch behind
+    ``ResumableValidator.overlap_report``: estimated cross-partition
+    doc_id overlap from blobs alone — the QUANTITATIVE complement of the
+    doc_id Bloom's yes/no intersection probe).
 
     The naive composition (one ``group_digests`` + one ``group_hlls`` +
     one ``group_mgs`` call) triggers three separate jobs, each re-scanning
@@ -72,8 +75,10 @@ def group_sketch_blobs(
     import pandas as pd
 
     from anomalydetection_spark.operators import bloom as bloomops
+    from anomalydetection_spark.operators.dedup import portable_hash60
     from anomalydetection_spark.operators.freqitems import MisraGries
     from anomalydetection_spark.operators.hll import HLL
+    from anomalydetection_spark.operators.kmv import KMV
     from anomalydetection_spark.operators.tdigest import TDigest
 
     narrow = exploded.select(
@@ -88,10 +93,13 @@ def group_sketch_blobs(
             F.col("media_ref").isNotNull(),
             bloomops.probe_positions(F.col("media_ref"), m_bits=bloom_m_bits),
         ).alias("_rbp"),
+        # KMV hash: the engine-portable md5 family (operators/kmv.py) so
+        # manifest blobs stay algebra-compatible with operator-built ones
+        portable_hash60(F.col("doc_id").cast("string")).alias("_kh"),
     )
     schema = (
         "partition_id int, digest binary, hll binary, mg binary, "
-        "bloom binary, ref_bloom binary"
+        "bloom binary, ref_bloom binary, kmv binary"
     )
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,10 +125,18 @@ def group_sketch_blobs(
                     else np.array([], dtype=np.int64)
                 )
                 rbl = bloomops.blob_from_positions(rpos, m_bits=bloom_m_bits)
-                rows.append((key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl, rbl))
+                kv = KMV()
+                kv.add_hashed(g["_kh"].to_numpy(dtype=np.int64))
+                rows.append(
+                    (key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl, rbl,
+                     kv.to_bytes())
+                )
             yield pd.DataFrame(
                 rows,
-                columns=["partition_id", "digest", "hll", "mg", "bloom", "ref_bloom"],
+                columns=[
+                    "partition_id", "digest", "hll", "mg", "bloom",
+                    "ref_bloom", "kmv",
+                ],
             )
 
     partials = narrow.mapInPandas(partial, schema)
@@ -139,9 +155,16 @@ def group_sketch_blobs(
             mg.merge(MisraGries.from_bytes(bytes(blob)))
         bl = reduce(bloomops.merge_blobs, (bytes(b) for b in pdf["bloom"]))
         rbl = reduce(bloomops.merge_blobs, (bytes(b) for b in pdf["ref_bloom"]))
+        kv = KMV()
+        for blob in pdf["kmv"]:
+            kv.merge(KMV.from_bytes(bytes(blob)))
         return pd.DataFrame(
-            [(*key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl, rbl)],
-            columns=["partition_id", "digest", "hll", "mg", "bloom", "ref_bloom"],
+            [(*key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl, rbl,
+              kv.to_bytes())],
+            columns=[
+                "partition_id", "digest", "hll", "mg", "bloom",
+                "ref_bloom", "kmv",
+            ],
         )
 
     return partials.groupBy("partition_id").applyInPandas(merge, schema)
@@ -263,7 +286,7 @@ class ManifestStore:
         now = datetime.datetime.now(datetime.timezone.utc).isoformat()
         existing = self.read()
         # older manifests may predate a sketch column — fill, don't KeyError
-        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob", "ref_bloom_blob")
+        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob", "ref_bloom_blob", "kmv_blob")
         prev = (
             {
                 r["partition_id"]: {**{c: None for c in blob_cols}, **r.asDict()}
@@ -284,13 +307,14 @@ class ManifestStore:
                 "mg_blob": row.get("mg_blob"),
                 "bloom_blob": row.get("bloom_blob"),
                 "ref_bloom_blob": row.get("ref_bloom_blob"),
+                "kmv_blob": row.get("kmv_blob"),
                 "updated_at": now,
             }
         df = self.spark.createDataFrame(
             list(prev.values()),
             "partition_id int, status string, row_count long, violation_count long, "
             "run_id string, sketch_blob binary, hll_blob binary, mg_blob binary, "
-            "bloom_blob binary, ref_bloom_blob binary, updated_at string",
+            "bloom_blob binary, ref_bloom_blob binary, kmv_blob binary, updated_at string",
         )
         self._publish(df)
 
@@ -300,7 +324,7 @@ class ManifestStore:
         m = self.read()
         if m is None:
             return
-        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob", "ref_bloom_blob")
+        blob_cols = ("sketch_blob", "hll_blob", "mg_blob", "bloom_blob", "ref_bloom_blob", "kmv_blob")
         rows = [{**{c: None for c in blob_cols}, **r.asDict()} for r in m.collect()]
         for r in rows:
             if r["partition_id"] in set(partition_ids):
@@ -309,7 +333,7 @@ class ManifestStore:
             rows,
             "partition_id int, status string, row_count long, violation_count long, "
             "run_id string, sketch_blob binary, hll_blob binary, mg_blob binary, "
-            "bloom_blob binary, ref_bloom_blob binary, updated_at string",
+            "bloom_blob binary, ref_bloom_blob binary, kmv_blob binary, updated_at string",
         )
         self._publish(df)
 
@@ -494,10 +518,19 @@ class ResumableValidator:
         mgs: dict[int, bytes] = {}
         blooms: dict[int, bytes] = {}
         ref_blooms: dict[int, bytes] = {}
+        kmvs: dict[int, bytes] = {}
         if with_sketches:
             from anomalydetection_spark.operators.reassembly import explode_spans_meta
 
-            meta = explode_spans_meta(pending_docs).select(
+            # outer explode: zero-span docs still carry a doc_id, so they
+            # MUST reach the doc-identity blobs (Bloom/KMV) — an inner
+            # explode would leave them out of a done partition's Bloom and
+            # the resumed-uniqueness scope probe would skip the partition
+            # holding the other copy of a duplicate (verdict would differ
+            # from a full scan). Span-level families are unaffected: the
+            # outer row's text_len is NULL (t-digest NaN-masks) and its
+            # media_ref is NULL (HLL/MG/ref-Bloom filter notna).
+            meta = explode_spans_meta(pending_docs, outer=True).select(
                 "doc_id", "partition_id", "text_len", "media_ref"
             )
             for r in group_sketch_blobs(meta).collect():
@@ -507,6 +540,7 @@ class ResumableValidator:
                 mgs[pid] = bytes(r["mg"])
                 blooms[pid] = bytes(r["bloom"])
                 ref_blooms[pid] = bytes(r["ref_bloom"])
+                kmvs[pid] = bytes(r["kmv"])
 
         # uniqueness is semantically global: a pending doc can collide with
         # a doc in any FINISHED partition. Rather than always rescanning the
@@ -583,6 +617,7 @@ class ResumableValidator:
                 "mg_blob": mgs.get(r["partition_id"]),
                 "bloom_blob": blooms.get(r["partition_id"]),
                 "ref_bloom_blob": ref_blooms.get(r["partition_id"]),
+                "kmv_blob": kmvs.get(r["partition_id"]),
             }
             for r in rollup_collected
         ]
@@ -694,6 +729,93 @@ class ResumableValidator:
         ).select("partition_id", F.col("sketch_blob").alias("digest"))
         return quantile_drift(
             digests, ["partition_id"], baseline_blob, probes, max_rel_gap
+        )
+
+    def overlap_report(self, min_est: int = 1) -> DataFrame:
+        """Estimated cross-partition doc_id overlap over ALREADY-VALIDATED
+        partitions — from the manifest's stored KMV blobs alone, no
+        rescan, no join over the corpus: the QUANTITATIVE complement of
+        the uniqueness ripple's yes/no Bloom probe ("partitions 12 and
+        48 share ~3,100 doc_ids" instead of "they intersect"). Returns
+        (partition_a, partition_b, est_common, est_distinct_a,
+        est_distinct_b) for pairs with est_common ≥ ``min_est``; exact
+        whenever both partitions hold < k distinct ids.
+
+        Scale shape: blobs are DECODED DISTRIBUTED (mapInPandas over the
+        manifest frame → one row per kept hash, ≤ k·P rows total), pairs
+        form by a hash-equi self-join below the pairwise theta, and the
+        estimate is integer decimal arithmetic — the driver never holds
+        a P×P matrix, so 10⁵ manifest partitions stay a bounded shuffle
+        (k·P ≈ 5·10⁷ rows), not 10¹⁰ driver intersections. Partitions
+        whose manifest rows predate the kmv column are absent, not
+        erred."""
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        from anomalydetection_spark.operators.kmv import HASH_RANGE, KMV
+
+        out_schema = (
+            "partition_a int, partition_b int, est_common bigint, "
+            "est_distinct_a bigint, est_distinct_b bigint"
+        )
+        m = self.manifest.read()
+        if m is None or "kmv_blob" not in m.columns:
+            return self.spark.createDataFrame([], out_schema)
+        blobs = m.filter(
+            (F.col("status") == STATUS_DONE) & F.col("kmv_blob").isNotNull()
+        ).select("partition_id", "kmv_blob")
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                frames = []
+                for _, r in pdf.iterrows():
+                    s = KMV.from_bytes(bytes(r["kmv_blob"]))
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "pid": int(r["partition_id"]),
+                                "hv": s.values,
+                                "theta": s.theta,
+                                "est_distinct": s.estimate_distinct(),
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        rows = blobs.mapInPandas(
+            decode, "pid int, hv long, theta long, est_distinct long"
+        )
+        a, b = rows.alias("a"), rows.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.hv") == F.col("b.hv")) & (F.col("a.pid") < F.col("b.pid")))
+            .filter(
+                (F.col("a.hv") < F.least(F.col("a.theta"), F.col("b.theta")))
+            )
+            .groupBy(
+                F.col("a.pid").alias("partition_a"),
+                F.col("b.pid").alias("partition_b"),
+                F.least(F.col("a.theta"), F.col("b.theta")).alias("_th"),
+                F.col("a.est_distinct").alias("est_distinct_a"),
+                F.col("b.est_distinct").alias("est_distinct_b"),
+            )
+            .agg(F.count("*").alias("_matches"))
+        )
+        est = F.expr(
+            f"CAST((CAST(_matches AS DECIMAL(38,0)) * CAST('{HASH_RANGE}' AS DECIMAL(38,0)))"
+            " div CAST(_th AS DECIMAL(38,0)) AS BIGINT)"
+        )
+        return (
+            pairs.select(
+                "partition_a",
+                "partition_b",
+                est.alias("est_common"),
+                "est_distinct_a",
+                "est_distinct_b",
+            )
+            .filter(F.col("est_common") >= int(min_est))
+            .orderBy("partition_a", "partition_b")
         )
 
     def run_reports(self) -> DataFrame:

@@ -117,7 +117,9 @@ def start_validation_stream(
                 group_sketch_blobs,
             )
 
-            meta = explode_spans_meta(batch_df).select(
+            # outer: zero-span docs must reach the doc-identity blobs
+            # (Bloom/KMV) or resumed-uniqueness probes would miss them
+            meta = explode_spans_meta(batch_df, outer=True).select(
                 "doc_id", "partition_id", "text_len", "media_ref"
             )
             blobs = {r["partition_id"]: r for r in group_sketch_blobs(meta).collect()}
@@ -129,6 +131,7 @@ def start_validation_stream(
                     "mg_blob": bytes(blobs[r["partition_id"]]["mg"]),
                     "bloom_blob": bytes(blobs[r["partition_id"]]["bloom"]),
                     "ref_bloom_blob": bytes(blobs[r["partition_id"]]["ref_bloom"]),
+                    "kmv_blob": bytes(blobs[r["partition_id"]]["kmv"]),
                 }
                 for r in res.partition_rollup.collect()
             ]

@@ -465,3 +465,96 @@ def test_quantile_drift_report_from_stored_blobs(spark, tmp_path, inputs):
     shifted.add(lens * 2.0)
     hot = {r["partition_id"]: r for r in v.quantile_drift_report(shifted.to_bytes()).collect()}
     assert all(r["flagged"] for r in hot.values())
+
+
+def test_overlap_report_from_stored_kmv_blobs(spark, tmp_path, inputs):
+    """Cross-partition doc_id overlap from the manifest's KMV blobs alone
+    (no corpus rescan): with < k distinct ids per partition the sketches
+    are exact, so the report must equal the true pairwise overlap — the
+    quantitative complement of the Bloom ripple's yes/no probe."""
+    docs, media, baseline = inputs
+    v = ResumableValidator(spark, str(tmp_path / "stateK"), str(tmp_path / "outK"))
+
+    # no runs yet -> empty frame, not an error
+    assert v.overlap_report().count() == 0
+
+    v.run(docs, media, baseline)
+    got = {
+        (r["partition_a"], r["partition_b"]): r
+        for r in v.overlap_report().collect()
+    }
+
+    ids = docs.select("partition_id", "doc_id").distinct()
+    a, b = ids.alias("a"), ids.alias("b")
+    truth = {
+        (r["pa"], r["pb"]): r["n"]
+        for r in a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.partition_id") < F.col("b.partition_id")),
+        )
+        .groupBy(
+            F.col("a.partition_id").alias("pa"),
+            F.col("b.partition_id").alias("pb"),
+        )
+        .agg(F.countDistinct("a.doc_id").alias("n"))
+        .collect()
+    }
+    assert truth, "fixture should inject cross-partition duplicate doc_ids"
+    assert set(got) == set(truth)
+    exact_distinct = {
+        r["partition_id"]: r["n"]
+        for r in ids.groupBy("partition_id")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    for (pa, pb), r in got.items():
+        assert r["est_common"] == truth[(pa, pb)]
+        assert r["est_distinct_a"] == exact_distinct[pa]
+        assert r["est_distinct_b"] == exact_distinct[pb]
+
+    # min_est filters: a bound above every true overlap empties the report
+    assert v.overlap_report(min_est=max(truth.values()) + 1).count() == 0
+
+
+def test_zero_span_doc_still_bounds_resumed_uniqueness(spark, tmp_path):
+    """Regression: a cross-partition duplicate whose done-side copy has
+    ZERO spans must still be found by a resumed run. The doc-identity
+    blobs (Bloom/KMV) are built with outer explode, so span-less docs
+    reach the done partition's Bloom and the uniqueness scope probe
+    pulls that partition in — an inner-exploded blob would skip it and
+    the resumed verdict would silently diverge from the full scan."""
+    from anomalydetection_spark.schema import DOCUMENTS_SCHEMA
+
+    def span(i):
+        return ("text", f"span {i}", None, i)
+
+    rows = [
+        ("dup-X", [], 0),                      # zero-span copy, partition 0
+        ("solo-A", [span(0)], 0),
+        ("dup-X", [span(0), span(1)], 1),      # spanned copy, partition 1
+        ("solo-B", [span(0)], 1),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    media = spark.createDataFrame(
+        [], "media_ref string, media_kind string, n_bytes long"
+    )
+    from anomalydetection_spark.operators import drift, reassembly
+
+    baseline = drift.compute_baseline(reassembly.explode_spans_meta(docs))
+
+    golden = _verdict_key(run_suite(docs, media, baseline).verdicts)
+
+    v = ResumableValidator(spark, str(tmp_path / "stateZ"), str(tmp_path / "outZ"))
+    v.run(docs, media, baseline)
+    v.manifest.invalidate([1])
+    s = v.run(docs, media, baseline)
+    assert s["validated_partitions"] == [1]
+    # the probe must have pulled partition 0 (the zero-span copy) into scope
+    assert 0 in (s["uniqueness_scope_partitions"] or [])
+    assert _verdict_key(v.verdicts()) == golden
+    uniq = {
+        r["partition_id"]: r["passed"]
+        for r in v.verdicts().filter("constraint = 'uniqueness'").collect()
+    }
+    assert uniq == {0: False, 1: False}
