@@ -81,6 +81,18 @@ def group_sketch_blobs(
     from anomalydetection_spark.operators.kmv import KMV
     from anomalydetection_spark.operators.tdigest import TDigest
 
+    # doc-identity sketches (doc_id Bloom, doc_id KMV) need each doc ONCE,
+    # but this frame has one row per span — when the caller carries `pos`,
+    # gate their hash expressions to the doc's first row (pos == 0, or
+    # NULL for an outer-exploded zero-span doc) so the per-span scan
+    # computes one md5 + one probe array per DOC, not per span (~avg-spans×
+    # less hashing at 10^12 spans). Without `pos` every row hashes as
+    # before — duplicates are harmless to both families, only slower.
+    first_row = (
+        (F.col("pos") == 0) | F.col("pos").isNull()
+        if "pos" in exploded.columns
+        else F.lit(True)
+    )
     narrow = exploded.select(
         "partition_id",
         F.col("text_len").cast("double").alias("_v"),
@@ -88,14 +100,22 @@ def group_sketch_blobs(
         F.when(
             F.col("media_ref").isNotNull(), F.xxhash64("media_ref")
         ).alias("_h"),  # JVM-side hash, same as hll.group_hlls
-        bloomops.probe_positions(F.col("doc_id"), m_bits=bloom_m_bits).alias("_bp"),
+        F.when(
+            first_row,
+            bloomops.probe_positions(F.col("doc_id"), m_bits=bloom_m_bits),
+        ).alias("_bp"),
         F.when(
             F.col("media_ref").isNotNull(),
             bloomops.probe_positions(F.col("media_ref"), m_bits=bloom_m_bits),
         ).alias("_rbp"),
         # KMV hash: the engine-portable md5 family (operators/kmv.py) so
-        # manifest blobs stay algebra-compatible with operator-built ones
-        portable_hash60(F.col("doc_id").cast("string")).alias("_kh"),
+        # manifest blobs stay algebra-compatible with operator-built ones.
+        # Sentinel −1 (hashes are 60-bit nonnegative), NOT NULL: a nullable
+        # long with NULLs crosses Arrow→pandas as float64, which rounds
+        # 60-bit hashes (> 2^53) and would silently corrupt the sketch
+        F.when(first_row, portable_hash60(F.col("doc_id").cast("string")))
+        .otherwise(F.lit(-1))
+        .alias("_kh"),
     )
     schema = (
         "partition_id int, digest binary, hll binary, mg binary, "
@@ -117,7 +137,12 @@ def group_sketch_blobs(
                 h.add_hashed(refs["_h"].to_numpy(dtype=np.int64))
                 mg = MisraGries(capacity)
                 mg.add_counts(refs["_ref"].astype(str).value_counts())
-                pos = np.concatenate(g["_bp"].to_numpy()) if len(g) else np.array([], dtype=np.int64)
+                bps = g["_bp"].dropna()
+                pos = (
+                    np.concatenate(bps.to_numpy())
+                    if len(bps)
+                    else np.array([], dtype=np.int64)
+                )
                 bl = bloomops.blob_from_positions(pos, m_bits=bloom_m_bits)
                 rpos = (
                     np.concatenate(refs["_rbp"].to_numpy())
@@ -126,7 +151,8 @@ def group_sketch_blobs(
                 )
                 rbl = bloomops.blob_from_positions(rpos, m_bits=bloom_m_bits)
                 kv = KMV()
-                kv.add_hashed(g["_kh"].to_numpy(dtype=np.int64))
+                kh = g["_kh"].to_numpy(dtype=np.int64)
+                kv.add_hashed(kh[kh >= 0])
                 rows.append(
                     (key, td.to_bytes(), h.to_bytes(), mg.to_bytes(), bl, rbl,
                      kv.to_bytes())
@@ -531,7 +557,7 @@ class ResumableValidator:
             # outer row's text_len is NULL (t-digest NaN-masks) and its
             # media_ref is NULL (HLL/MG/ref-Bloom filter notna).
             meta = explode_spans_meta(pending_docs, outer=True).select(
-                "doc_id", "partition_id", "text_len", "media_ref"
+                "doc_id", "partition_id", "pos", "text_len", "media_ref"
             )
             for r in group_sketch_blobs(meta).collect():
                 pid = r["partition_id"]

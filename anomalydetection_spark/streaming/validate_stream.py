@@ -120,7 +120,7 @@ def start_validation_stream(
             # outer: zero-span docs must reach the doc-identity blobs
             # (Bloom/KMV) or resumed-uniqueness probes would miss them
             meta = explode_spans_meta(batch_df, outer=True).select(
-                "doc_id", "partition_id", "text_len", "media_ref"
+                "doc_id", "partition_id", "pos", "text_len", "media_ref"
             )
             blobs = {r["partition_id"]: r for r in group_sketch_blobs(meta).collect()}
             rollup_rows = [

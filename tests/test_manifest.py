@@ -558,3 +558,34 @@ def test_zero_span_doc_still_bounds_resumed_uniqueness(spark, tmp_path):
         for r in v.verdicts().filter("constraint = 'uniqueness'").collect()
     }
     assert uniq == {0: False, 1: False}
+
+
+def test_doc_identity_sketches_gated_on_first_span_row(spark, tmp_path, inputs):
+    """The fused sketch scan hashes doc identity ONCE per doc (gated on
+    pos == 0 / NULL) instead of once per span; the gated blobs must be
+    bit-identical to ungated ones, and the manifest KMV blob must equal
+    the operator-built sketch over the same docs (algebra compatibility:
+    exact int64 hashes survive the Arrow crossing — a float64 leak would
+    round 60-bit hashes and silently diverge here)."""
+    from anomalydetection_spark.operators.kmv import KMV
+    from anomalydetection_spark.operators.kmv import collect_kmvs
+    from anomalydetection_spark.plans.manifest import group_sketch_blobs
+
+    docs, _, _ = inputs
+    meta_pos = reassembly.explode_spans_meta(docs, outer=True).select(
+        "doc_id", "partition_id", "pos", "text_len", "media_ref"
+    )
+    meta_nopos = reassembly.explode_spans_meta(docs, outer=True).select(
+        "doc_id", "partition_id", "text_len", "media_ref"
+    )
+    gated = {r["partition_id"]: r for r in group_sketch_blobs(meta_pos).collect()}
+    ungated = {r["partition_id"]: r for r in group_sketch_blobs(meta_nopos).collect()}
+    assert set(gated) == set(ungated)
+    for pid in gated:
+        assert bytes(gated[pid]["bloom"]) == bytes(ungated[pid]["bloom"])
+        assert bytes(gated[pid]["kmv"]) == bytes(ungated[pid]["kmv"])
+
+    # manifest KMV == operator-built KMV over the document-level frame
+    op = collect_kmvs(docs, "doc_id", ["partition_id"], k=512)
+    for pid in gated:
+        assert bytes(gated[pid]["kmv"]) == op[(pid,)].to_bytes()
