@@ -38,6 +38,48 @@ from anomalydetection_spark.sources import docstore as ds
 # reasonable — validate the full branch instead (correct, never narrower)
 MAX_SCOPED_PARTITIONS = 10_000
 
+# established-partition exclusion: small audited sets plan as NOT IN,
+# larger ones as a broadcast anti-join (the pending_partition_filter gate)
+_ISIN_MAX_AUDITED = 256
+
+
+def _bounded_uniqueness_scope(
+    spark: SparkSession,
+    docs: DataFrame,
+    scoped: DataFrame,
+    audited: list,
+    partition_col: str,
+) -> DataFrame:
+    """Narrow (doc_id, partition_id) frame over which duplicate detection
+    runs: all audited rows plus established rows whose doc_id MAY be an
+    audited id (Bloom short-circuit, operators/bloom.py — the
+    dangling_keys_scalable composition applied to uniqueness). The
+    established side is scanned (two columns) but never shuffled beyond
+    the Bloom's survivors."""
+    from anomalydetection_spark.operators import bloom as bloomops
+
+    n = scoped.count()
+    m_bits = 1 << 17
+    while m_bits < 12 * max(n, 1) and m_bits < (1 << 24):
+        m_bits <<= 1
+    blob = bloomops.blob_from_df(scoped, "doc_id", m_bits=m_bits)
+    if len(audited) <= _ISIN_MAX_AUDITED:
+        established = docs.filter(~F.col(partition_col).isin(audited))
+    else:
+        aud_df = spark.createDataFrame(
+            [(p,) for p in audited], f"`{partition_col}` long"
+        )
+        established = docs.join(
+            F.broadcast(aud_df.select(F.col(partition_col).cast(docs.schema[partition_col].dataType))),
+            partition_col,
+            "left_anti",
+        )
+    narrow = ["doc_id", "partition_id"]
+    candidates = established.select(*narrow).filter(
+        bloomops.might_contain(F.col("doc_id"), blob)
+    )
+    return scoped.select(*narrow).unionByName(candidates)
+
 
 def write_audit_publish(
     spark: SparkSession,
@@ -121,7 +163,21 @@ def write_audit_publish(
                     "partition_in", ",".join(str(int(p)) for p in audited)
                 )
             scoped = rd.load().filter(F.col(partition_col).isin(audited))
-            uniqueness_scope = docs  # table-wide duplicate detection
+            # table-wide duplicate detection, BOUNDED: the naive scope
+            # (the whole staged table) re-shuffles 10^12 doc_ids per
+            # ingest inside duplicate_keys. A duplicate relevant to this
+            # audit must involve an audited partition's doc_id, so build
+            # a Bloom over the audited ids and map-side-filter the
+            # established partitions down to candidate rows before any
+            # shuffle (no false negatives ⇒ every established copy of an
+            # audited id survives ⇒ verdicts identical; false positives
+            # only add established-only rows whose dup groups never join
+            # back to audited docs). Filter sized ~12 bits/key and capped
+            # at 2 MB of plan literal — a saturated filter degrades to
+            # keeping more candidates, never to a missed duplicate.
+            uniqueness_scope = _bounded_uniqueness_scope(
+                spark, docs, scoped, audited, partition_col
+            )
     elif scope != "full":
         raise ValueError(f"unknown scope '{scope}' (staged|full)")
 

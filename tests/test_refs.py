@@ -314,3 +314,41 @@ def test_legacy_table_backcompat(spark, tmp_path):
     assert _read(spark, path, ref="b").count() == n
     write_table(docs.limit(5), path, mode="append", fmt="docstore")
     assert _read(spark, path).count() == n + 5
+
+
+def test_wap_bounded_uniqueness_catches_cross_partition_established_dup(
+    spark, tmp_path
+):
+    """The audit's table-wide uniqueness runs behind a Bloom over the
+    audited partitions' ids (batch-sized shuffle, not table-sized): a
+    batch whose ids duplicate docs ESTABLISHED in an untouched partition
+    must still be blocked — the Bloom has no false negatives, so every
+    established copy of an audited id reaches duplicate detection."""
+    from anomalydetection_spark.plans.wap import write_audit_publish
+
+    path = str(tmp_path / "wap_x")
+    docs = generate_documents(spark, CLEAN)
+    write_table(docs, path, fmt="docstore")
+    media = generate_media_assets(spark, CFG)
+    baseline = drift.compute_baseline(
+        reassembly.explode_spans_meta(generate_documents(spark, CLEAN))
+    )
+    n0 = _read(spark, path).count()
+
+    # ids stolen from established partition 1, staged into partition 3:
+    # the established copies live in a partition the audit never touches
+    bad = (
+        docs.filter(F.col("partition_id") == 1).limit(10)
+        .withColumn("partition_id", F.lit(3).cast("int"))
+    )
+    res = write_audit_publish(spark, path, bad, media, baseline)
+    assert res["audited_partitions"] == [3]  # partition 1 untouched
+    assert res["published"] is False
+    failed = {v["constraint"] for v in res["verdicts"] if not v["passed"]}
+    assert "uniqueness" in failed
+    # each of the 10 staged rows is a duplicate row in the audited scope
+    uniq_viol = res["violations"].filter("constraint = 'uniqueness'")
+    assert uniq_viol.count() == 10
+    assert {r["partition_id"] for r in uniq_viol.collect()} == {3}
+    assert _read(spark, path).count() == n0
+    ds.drop_ref(path, res["branch"])
