@@ -63,6 +63,7 @@ _PRIORITY = [
     # ---- never driver-checked (26 more) ----
     "kmv_distinct_orders_by_flag",  # NEW round 4: KMV bottom-k distinct sketch, integer estimator re-derived by the twin
     "kmv_overlap_orders_flags",     # NEW round 4: theta-sketch set intersection (the algebra HLL can't do)
+    "join_fanout_orders_lineitem",  # NEW round 4: pre-join explosion audit (exact predicted join size + hot keys)
     "mahalanobis_anomaly_by_label",  # full-covariance Mahalanobis scoring, model-literal oracle
     "corr_matrix_events",      # one-pass all-pairs correlation matrix from exact bigint moment sums
     "bigram_nll_by_source",    # order-2 Stupid-Backoff LM scoring, fixed-point ln
@@ -99,7 +100,6 @@ _PRIORITY = [
     "threshold_verdict_events",  # exact-percentile threshold → verdict rows
     "drift_kl_psi_by_source",  # KL/PSI drift pair (suite constraint family)
     "roc_auc_embeddings",      # bucketed two-phase Mann-Whitney AUC
-    "curation_pipeline",       # composed dedup→langid→quality curation plan
     "ann_cosine_topk",         # brute-force exact-cosine top-k baseline
     "dedup_embedding_cosine",  # SRP-banded embedding near-dup
     "confusion_matrix_embeddings",  # 2-D label-agreement counts
@@ -107,6 +107,7 @@ _PRIORITY = [
     "asof_last_purchase",      # as-of join via conditional last() carry-forward
 ]
 _TAIL = [
+    "curation_pipeline",           # r02 green, untouched; composed plan whose stages (exact dedup, lang id, quality) are each in-window via dedup_embedding_cosine + c4_quality_filter_stats
     "eval_metrics_embeddings",     # r02 green, untouched; P/R/F1 derives from the same confusion counts as in-window confusion_matrix_embeddings
     "fingerprint_docs",            # r02 green, untouched; min-shingle-hash core shared with in-window token_count_bpe + dedup shingle families
     # Every entry below is driver-verified hash-green in CORRECTNESS_r03.json

@@ -112,3 +112,62 @@ def partition_skew(df: DataFrame, group_col: str = "partition_id") -> DataFrame:
             6,
         ).alias("cv"),
     )
+
+
+def join_fanout_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join explosion audit: predict an equi-join's output size and
+    name the keys that dominate it BEFORE paying for the join.
+
+    An inner equi-join emits Σ_k n_left(k)·n_right(k) rows — a handful
+    of keys heavy on BOTH sides can turn a "join two 10^9-row tables"
+    into 10^13 output rows (the unnoticed many-to-many that takes a
+    cluster down). This audit computes that sum exactly plus the top-k
+    contributing keys, from per-side key histograms:
+
+    one hash aggregate per side (map-side partials over distinct keys),
+    an equi-join of the two |distinct-key|-sized count tables (never the
+    raw rows), one scalar rollup, and a TakeOrdered for the top keys.
+    Output (one row per top key, summary columns repeated):
+    (key, n_left, n_right, product, predicted_rows, n_join_keys,
+    max_product, fanout_x) where fanout_x = predicted_rows relative to
+    the larger input at 1e-6 fixed-point — > 1 means the join EXPANDS.
+    All counts exact bigints; products/sums exact decimal(38,0); ties at
+    the k-th slot break (product desc, key asc) so engines agree."""
+    d38 = "decimal(38,0)"
+    ln = left.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n_left"))
+    rn = right.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n_right"))
+    both = ln.join(rn, key, "inner").select(
+        key,
+        "n_left",
+        "n_right",
+        (F.col("n_left").cast(d38) * F.col("n_right").cast(d38)).alias("_p"),
+    )
+    totals = both.agg(
+        F.sum("_p").cast(d38).alias("_predicted"),
+        F.count(F.lit(1)).cast("long").alias("n_join_keys"),
+        F.max("_p").cast(d38).alias("_maxp"),
+    ).crossJoin(
+        left.agg(F.count(F.lit(1)).cast("long").alias("_nl")).crossJoin(
+            right.agg(F.count(F.lit(1)).cast("long").alias("_nr"))
+        )
+    )
+    top = both.orderBy(F.col("_p").desc(), F.col(key).asc()).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        key,
+        "n_left",
+        "n_right",
+        F.col("_p").cast("long").alias("product"),
+        F.col("_predicted").cast("long").alias("predicted_rows"),
+        "n_join_keys",
+        F.col("_maxp").cast("long").alias("max_product"),
+        # fixed-point ratio from exact integers: floor(p*1e6 / max(nl,nr))
+        F.expr(
+            "CAST((_predicted * CAST(1000000 AS DECIMAL(38,0)))"
+            " div CAST(greatest(_nl, _nr) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("fanout_x_fp6"),
+    )

@@ -1081,3 +1081,50 @@ FROM d JOIN md USING (event_type)
 """
 
 # retired to plans/retired.py (pytest oracle gate)
+
+
+def join_fanout_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join explosion audit (operators/skew.join_fanout_audit): the
+    exact predicted row count of orders ⋈ lineitem on orderkey plus the
+    top-10 contributing keys — the many-to-many guard a pipeline runs
+    BEFORE submitting an expensive join. All exact integers / one
+    fixed-point ratio, so the DuckDB twin matches bit-for-bit."""
+    from anomalydetection_spark.operators.skew import join_fanout_audit
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return join_fanout_audit(o, li, "orderkey", top_k=10)
+
+
+JOIN_FANOUT_SQL = """
+WITH ln AS (SELECT o_orderkey AS orderkey, count(*)::bigint AS n_left
+            FROM orders GROUP BY 1),
+rn AS (SELECT l_orderkey AS orderkey, count(*)::bigint AS n_right
+       FROM lineitem GROUP BY 1),
+pair AS (
+  SELECT ln.orderkey, n_left, n_right,
+         n_left::hugeint * n_right::hugeint AS p
+  FROM ln JOIN rn ON ln.orderkey = rn.orderkey),
+tot AS (
+  SELECT sum(p) AS predicted, count(*)::bigint AS n_join_keys,
+         max(p) AS maxp
+  FROM pair),
+sizes AS (
+  SELECT (SELECT count(*) FROM orders)::hugeint AS nl,
+         (SELECT count(*) FROM lineitem)::hugeint AS nr)
+SELECT b.orderkey, b.n_left, b.n_right, b.p::bigint AS product,
+       t.predicted::bigint AS predicted_rows, t.n_join_keys,
+       t.maxp::bigint AS max_product,
+       ((t.predicted * 1000000::hugeint) // greatest(s.nl, s.nr))::bigint
+         AS fanout_x_fp6
+FROM pair b, tot t, sizes s
+ORDER BY b.p DESC, b.orderkey ASC
+LIMIT 10
+"""
+
+QUERIES["join_fanout_orders_lineitem"] = join_fanout_orders_lineitem
+ORACLE_SQL["join_fanout_orders_lineitem"] = JOIN_FANOUT_SQL

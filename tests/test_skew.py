@@ -142,3 +142,32 @@ def test_partition_skew_hand_computed(spark):
     assert (r["n_groups"], r["total_rows"], r["min_rows"], r["max_rows"]) == (2, 4, 1, 3)
     assert r["imbalance"] == 1.5          # max(3) / mean(2)
     assert r["cv"] == 0.5                 # sqrt(2*10 - 16) / 4
+
+
+def test_join_fanout_audit_predicts_exact_join_size(spark):
+    """The pre-join audit's predicted_rows must equal the ACTUAL inner
+    equi-join output, hot keys rank by per-key product, and the fanout
+    ratio flags an expanding join — all before any raw-row join runs."""
+    from anomalydetection_spark.operators.skew import join_fanout_audit
+
+    left = spark.createDataFrame(
+        [("hot",)] * 50 + [("warm",)] * 5 + [("cold",)] * 1 + [("left_only",)] * 9,
+        "k string",
+    )
+    right = spark.createDataFrame(
+        [("hot",)] * 40 + [("warm",)] * 3 + [("cold",)] * 1 + [("right_only",)] * 7,
+        "k string",
+    )
+    rows = join_fanout_audit(left, right, "k", top_k=2).collect()
+    actual = left.join(right, "k").count()  # 50*40 + 5*3 + 1 = 2016
+    assert actual == 2016
+    assert len(rows) == 2
+    assert [r["k"] for r in rows] == ["hot", "warm"]  # product desc
+    for r in rows:
+        assert r["predicted_rows"] == actual
+        assert r["n_join_keys"] == 3  # left_only/right_only never meet
+        assert r["max_product"] == 2000
+    hot = rows[0]
+    assert (hot["n_left"], hot["n_right"], hot["product"]) == (50, 40, 2000)
+    # fanout vs the larger input (65 left): floor(2016e6 / 65)
+    assert hot["fanout_x_fp6"] == (2016 * 1_000_000) // 65
