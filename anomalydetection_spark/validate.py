@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --state-dir: after the run, flag each partition's "
                          "latest row/violation counts against its own run history "
                          "(plans/manifest.metric_anomalies)")
+    ap.add_argument("--overlap-report", action="store_true",
+                    help="with --state-dir: print estimated cross-partition "
+                         "doc_id overlap pairs from the manifest's KMV "
+                         "sketch blobs alone — no rescan "
+                         "(plans/manifest.overlap_report)")
+    ap.add_argument("--min-overlap", type=int, default=1,
+                    help="--overlap-report: suppress pairs whose estimated "
+                         "common-id count is below this (default 1)")
     ap.add_argument("--save-quantile-baseline", metavar="PATH",
                     help="with --state-dir: after the run, merge the manifest's "
                          "per-partition t-digest blobs into one baseline digest "
@@ -263,6 +271,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"  history partition={r['partition_id']:>4} {r['metric']:<16}"
                     f" value={r['value']} hist_n={r['hist_n']} {mark}"
+                )
+        if args.overlap_report:
+            pairs = v.overlap_report(min_est=args.min_overlap).collect()
+            print(json.dumps({"overlap_pairs": len(pairs)}))
+            for r in pairs:
+                print(
+                    f"  overlap partitions=({r['partition_a']},{r['partition_b']})"
+                    f" est_common={r['est_common']}"
+                    f" est_distinct=({r['est_distinct_a']},{r['est_distinct_b']})"
                 )
         if args.save_quantile_baseline:
             from anomalydetection_spark.operators.tdigest import TDigest
