@@ -3265,6 +3265,39 @@ def metadata_table(spark, table_dir: str, kind: str, ref: str | None = None):
             m = load_manifest(table_dir, v)
             rows.append((v, m.get("branch", "main"), int(m.get("parent", v - 1)), v == head))
         return spark.createDataFrame(rows, schema)
+    if kind == "partitions":
+        # the Iceberg `table$partitions` analog: per-partition file/row
+        # rollup from MANIFEST STATS alone (a file belongs to a partition
+        # iff its partition_id min == max — the clustered-write layout);
+        # spanning or stat-less files roll up under partition NULL so the
+        # total always reconciles with `files`. rows are manifest record
+        # counts (pre-MOR-delete, as Iceberg reports them); n_delete_files
+        # counts position-delete bitmaps attached to the partition's files.
+        schema = StructType([
+            StructField("partition", LongType(), True),
+            StructField("n_files", IntegerType(), False),
+            StructField("rows", LongType(), False),
+            StructField("n_delete_files", IntegerType(), False),
+        ])
+        m = load_manifest(table_dir, ref=ref)
+        agg: dict = {}
+        for f in m["files"]:
+            st = (f.get("stats") or {}).get(STATS_COLUMN)
+            key = None
+            if st is not None and st[0] == st[1]:
+                try:
+                    key = int(st[0])
+                except (TypeError, ValueError):
+                    key = None
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += int(f["rows"])
+            cur[2] += len(f.get("deletes", ()))
+        rows = [
+            (k, c[0], c[1], c[2])
+            for k, c in sorted(agg.items(), key=lambda kv: (kv[0] is None, kv[0]))
+        ]
+        return spark.createDataFrame(rows, schema)
     raise ValueError(
-        f"unknown metadata table '{kind}' (snapshots|refs|files|history)"
+        f"unknown metadata table '{kind}' (snapshots|refs|files|history|partitions)"
     )

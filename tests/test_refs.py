@@ -352,3 +352,54 @@ def test_wap_bounded_uniqueness_catches_cross_partition_established_dup(
     assert {r["partition_id"] for r in uniq_viol.collect()} == {3}
     assert _read(spark, path).count() == n0
     ds.drop_ref(path, res["branch"])
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    """`partitions` metadata table: per-partition file/row rollup from
+    manifest stats alone — clustered files group under their partition,
+    stat-spanning files under NULL, and totals reconcile with `files`."""
+    path = str(tmp_path / "pmeta")
+    # range partitioning with explicit numPartitions: one partition value
+    # per task (hash repartition can collide values into one file, and
+    # AQE would coalesce the tiny shuffle into one spanning file)
+    docs = generate_documents(spark, CLEAN).repartitionByRange(4, "partition_id")
+    write_table(docs, path, fmt="docstore")
+    parts = ds.metadata_table(spark, path, "partitions")
+    got = {r["partition"]: r for r in parts.collect()}
+    truth = {
+        r["partition_id"]: r["n"]
+        for r in _read(spark, path).groupBy("partition_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # clustered write: every partition appears, row counts exact
+    for pid, n in truth.items():
+        assert got[pid]["rows"] == n and got[pid]["n_files"] >= 1
+    files_total = ds.metadata_table(spark, path, "files").agg(
+        F.sum("rows").alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["rows"] for r in got.values()) == files_total
+
+
+def test_wap_uniqueness_scope_is_batch_bounded_not_table_sized(spark, tmp_path):
+    """The bounded scope frame must hold ≈ |audited rows| + |established
+    copies of audited ids| (+ Bloom false positives ≪ table), never the
+    whole table — the row-count proof that duplicate detection stopped
+    shuffling every established doc_id per ingest."""
+    from anomalydetection_spark.plans.wap import _bounded_uniqueness_scope
+
+    path = str(tmp_path / "wap_scope")
+    docs = generate_documents(spark, CLEAN)
+    write_table(docs, path, fmt="docstore")
+    full = _read(spark, path)
+    n_table = full.count()
+
+    audited = [3]
+    scoped = full.filter(F.col("partition_id") == 3)
+    n_scoped = scoped.count()
+    scope = _bounded_uniqueness_scope(spark, full, scoped, audited, "partition_id")
+    n_scope = scope.count()
+    # CLEAN config: no cross-partition duplicates — established copies = 0,
+    # so anything above |scoped| is Bloom false positives (~1% of the
+    # established side at 12 bits/key, far below table size)
+    assert n_scoped <= n_scope < n_scoped + 0.05 * n_table
+    assert n_scope < n_table
