@@ -39,10 +39,11 @@ def run_bench(repo_dir: Path, env: dict) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline-rev", default="1bdb9b1", help="r02 shipped commit")
+    ap.add_argument("--label", default="r02", help="baseline label in BENCH.md/json")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
-    worktree = Path(tempfile.mkdtemp(prefix="ab_baseline_")) / "r02"
+    worktree = Path(tempfile.mkdtemp(prefix="ab_baseline_")) / args.label
     subprocess.run(
         ["git", "worktree", "add", "--detach", str(worktree), args.baseline_rev],
         cwd=REPO, check=True, capture_output=True,
@@ -54,9 +55,10 @@ def main() -> int:
     env.setdefault("SPARK_GRAFT_CPUS", "32")
 
     try:
-        runs: dict[str, list[dict]] = {"r02": [], "head": []}
+        base = args.label
+        runs: dict[str, list[dict]] = {base: [], "head": []}
         for rep in range(args.reps):
-            for tag, d in (("r02", worktree), ("head", REPO)):
+            for tag, d in ((base, worktree), ("head", REPO)):
                 r = run_bench(d, env)
                 runs[tag].append(r)
                 print(
@@ -70,7 +72,7 @@ def main() -> int:
         )
 
     names = sorted(
-        set(runs["r02"][0]["queries"]) & set(runs["head"][0]["queries"])
+        set(runs[args.label][0]["queries"]) & set(runs["head"][0]["queries"])
     )
     med = {
         tag: {n: statistics.median(r["queries"][n] for r in rs if n in r["queries"])
@@ -82,29 +84,30 @@ def main() -> int:
         for tag, rs in runs.items()
     }
 
+    base = args.label
     lines = [
-        "\n## Same-session A/B: r02 shipped code vs round-3 head\n",
-        f"Interleaved (r02, head) x {args.reps} reps in one wall-clock session on",
+        f"\n## Same-session A/B: {base} shipped code vs current head\n",
+        f"Interleaved ({base}, head) x {args.reps} reps in one wall-clock session on",
         "identical inputs (sf0.1 + the 1M-doc synthetic suite); medians below.",
         "Ratio < 1.0 = head faster. Host noise hits both columns equally, so",
         "the ratio is meaningful even when absolute times move between rounds.\n",
-        "| query | r02 median (s) | head median (s) | head/r02 |",
+        f"| query | {base} median (s) | head median (s) | head/{base} |",
         "|---|---|---|---|",
     ]
     for n in names:
-        a, b = med["r02"][n], med["head"][n]
+        a, b = med[base][n], med["head"][n]
         lines.append(f"| {n} | {a:.2f} | {b:.2f} | {b / a:.2f} |")
-    ta, tb = sum(med["r02"].values()), sum(med["head"].values())
+    ta, tb = sum(med[base].values()), sum(med["head"].values())
     lines.append(f"| **total** | {ta:.2f} | {tb:.2f} | {tb / ta:.2f} |")
     lines.append(
-        f"\nSuite throughput (docs/s, median): r02 {tput['r02']:,.0f} -> "
-        f"head {tput['head']:,.0f} ({tput['head'] / tput['r02']:.2f}x).\n"
+        f"\nSuite throughput (docs/s, median): {base} {tput[base]:,.0f} -> "
+        f"head {tput['head']:,.0f} ({tput['head'] / tput[base]:.2f}x).\n"
     )
     md = "\n".join(lines)
 
     bench_md = REPO / "BENCH.md"
     old = bench_md.read_text() if bench_md.exists() else ""
-    marker = "## Same-session A/B"
+    marker = f"## Same-session A/B: {base}"
     if marker in old:
         # replace the existing A/B section (ends at the next ## or EOF)
         start = old.index(marker)
@@ -114,10 +117,10 @@ def main() -> int:
     bench_md.write_text(old.rstrip("\n") + "\n" + md)
 
     print(json.dumps({
-        "r02_total_sec": round(ta, 2),
+        f"{base}_total_sec": round(ta, 2),
         "head_total_sec": round(tb, 2),
-        "ratio_head_over_r02": round(tb / ta, 3),
-        "suite_docs_per_sec_r02": round(tput["r02"], 1),
+        f"ratio_head_over_{base}": round(tb / ta, 3),
+        f"suite_docs_per_sec_{base}": round(tput[base], 1),
         "suite_docs_per_sec_head": round(tput["head"], 1),
     }))
     return 0
