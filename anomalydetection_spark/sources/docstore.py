@@ -46,6 +46,7 @@ import functools
 import json
 import os
 import uuid
+import time
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
@@ -444,6 +445,7 @@ def snapshots(table_dir: str) -> list[dict]:
                 "parent": int(m.get("parent", v - 1)),
                 "n_files": len(m["files"]),
                 "rows": sum(f["rows"] for f in m["files"]),
+                "ts": m.get("ts"),
             }
         )
     return out
@@ -557,7 +559,7 @@ def commit_snapshot(
             f"table advanced to v{head} since base v{expected_base}"
         )
     v = head + 1
-    manifest = {"version": v, "schema": schema_json}
+    manifest = {"version": v, "schema": schema_json, "ts": time.time()}
     prior = load_manifest(table_dir, head, _raw=True) if head else None
     refs = dict((prior or {}).get("refs") or {})
     if not refs and head:  # legacy table: main implicitly tracked the chain
@@ -1709,11 +1711,19 @@ def register(spark) -> None:
 # table maintenance: the expireSnapshots / rewriteDataFiles analogs
 # ---------------------------------------------------------------------------
 
-def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+def expire_snapshots(
+    table_dir: str, keep_last: int = 1, older_than_seconds: float | None = None
+) -> dict:
     """Drop all but the newest ``keep_last`` snapshots and delete data
     files no surviving snapshot references (Iceberg expireSnapshots +
     orphan cleanup). The current snapshot is never expired; time travel
     to expired versions fails loudly afterwards.
+
+    ``older_than_seconds`` adds the Iceberg ``olderThan`` age gate: only
+    snapshots COMMITTED more than that many seconds ago are expirable —
+    retention becomes "keep at least ``keep_last``, and everything
+    younger than the horizon" (commit time from the manifest's ``ts``;
+    pre-ts manifests fall back to file mtime).
 
     Deletion order is crash-safe: manifests of expired versions are
     removed FIRST (making those versions unreadable), then data files
@@ -1730,10 +1740,29 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     keep.update(
         int(r["version"]) for r in table_refs(table_dir, _head=head).values()
     )
+    cutoff = (
+        time.time() - older_than_seconds
+        if older_than_seconds is not None
+        else None
+    )
+
+    def _old_enough(v: int) -> bool:
+        if cutoff is None:
+            return True
+        mp = os.path.join(table_dir, f"manifest-v{v}.json")
+        try:
+            ts = load_manifest(table_dir, v, _raw=True).get("ts")
+        except FileNotFoundError:
+            return False
+        if ts is None:
+            ts = os.path.getmtime(mp)
+        return float(ts) <= cutoff
+
     expired = [
         v for v in range(1, head + 1)
         if v not in keep
         and os.path.exists(os.path.join(table_dir, f"manifest-v{v}.json"))
+        and _old_enough(v)
     ]
     def _refs(v: int) -> set[str]:
         refs: set[str] = set()

@@ -1064,3 +1064,47 @@ def test_build_sidecars_backfills_imported_files(spark, tmp_path):
     # the merge's rewrites are table-owned files without Blooms — a
     # fresh backfill pass picks exactly those up
     assert docstore.build_sidecars(spark, path, "doc_id")["built"] == 2
+
+
+def test_expire_snapshots_age_gate(spark, tmp_path):
+    """older_than_seconds: retention = keep at least keep_last AND
+    everything younger than the horizon — an old snapshot expires, a
+    young one survives even when keep_last alone would reclaim it."""
+    import json as _json
+    import time as _time
+
+    docstore.register(spark)
+    path = str(tmp_path / "age")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("doc_id"), F.lit(i).alias("batch")
+        ).write.format("docstore").option("path", path).mode("append").save()
+    assert docstore.current_version(path) == 3
+
+    # backdate v1 only (manifests carry commit ts since round 4)
+    mp = os.path.join(path, "manifest-v1.json")
+    m = _json.load(open(mp))
+    assert m.get("ts") is not None
+    m["ts"] = _time.time() - 10_000
+    _json.dump(m, open(mp, "w"))
+
+    rep = docstore.expire_snapshots(path, keep_last=1, older_than_seconds=3600)
+    # v1 is beyond the horizon -> expired; v2 is young -> survives even
+    # though keep_last=1 alone would have reclaimed it
+    assert spark.read.format("docstore").option("path", path).option(
+        "version", "2"
+    ).load().count() == 20
+    with pytest.raises(Exception):
+        spark.read.format("docstore").option("path", path).option(
+            "version", "1"
+        ).load().count()
+
+    # horizon 0: plain keep_last semantics reclaim v2 as well
+    docstore.expire_snapshots(path, keep_last=1, older_than_seconds=0)
+    with pytest.raises(Exception):
+        spark.read.format("docstore").option("path", path).option(
+            "version", "2"
+        ).load().count()
+    assert spark.read.format("docstore").option("path", path).load().count() == 30
+    # snapshots() surfaces commit ts for the survivors
+    assert all(s["ts"] is not None for s in docstore.snapshots(path))
