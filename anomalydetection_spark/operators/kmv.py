@@ -164,25 +164,6 @@ def collect_kmvs(df, value_col: str, group_cols: list[str], k: int = 512):
     }
 
 
-def group_kmv_distinct(spark, df, value_col: str, group_cols: list[str], k: int = 512):
-    """(group_cols..., est_distinct bigint): per-group integer-exact KMV
-    distinct estimates from the merged sketches."""
-    sketches = collect_kmvs(df, value_col, group_cols, k)
-    rows = [
-        (*key, sk.estimate_distinct()) for key, sk in sorted(sketches.items())
-    ]
-    return _rows_df(spark, df, group_cols, rows, "est_distinct bigint")
-
-
-def _rows_df(spark, src_df, group_cols, rows, extra_schema: str):
-    from anomalydetection_spark.operators.tdigest import _types
-
-    schema = ", ".join(
-        f"`{c}` {t}" for c, t in _types(src_df.select(*group_cols), group_cols)
-    )
-    return spark.createDataFrame(rows, schema=f"{schema}, {extra_schema}")
-
-
 def group_kmv_overlap(spark, df, value_col: str, group_cols: list[str], k: int = 512):
     """All unordered group pairs with estimated common-distinct counts:
     (a_<cols>..., b_<cols>..., est_common bigint). The pairwise algebra

@@ -157,17 +157,29 @@ def join_fanout_audit(
         )
     )
     top = both.orderBy(F.col("_p").desc(), F.col(key).asc()).limit(top_k)
+
+    # SATURATING long casts: a decimal(38,0) beyond 2^63-1 would cast to
+    # NULL under non-ANSI Spark (and error in DuckDB) — exactly for the
+    # catastrophic joins this audit exists to flag. Beyond ~9.2e18
+    # predicted rows the precise count is irrelevant; LONG_MAX reads as
+    # "over the cliff" and both engines agree on it.
+    long_max = "CAST(9223372036854775807 AS DECIMAL(38,0))"
+
+    def _sat(expr: str) -> Column:
+        return F.expr(f"CAST(least({expr}, {long_max}) AS BIGINT)")
+
     return top.crossJoin(F.broadcast(totals)).select(
         key,
         "n_left",
         "n_right",
-        F.col("_p").cast("long").alias("product"),
-        F.col("_predicted").cast("long").alias("predicted_rows"),
+        _sat("_p").alias("product"),
+        _sat("_predicted").alias("predicted_rows"),
         "n_join_keys",
-        F.col("_maxp").cast("long").alias("max_product"),
-        # fixed-point ratio from exact integers: floor(p*1e6 / max(nl,nr))
-        F.expr(
-            "CAST((_predicted * CAST(1000000 AS DECIMAL(38,0)))"
-            " div CAST(greatest(_nl, _nr) AS DECIMAL(38,0)) AS BIGINT)"
+        _sat("_maxp").alias("max_product"),
+        # fixed-point ratio from exact integers: floor(p*1e6 / max(nl,nr));
+        # the inner least keeps the ×1e6 product inside decimal(38,0)
+        _sat(
+            f"(least(_predicted, {long_max}) * CAST(1000000 AS DECIMAL(38,0)))"
+            " div CAST(greatest(_nl, _nr) AS DECIMAL(38,0))"
         ).alias("fanout_x_fp6"),
     )

@@ -1116,11 +1116,14 @@ tot AS (
 sizes AS (
   SELECT (SELECT count(*) FROM orders)::hugeint AS nl,
          (SELECT count(*) FROM lineitem)::hugeint AS nr)
-SELECT b.orderkey, b.n_left, b.n_right, b.p::bigint AS product,
-       t.predicted::bigint AS predicted_rows, t.n_join_keys,
-       t.maxp::bigint AS max_product,
-       ((t.predicted * 1000000::hugeint) // greatest(s.nl, s.nr))::bigint
-         AS fanout_x_fp6
+SELECT b.orderkey, b.n_left, b.n_right,
+       least(b.p, 9223372036854775807::hugeint)::bigint AS product,
+       least(t.predicted, 9223372036854775807::hugeint)::bigint AS predicted_rows,
+       t.n_join_keys,
+       least(t.maxp, 9223372036854775807::hugeint)::bigint AS max_product,
+       least((least(t.predicted, 9223372036854775807::hugeint) * 1000000::hugeint)
+               // greatest(s.nl, s.nr),
+             9223372036854775807::hugeint)::bigint AS fanout_x_fp6
 FROM pair b, tot t, sizes s
 ORDER BY b.p DESC, b.orderkey ASC
 LIMIT 10

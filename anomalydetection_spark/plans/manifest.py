@@ -112,8 +112,14 @@ def group_sketch_blobs(
         # manifest blobs stay algebra-compatible with operator-built ones.
         # Sentinel −1 (hashes are 60-bit nonnegative), NOT NULL: a nullable
         # long with NULLs crosses Arrow→pandas as float64, which rounds
-        # 60-bit hashes (> 2^53) and would silently corrupt the sketch
-        F.when(first_row, portable_hash60(F.col("doc_id").cast("string")))
+        # 60-bit hashes (> 2^53) and would silently corrupt the sketch.
+        # The isNotNull guard keeps a NULL doc_id (md5(NULL) = NULL would
+        # defeat the otherwise()) on the sentinel path instead of
+        # crashing the batch's int64 conversion.
+        F.when(
+            first_row & F.col("doc_id").isNotNull(),
+            portable_hash60(F.col("doc_id").cast("string")),
+        )
         .otherwise(F.lit(-1))
         .alias("_kh"),
     )

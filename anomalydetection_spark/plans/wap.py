@@ -64,7 +64,13 @@ def _bounded_uniqueness_scope(
         m_bits <<= 1
     blob = bloomops.blob_from_df(scoped, "doc_id", m_bits=m_bits)
     if len(audited) <= _ISIN_MAX_AUDITED:
-        established = docs.filter(~F.col(partition_col).isin(audited))
+        # NULL-partition rows are established too: ~NULL.isin(...) is
+        # NULL and would silently drop them from duplicate detection
+        # (the anti-join branch below keeps them — NULL never matches)
+        established = docs.filter(
+            ~F.col(partition_col).isin(audited)
+            | F.col(partition_col).isNull()
+        )
     else:
         aud_df = spark.createDataFrame(
             [(p,) for p in audited], f"`{partition_col}` long"

@@ -90,6 +90,7 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("mg_blob", T.BinaryType(), True),      # serialized Misra-Gries
         T.StructField("bloom_blob", T.BinaryType(), True),   # doc_id Bloom
         T.StructField("ref_bloom_blob", T.BinaryType(), True),  # media_ref Bloom
+        T.StructField("kmv_blob", T.BinaryType(), True),     # doc_id KMV theta sketch
         T.StructField("updated_at", T.StringType(), True),
     ]
 )

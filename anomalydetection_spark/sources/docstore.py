@@ -1775,10 +1775,17 @@ def expire_snapshots(
         refs.update(s["path"] for s in m.get("segments") or [])
         return refs
 
+    # live = files referenced by ANY surviving manifest — not just the
+    # keep set: with the age gate a young non-keep snapshot survives too
+    # (it is not in `expired`), and deleting a file it references would
+    # leave a READABLE version with missing data
+    expired_set = set(expired)
     live_files: set[str] = set()
-    for v in keep:
+    for v in range(1, head + 1):
+        if v in expired_set:
+            continue
         if not os.path.exists(os.path.join(table_dir, f"manifest-v{v}.json")):
-            continue  # reclaimed before it became a keep candidate
+            continue  # reclaimed by an earlier expiry
         live_files.update(_refs(v))
     dead_files: set[str] = set()
     for v in expired:

@@ -1108,3 +1108,43 @@ def test_expire_snapshots_age_gate(spark, tmp_path):
     assert spark.read.format("docstore").option("path", path).load().count() == 30
     # snapshots() surfaces commit ts for the survivors
     assert all(s["ts"] is not None for s in docstore.snapshots(path))
+
+
+def test_age_gated_expiry_never_breaks_young_surviving_snapshots(spark, tmp_path):
+    """Reference safety under the age gate: live files must be computed
+    over ALL surviving manifests — a young (non-keep, non-expired)
+    snapshot that still references an old snapshot's data file must stay
+    fully readable after that old snapshot expires."""
+    import json as _json
+    import time as _time
+
+    docstore.register(spark)
+    path = str(tmp_path / "agelive")
+    # v1: file A
+    spark.range(0, 10).select(F.col("id").alias("doc_id")).write.format(
+        "docstore"
+    ).option("path", path).mode("append").save()
+    # v2: carries A forward, adds B (young)
+    spark.range(10, 20).select(F.col("id").alias("doc_id")).write.format(
+        "docstore"
+    ).option("path", path).mode("append").save()
+    # v3 (head): overwrite — drops A and B from the head's file list
+    spark.range(100, 130).select(F.col("id").alias("doc_id")).write.format(
+        "docstore"
+    ).option("path", path).mode("overwrite").save()
+
+    mp = os.path.join(path, "manifest-v1.json")
+    m = _json.load(open(mp))
+    m["ts"] = _time.time() - 10_000
+    _json.dump(m, open(mp, "w"))
+
+    docstore.expire_snapshots(path, keep_last=1, older_than_seconds=3600)
+    # v1 (old) expired; v2 (young) SURVIVES and must still read file A's rows
+    with pytest.raises(Exception):
+        spark.read.format("docstore").option("path", path).option(
+            "version", "1"
+        ).load().count()
+    assert spark.read.format("docstore").option("path", path).option(
+        "version", "2"
+    ).load().count() == 20
+    assert spark.read.format("docstore").option("path", path).load().count() == 30

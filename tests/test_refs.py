@@ -403,3 +403,23 @@ def test_wap_uniqueness_scope_is_batch_bounded_not_table_sized(spark, tmp_path):
     # established side at 12 bits/key, far below table size)
     assert n_scoped <= n_scope < n_scoped + 0.05 * n_table
     assert n_scope < n_table
+
+
+def test_wap_uniqueness_scope_keeps_null_partition_rows(spark, tmp_path):
+    """NULL-partition established rows must reach duplicate detection in
+    BOTH scope branches: ~isin(NULL) is NULL (row silently dropped)
+    without the explicit isNull disjunct."""
+    from anomalydetection_spark.plans.wap import _bounded_uniqueness_scope
+
+    full = spark.createDataFrame(
+        [("dup-1", 1), ("solo", 2), ("dup-1", None)],
+        "doc_id string, partition_id int",
+    )
+    scoped = full.filter(F.col("partition_id") == 3).unionByName(
+        spark.createDataFrame([("dup-1", 3)], "doc_id string, partition_id int")
+    )
+    scope = _bounded_uniqueness_scope(spark, full, scoped, [3], "partition_id")
+    rows = [(r["doc_id"], r["partition_id"]) for r in scope.collect()]
+    assert ("dup-1", None) in rows  # the NULL-partition established copy
+    assert ("dup-1", 1) in rows
+    assert ("dup-1", 3) in rows
