@@ -206,3 +206,33 @@ def test_maintenance_keeps_eq_files(spark, table):
     ds.expire_snapshots(path, keep_last=1)
     assert not os.path.exists(os.path.join(path, eqf))
     assert set(_ids(_read(spark, path))) == set(all_ids) - set(all_ids[:3])
+
+
+def test_eq_delete_on_imported_files(spark, tmp_path):
+    """Cross-feature edge: an equality delete over an `add_files` import
+    (absolute-path entries, footer-derived stats, minted field ids) must
+    bind by field id, filter reads, and emit exactly the removed rows in
+    the change feed — no rewrite of the external files."""
+    import glob as _glob
+
+    ds.register(spark)
+    ext = str(tmp_path / "ext")
+    spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("grp")
+    ).repartition(4).write.parquet(ext)
+    path = str(tmp_path / "imported")
+    ds.add_files(spark, path, ext)
+    n_ext = len(_glob.glob(f"{ext}/*.parquet"))
+
+    rep = ds.delete_where_eq(spark, path, "grp", [2])
+    assert rep["n_keys"] == 1
+    got = spark.read.format("docstore").option("path", path).load()
+    assert got.count() == 80
+    assert got.filter("grp = 2").count() == 0
+    # external files untouched (merge-on-read, not rewrite)
+    assert len(_glob.glob(f"{ext}/*.parquet")) == n_ext
+
+    ch = ds.changelog(spark, path, "doc_id", 1, 2)
+    rows = ch.collect()
+    assert len(rows) == 20
+    assert all(r["_change_type"] == "delete" and r["grp"] == 2 for r in rows)

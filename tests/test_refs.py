@@ -423,3 +423,23 @@ def test_wap_uniqueness_scope_keeps_null_partition_rows(spark, tmp_path):
     assert ("dup-1", None) in rows  # the NULL-partition established copy
     assert ("dup-1", 1) in rows
     assert ("dup-1", 3) in rows
+
+
+def test_wap_uniqueness_scope_anti_join_branch_above_threshold(spark, tmp_path):
+    """Above 256 audited partitions the established-side exclusion plans
+    as a broadcast anti-join instead of a 300-term NOT IN literal — same
+    rows (incl. NULL partitions), just a bounded plan."""
+    from anomalydetection_spark.plans.wap import _bounded_uniqueness_scope
+
+    full = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(320)] + [("d5", None)],
+        "doc_id string, partition_id int",
+    )
+    audited = list(range(300))
+    scoped = full.filter(F.col("partition_id") < 300)
+    scope = _bounded_uniqueness_scope(spark, full, scoped, audited, "partition_id")
+    rows = {(r["doc_id"], r["partition_id"]) for r in scope.collect()}
+    assert ("d5", None) in rows          # NULL-partition established copy kept
+    assert ("d5", 5) in rows             # its audited twin
+    # established non-matching rows appear only as Bloom false positives
+    assert len(rows) <= 300 + 1 + 21
