@@ -158,3 +158,29 @@ def test_legacy_manifest_without_field_ids_still_reads(spark, table):
         json.dump(legacy, fh)
     got = {r["doc_id"]: r["n"] for r in _read(spark, table).collect()}
     assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_zorder_compaction_after_rename(spark, tmp_path):
+    """Cross-feature edge: z-order compaction keyed by a RENAMED column —
+    the rewrite reads old files through their id maps, clusters on the
+    current name, and the compacted snapshot presents the current schema
+    while time travel keeps the original."""
+    docstore.register(spark)
+    path = str(tmp_path / "zren")
+    spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10).alias("x"),
+        (F.col("id") % 7).alias("y"),
+    ).repartition(4).write.format("docstore").option("path", path).mode(
+        "append"
+    ).save()
+    docstore.rename_column(path, "x", "xcol")
+    docstore.compact_snapshot(spark, path, zorder_by=["xcol", "y"])
+    got = spark.read.format("docstore").option("path", path).load()
+    assert got.columns == ["doc_id", "xcol", "y"]
+    assert got.count() == 200
+    assert got.agg(F.sum("xcol")).collect()[0][0] == sum(i % 10 for i in range(200))
+    v1 = spark.read.format("docstore").option("path", path).option(
+        "version", "1"
+    ).load()
+    assert v1.columns == ["doc_id", "x", "y"]
