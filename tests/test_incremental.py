@@ -301,3 +301,38 @@ def test_incremental_scan_is_file_bounded(spark, tmp_path):
         spark.read.format("docstore").option("path", path).load(), media, baseline
     )
     assert _verdict_key(v.verdicts()) == _verdict_key(truth.verdicts)
+
+
+def test_eq_delete_triggers_incremental_revalidation(spark, tmp_path, inputs):
+    """An equality-delete commit changes row VISIBILITY without touching
+    the file list; `changed_partitions` must still bound the affected
+    partitions (via eq-delete applicability signatures) and the
+    incremental run must re-validate them — verdict row counts drop by
+    exactly the deleted rows, verdicts byte-match a from-scratch suite
+    over the post-delete table."""
+    docs, media, baseline = inputs
+    path = _make_table(spark, docs, str(tmp_path / "eqinc"))
+    v = ResumableValidator(spark, str(tmp_path / "stateE"), str(tmp_path / "outE"))
+    s1 = v.run_docstore_incremental(path, media, baseline)
+    assert sorted(s1["validated_partitions"]) == list(range(CFG.n_partitions))
+
+    # GDPR-style erasure: three doc_ids from partition 2, by key only
+    victims = [
+        r["doc_id"]
+        for r in spark.read.format("docstore").option("path", path).load()
+        .filter("partition_id = 2").select("doc_id").distinct().limit(3).collect()
+    ]
+    docstore.delete_where_eq(spark, path, "doc_id", victims)
+
+    s2 = v.run_docstore_incremental(path, media, baseline)
+    assert s2["validated_partitions"], "eq-delete commit must trigger re-validation"
+    assert 2 in s2["validated_partitions"]
+
+    # final verdicts == from-scratch suite over the post-delete table
+    post = spark.read.format("docstore").option("path", path).load()
+    golden = _verdict_key(run_suite(post, media, baseline).verdicts)
+    assert _verdict_key(v.verdicts()) == golden
+
+    # a third run with no commits validates nothing
+    s3 = v.run_docstore_incremental(path, media, baseline)
+    assert s3["validated_partitions"] == []
