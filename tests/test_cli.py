@@ -1,0 +1,58 @@
+"""In-process drive of the spark-submit CLI surface (validate.main):
+the same argparse path spark-submit hits, pinned inside the pytest gate
+so flag regressions can't hide between manual drives."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from anomalydetection_spark import validate
+
+
+def _run(capsys, argv):
+    rc = validate.main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_cli_end_to_end_with_resume_and_overlap_report(spark, tmp_path, capsys):
+    state = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    base = [
+        "--n-docs", "2000", "--n-partitions", "4", "--drift-partitions", "3",
+        "--state-dir", state, "--out", out_dir,
+    ]
+    rc, out = _run(capsys, base)
+    assert rc == 0
+    summary = json.loads(
+        next(l for l in out.splitlines() if l.startswith("{"))
+    )
+    assert summary["validated_partitions"] == [0, 1, 2, 3]
+    # verdict table printed per partition x constraint (10 default)
+    assert out.count("constraint=") == 0  # resumable path prints partition rows
+    assert out.count("partition=") == 40
+
+    # identical second run: resume skips everything, overlap report reads
+    # the manifest's KMV blobs (datagen injects pairwise cross-partition
+    # dups -> at least one overlapping pair)
+    rc2, out2 = _run(capsys, base + ["--overlap-report"])
+    assert rc2 == 0
+    s2 = json.loads(next(l for l in out2.splitlines() if l.startswith("{")))
+    assert s2["validated_partitions"] == []
+    rep = json.loads(
+        next(l for l in out2.splitlines() if l.startswith('{"overlap_pairs"'))
+    )
+    assert rep["overlap_pairs"] >= 1
+    assert "overlap partitions=(" in out2
+
+
+def test_cli_unknown_constraint_fails_fast(spark, tmp_path, capsys):
+    spec = tmp_path / "bad_spec.json"
+    spec.write_text(json.dumps({"constraints": [{"type": "nonsense"}]}))
+    with pytest.raises(ValueError):
+        validate.main([
+            "--n-docs", "500", "--n-partitions", "2",
+            "--spec", str(spec), "--out", str(tmp_path / "o"),
+        ])
