@@ -942,28 +942,43 @@ ORACLE_SQL["fd_audit_events"] = FD_AUDIT_SQL
 def moments_n_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language shape summary of document lengths (operators/
     moments.skewness_kurtosis): exact decimal(38,0) power-sum anchors
-    Σx..Σx⁴ plus DETERMINISTIC fixed-point shape columns — mean/variance
-    as exact integer value·10⁶, skewness/kurtosis as floor-quantized
-    value·10⁶ over int64-limb-reconstructed doubles (moments.py module
-    docstring) — the Deequ StandardDeviation/Skewness/Kurtosis analyzer
-    family as ONE mergeable hash aggregate, with no engine-native double
-    round() or big-decimal→double cast on the hash boundary (the round-3
-    driver-red cell)."""
+    Σx..Σx⁴ plus exact integer fixed-point mean/variance (value·10⁶) —
+    the Deequ StandardDeviation/Skewness/Kurtosis analyzer family as ONE
+    mergeable hash aggregate.
+
+    The hashed projection is DOUBLE-FREE by design: two consecutive
+    driver-red rounds (r03, r04) proved that ANY double on the hash
+    boundary — even int64-limb-reconstructed inputs with a fixed IEEE
+    expression shape — can flip a floor(t·1e6 + 0.5) quantization by one
+    output unit across engine BUILDS (FMA contraction / codegen of
+    a·b − c·d differ by 1 ulp), unobservable on a local DuckDB and
+    observable on the driver's. The anchors (n, s1..s4) uniquely
+    DETERMINE skewness/kurtosis, so the shape columns carry no extra
+    information for the correctness gate; they remain available from
+    operators/moments.skewness_kurtosis and are pinned against NumPy to
+    2e-6 by tests/test_moments.py + tests/test_property_moments.py."""
     from anomalydetection_spark.operators.moments import skewness_kurtosis
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return skewness_kurtosis(d, "n_chars", ["lang"])
+    return skewness_kurtosis(d, "n_chars", ["lang"]).select(
+        "lang", "n", "s1", "s2", "s3", "s4", "mean_fp6", "variance_fp6"
+    )
 
 
 def _moments_sql() -> str:
     # the DuckDB twin embeds the SAME generated shape formulas the Spark
     # operator runs (moments.shape_fp_sql) — one source of truth, two
-    # integral-division spellings (Spark `div`, DuckDB `//`)
+    # integral-division spellings (Spark `div`, DuckDB `//`). Only the
+    # exact-integer columns (mean_fp6, variance_fp6) reach the hashed
+    # projection — the double-derived skew/kurt quantizations are
+    # excluded (see moments_n_chars_by_lang docstring).
     from anomalydetection_spark.operators.moments import shape_fp_sql
 
     shapes = shape_fp_sql("h_", dialect="duckdb")
     shape_select = ",\n       ".join(
-        f"{sql} AS {name}" for name, sql in shapes.items()
+        f"{sql} AS {name}"
+        for name, sql in shapes.items()
+        if name in ("mean_fp6", "variance_fp6")
     )
     return f"""
 WITH s AS (

@@ -386,11 +386,20 @@ def pending_partition_filter(
     """``docs`` restricted to partitions whose status != done. Small done
     sets plan as ``NOT IN (literal)``; large ones as a broadcast LeftAnti
     join against the manifest's done rows, so a 10⁵-partition resume
-    never plans a 10⁵-term In predicate (round-3 verdict minor 4b)."""
+    never plans a 10⁵-term In predicate (round-3 verdict minor 4b).
+
+    NULL ``partition_id`` rows are PENDING on both branches: a bare
+    ``NOT IN`` evaluates to NULL (not true) for NULL keys and would
+    silently drop them from the pending scan, while the anti-join branch
+    keeps them (NULL never equi-matches a done row) — so the In branch
+    carries an explicit isNull guard to keep resumed verdicts identical
+    regardless of which branch the done-count selects (round-4 verdict
+    minor 3b)."""
     if not done:
         return docs
     if len(done) <= isin_max or manifest_df is None:
-        return docs.filter(~F.col("partition_id").isin(list(done)))
+        pid = F.col("partition_id")
+        return docs.filter(pid.isNull() | ~pid.isin(list(done)))
     done_df = manifest_df.filter(F.col("status") == STATUS_DONE).select("partition_id")
     return docs.join(F.broadcast(done_df), "partition_id", "left_anti")
 

@@ -171,6 +171,42 @@ def test_pending_filter_anti_joins_above_threshold(spark, tmp_path):
     assert small.count() == 11_000 - 3
 
 
+def test_pending_filter_branches_agree_on_null_partitions(spark, tmp_path):
+    """NULL-partition docs are PENDING on BOTH plan branches: a bare
+    ``NOT IN`` evaluates to NULL for NULL keys and used to silently drop
+    them from the In-literal branch while the anti-join branch kept them,
+    so resumed verdicts depended on the done-count (round-4 verdict minor
+    3b). Both branches must return byte-identical pending sets."""
+    from anomalydetection_spark.plans.manifest import (
+        ManifestStore,
+        pending_partition_filter,
+    )
+
+    store = ManifestStore(spark, str(tmp_path / "nullstate"))
+    store.mark_done(
+        [
+            {"partition_id": p, "row_count": 1, "violation_count": 0, "passed": True}
+            for p in range(8)
+        ],
+        run_id="seed",
+    )
+    done = store.done_partitions()
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", i if i < 10 else None) for i in range(12)],
+        "doc_id string, partition_id int",
+    )
+    # force each branch with the isin_max knob on the same inputs
+    isin_branch = pending_partition_filter(docs, done, store.read(), isin_max=10**6)
+    anti_branch = pending_partition_filter(docs, done, store.read(), isin_max=0)
+    isin_rows = sorted((r["doc_id"], r["partition_id"]) for r in isin_branch.collect())
+    anti_rows = sorted((r["doc_id"], r["partition_id"]) for r in anti_branch.collect())
+    assert isin_rows == anti_rows
+    # the NULL-partition docs (d10, d11) are pending on both branches
+    expected = [("d10", None), ("d11", None), ("d8", 8), ("d9", 9)]
+    assert isin_rows == expected
+
+
 def test_bloom_bounds_resumed_uniqueness_scope(spark, tmp_path, inputs):
     """On resume, the global-uniqueness job scans only pending partitions
     plus finished partitions whose stored doc_id Blooms contain a pending
