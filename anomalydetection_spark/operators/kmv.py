@@ -153,6 +153,15 @@ def group_kmvs(df, value_col: str, group_cols: list[str], k: int = 512):
     return partials.groupBy(*group_cols).applyInPandas(merge, schema)
 
 
+def null_last_key(key_tuple):
+    """None-safe ordering key for group-key tuples: each component sorts
+    by (is-None, value), so NULL group keys order after every value and
+    mixed None/value tuples never hit Python's unorderable-types
+    TypeError. Shared by every driver-side iteration over collected
+    per-group sketches."""
+    return tuple((v is None, v) for v in key_tuple)
+
+
 def collect_kmvs(df, value_col: str, group_cols: list[str], k: int = 512):
     """{group_key_tuple: KMV} — the merged per-group sketches collected
     to the driver. Model-sized (one ≤8 KB blob per group); the pattern
@@ -169,9 +178,14 @@ def group_kmv_overlap(spark, df, value_col: str, group_cols: list[str], k: int =
     (a_<cols>..., b_<cols>..., est_common bigint). The pairwise algebra
     runs driver-side over the collected blobs (groups² pairs of ≤8 KB
     sketches — coreset-sized, like pca.py's d² moment collect); the
-    distributed work is the one sketch build."""
+    distributed work is the one sketch build.
+
+    NULL group keys are kept (group_kmvs groups with dropna=False) and
+    ordered LAST via a None-safe sort key — Python cannot order None
+    against a value, so a bare sorted() would raise on the first NULL
+    group (round-4 ADVICE)."""
     sketches = collect_kmvs(df, value_col, group_cols, k)
-    keys = sorted(sketches)
+    keys = sorted(sketches, key=null_last_key)
     rows = []
     for i, ka in enumerate(keys):
         for kb in keys[i + 1 :]:

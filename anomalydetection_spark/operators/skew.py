@@ -176,10 +176,32 @@ def join_fanout_audit(
         _sat("_predicted").alias("predicted_rows"),
         "n_join_keys",
         _sat("_maxp").alias("max_product"),
-        # fixed-point ratio from exact integers: floor(p*1e6 / max(nl,nr));
-        # the inner least keeps the ×1e6 product inside decimal(38,0)
-        _sat(
-            f"(least(_predicted, {long_max}) * CAST(1000000 AS DECIMAL(38,0)))"
-            " div CAST(greatest(_nl, _nr) AS DECIMAL(38,0))"
-        ).alias("fanout_x_fp6"),
+        F.expr(fanout_fp6_sql()).alias("fanout_x_fp6"),
+    )
+
+
+def fanout_fp6_sql(
+    predicted: str = "_predicted", nl: str = "_nl", nr: str = "_nr"
+) -> str:
+    """Spark SQL text of the saturating fixed-point fanout ratio
+    floor(predicted·1e6 / max(nl,nr)) as bigint.
+
+    Saturation happens BEFORE Spark's decimal ``div`` (which emits a
+    WRAPPING bigint, never LONG_MAX): when even the LONG_MAX-clamped
+    predicted count puts the quotient past 2^63-1 — i.e. predicted >
+    (LONG_MAX div 1e6) · max(nl,nr) — the CASE emits LONG_MAX outright.
+    The guard product stays inside decimal(38,0) (≤ ~8.5e31) and the
+    ELSE-branch quotient is provably ≤ (LONG_MAX div 1e6)·1e6 < 2^63, so
+    nothing ever wraps. The DuckDB twin mirrors the identical CASE in
+    hugeint (driver_queries_quality.JOIN_FANOUT_SQL), so both engines
+    agree bit-for-bit on both sides of the cliff."""
+    long_max = "CAST(9223372036854775807 AS DECIMAL(38,0))"
+    mx = f"CAST(greatest({nl}, {nr}) AS DECIMAL(38,0))"
+    return (
+        f"CASE WHEN least({predicted}, {long_max}) >"
+        f" CAST(9223372036854 AS DECIMAL(38,0)) * {mx}"
+        f" THEN CAST(9223372036854775807 AS BIGINT)"
+        f" ELSE CAST((least({predicted}, {long_max})"
+        f" * CAST(1000000 AS DECIMAL(38,0)))"
+        f" div {mx} AS BIGINT) END"
     )

@@ -1515,9 +1515,13 @@ def kmv_distinct_orders_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("ex"))
         .collect()
     }
+    from anomalydetection_spark.operators.kmv import null_last_key
+
     rows = [
         (flag, int(exact[flag]), sk.estimate_distinct())
-        for (flag,), sk in sorted(sketches.items())
+        for (flag,), sk in sorted(
+            sketches.items(), key=lambda kv: null_last_key(kv[0])
+        )
     ]
     return spark.createDataFrame(
         rows, "flag string, exact_distinct bigint, est_distinct bigint"

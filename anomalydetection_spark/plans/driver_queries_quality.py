@@ -1136,9 +1136,12 @@ SELECT b.orderkey, b.n_left, b.n_right,
        least(t.predicted, 9223372036854775807::hugeint)::bigint AS predicted_rows,
        t.n_join_keys,
        least(t.maxp, 9223372036854775807::hugeint)::bigint AS max_product,
-       least((least(t.predicted, 9223372036854775807::hugeint) * 1000000::hugeint)
-               // greatest(s.nl, s.nr),
-             9223372036854775807::hugeint)::bigint AS fanout_x_fp6
+       CASE WHEN least(t.predicted, 9223372036854775807::hugeint)
+                 > 9223372036854::hugeint * greatest(s.nl, s.nr)
+            THEN 9223372036854775807::bigint
+            ELSE ((least(t.predicted, 9223372036854775807::hugeint)
+                     * 1000000::hugeint)
+                    // greatest(s.nl, s.nr))::bigint END AS fanout_x_fp6
 FROM pair b, tot t, sizes s
 ORDER BY b.p DESC, b.orderkey ASC
 LIMIT 10

@@ -825,9 +825,14 @@ class ResumableValidator:
                 if frames:
                     yield pd.concat(frames, ignore_index=True)
 
+        # persist before self-aliasing: without it each join side would
+        # re-run the manifest read AND the k·P-row blob decode (round-4
+        # ADVICE) — the cached rows are ≤ k·P ≈ 5·10⁷ longs at 10⁵
+        # partitions, executor-memory-sized; the ContextCleaner reclaims
+        # the block when the report frame is garbage-collected
         rows = blobs.mapInPandas(
             decode, "pid int, hv long, theta long, est_distinct long"
-        )
+        ).persist()
         a, b = rows.alias("a"), rows.alias("b")
         pairs = (
             a.join(b, (F.col("a.hv") == F.col("b.hv")) & (F.col("a.pid") < F.col("b.pid")))

@@ -122,3 +122,21 @@ def test_shuffle_moves_blobs_not_values(spark):
         k=32,
     )._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_group_kmv_overlap_null_group_keys(spark):
+    """NULL group KEYS are legal groups (group_kmvs keeps them via
+    dropna=False); the driver-side pair iteration must order them
+    None-safely instead of raising TypeError on None-vs-str comparison
+    (round-4 ADVICE), with the NULL group sorting LAST."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 1), (None, 3), ("b", 2), ("b", 3)],
+        "g string, v int",
+    )
+    out = group_kmv_overlap(spark, df, "v", ["g"], k=64).collect()
+    pairs = {(r["a_g"], r["b_g"]): r["est_common"] for r in out}
+    # NULL group orders last: it only ever appears on the b side
+    assert set(pairs) == {("a", "b"), ("a", None), ("b", None)}
+    assert pairs[("a", "b")] == 1       # share v=2
+    assert pairs[("a", None)] == 1      # share v=1
+    assert pairs[("b", None)] == 1      # share v=3

@@ -171,3 +171,50 @@ def test_join_fanout_audit_predicts_exact_join_size(spark):
     assert (hot["n_left"], hot["n_right"], hot["product"]) == (50, 40, 2000)
     # fanout vs the larger input (65 left): floor(2016e6 / 65)
     assert hot["fanout_x_fp6"] == (2016 * 1_000_000) // 65
+
+
+def test_fanout_fp6_saturates_over_the_cliff(spark):
+    """The fanout ratio must saturate to LONG_MAX — never wrap negative —
+    when predicted·1e6/max(nl,nr) exceeds 2^63-1 (round-4 ADVICE: Spark's
+    decimal `div` emits a wrapping bigint, so saturation must precede
+    it), and must equal DuckDB's hugeint evaluation of the mirrored CASE
+    on BOTH sides of the cliff."""
+    import duckdb
+
+    from anomalydetection_spark.operators.skew import fanout_fp6_sql
+
+    LM = 9223372036854775807
+    # (predicted, nl, nr): below the cliff, exactly at it, far beyond it
+    cases = [
+        (2016, 100, 65),                       # ordinary regime
+        (10**13, 1, 1),                        # fanout 1e19 > LM → saturate
+        (LM, 1, 1),                            # clamped predicted, den 1
+        (9223372036854, 1, 1),                 # exactly (LM div 1e6) → ELSE
+        (9223372036855, 1, 1),                 # one past the guard → THEN
+        (10**37, 10**12, 10**12),              # huge both sides
+        (10**18, 10**12, 5),                   # normal large regime
+    ]
+    df = spark.createDataFrame(
+        [(str(p), n_l, n_r) for p, n_l, n_r in cases],
+        "pred_s string, _nl long, _nr long",
+    ).selectExpr(
+        "CAST(pred_s AS DECIMAL(38,0)) AS _predicted", "_nl", "_nr"
+    )
+    got = [
+        r[0]
+        for r in df.selectExpr(fanout_fp6_sql()).collect()
+    ]
+    want = [
+        duckdb.sql(
+            f"SELECT CASE WHEN least({p}::hugeint, {LM}::hugeint)"
+            f" > 9223372036854::hugeint * greatest({n_l}::hugeint, {n_r}::hugeint)"
+            f" THEN {LM}::bigint"
+            f" ELSE ((least({p}::hugeint, {LM}::hugeint) * 1000000::hugeint)"
+            f" // greatest({n_l}::hugeint, {n_r}::hugeint))::bigint END"
+        ).fetchone()[0]
+        for p, n_l, n_r in cases
+    ]
+    assert got == want
+    assert all(v is not None and v >= 0 for v in got)  # no wrap, no NULL
+    assert got[1] == LM and got[4] == LM
+    assert got[0] == (2016 * 1_000_000) // 100
