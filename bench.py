@@ -254,7 +254,7 @@ def main() -> int:
             # identical runs vary up to 4× with neighbor load — alternating
             # the two levels and keeping each level's best decorrelates the
             # noise from the comparison (both levels sample the same hour)
-            n_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+            n_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
             for rep in range(n_reps):
                 for cores in (lo, hi):
                     cmd = [
@@ -283,19 +283,36 @@ def main() -> int:
             shutil.rmtree(input_dir, ignore_errors=True)
         import statistics
 
-        eff = results[hi]["docs_per_sec"] / (4 * results[lo]["docs_per_sec"])
+        eff_best = results[hi]["docs_per_sec"] / (4 * results[lo]["docs_per_sec"])
         med = {c: statistics.median(v) for c, v in rep_tputs.items()}
         eff_med = med[hi] / (4 * med[lo])
+        # per-rep efficiencies: rep i's hi run against rep i's lo run —
+        # the interleaving pairs them within the same host-noise minute
+        rep_effs = [
+            round(h / (4 * l), 3)
+            for l, h in zip(rep_tputs[lo], rep_tputs[hi])
+        ]
+        # MEDIAN-FIRST headline (round-4 verdict ask #6): the median is
+        # the stable cross-session statistic (three round-4 sessions
+        # agreed within 3% on it); best-of stays as the warm-cache
+        # auxiliary. "scaling_efficiency" = the median.
         report = {
             "n_docs": n_suite_docs,
             "n_constraints": results[lo].get("n_constraints"),
-            f"throughput_local{lo}_docs_per_sec": round(results[lo]["docs_per_sec"], 1),
-            f"throughput_local{hi}_docs_per_sec": round(results[hi]["docs_per_sec"], 1),
-            "scaling_efficiency": round(eff, 3),
+            "n_reps": n_reps,
+            "scaling_efficiency": round(eff_med, 3),
+            "scaling_efficiency_best": round(eff_best, 3),
+            "per_rep_efficiency": rep_effs,
             f"median_local{lo}_docs_per_sec": round(med[lo], 1),
             f"median_local{hi}_docs_per_sec": round(med[hi], 1),
-            "scaling_efficiency_median": round(eff_med, 3),
+            f"best_local{lo}_docs_per_sec": round(results[lo]["docs_per_sec"], 1),
+            f"best_local{hi}_docs_per_sec": round(results[hi]["docs_per_sec"], 1),
+            f"per_rep_local{lo}_docs_per_sec": [round(v, 1) for v in rep_tputs[lo]],
+            f"per_rep_local{hi}_docs_per_sec": [round(v, 1) for v in rep_tputs[hi]],
         }
+        # persist so the default driver-mode bench line (BENCH_r{N}.json)
+        # can embed the latest scaling distribution in-artifact
+        Path("BENCH_SCALING.json").write_text(json.dumps(report))
         md = (
             "# BENCH — suite throughput + scaling efficiency\n\n"
             "Full constraint suite (schema + stats + uniqueness + referential +\n"
@@ -309,14 +326,17 @@ def main() -> int:
             "is a shared-host VM whose identical runs vary up to 4× with\n"
             "neighbor load, so alternating levels and taking each level's\n"
             "best decorrelates host noise from the comparison.\n\n"
-            f"| config | docs | elapsed (s) | docs/sec (best) | docs/sec (median) |\n|---|---|---|---|---|\n"
-            f"| local[{lo}] (N) | {results[lo]['n_docs']} | {results[lo]['elapsed_sec']:.2f} | {results[lo]['docs_per_sec']:.1f} | {med[lo]:.1f} |\n"
-            f"| local[{hi}] (4N) | {results[hi]['n_docs']} | {results[hi]['elapsed_sec']:.2f} | {results[hi]['docs_per_sec']:.1f} | {med[hi]:.1f} |\n\n"
+            f"| config | docs | elapsed (s) | docs/sec (median) | docs/sec (best) |\n|---|---|---|---|---|\n"
+            f"| local[{lo}] (N) | {results[lo]['n_docs']} | {results[lo]['elapsed_sec']:.2f} | {med[lo]:.1f} | {results[lo]['docs_per_sec']:.1f} |\n"
+            f"| local[{hi}] (4N) | {results[hi]['n_docs']} | {results[hi]['elapsed_sec']:.2f} | {med[hi]:.1f} | {results[hi]['docs_per_sec']:.1f} |\n\n"
             f"**Scaling efficiency** = throughput_{hi} / (4 × throughput_{lo}) = "
-            f"**{eff:.3f}** best-of-{n_reps} / **{eff_med:.3f}** median (target ≥ 0.8).\n"
-            "Best-of-N figures are warm-cache (JIT-compiled JVM, warm OS page\n"
-            "cache after rep 1) — the per-rep medians above carry the\n"
-            "cold/warm spread alongside every headline number.\n\n"
+            f"**{eff_med:.3f}** median-of-{n_reps} (headline) / "
+            f"{eff_best:.3f} best-of (warm-cache auxiliary); target ≥ 0.8.\n"
+            f"Per-rep efficiencies (rep-paired within the interleaving): "
+            f"{rep_effs}.\n"
+            "The median leads because it is the cross-session-stable\n"
+            "statistic; best-of figures are warm-cache (JIT-compiled JVM,\n"
+            "warm OS page cache after rep 1).\n\n"
             "Pair selection, host characterization, and the single-JVM\n"
             "bandwidth-ceiling evidence: see the Scaling analysis section\n"
             "below (preserved across bench runs).\n"
@@ -397,6 +417,13 @@ def main() -> int:
         "n_constraints": suite["n_constraints"] if suite else None,
         "constraint_secs": (suite or {}).get("constraint_secs"),
     }
+    # embed the latest --scaling distribution (median-first headline +
+    # per-rep efficiencies) so BENCH_r{N}.json carries it in-artifact
+    if Path("BENCH_SCALING.json").exists():
+        try:
+            result["scaling"] = json.loads(Path("BENCH_SCALING.json").read_text())
+        except (OSError, json.JSONDecodeError):
+            pass
     print(json.dumps(result))
     return 0
 
