@@ -189,6 +189,28 @@ def main(argv: list[str] | None = None) -> int:
                          "rows the per-row report is replaced by a "
                          "per-constraint aggregation job — the driver never "
                          "collects a 10⁵-partition verdict table")
+    ap.add_argument("--maintenance", default=None,
+                    choices=["compact", "rewrite-eq-deletes",
+                             "expire-snapshots", "remove-orphans",
+                             "build-sidecars"],
+                    help="run ONE docstore maintenance procedure against "
+                         "--docs-path (requires --docs-format docstore), "
+                         "print its JSON report, exit — the Iceberg "
+                         "rewriteDataFiles / rewrite_position_delete_files / "
+                         "expireSnapshots / remove_orphan_files / ANALYZE "
+                         "procedure surface")
+    ap.add_argument("--compact-files", type=int, default=1,
+                    help="maintenance compact: target data-file count")
+    ap.add_argument("--zorder-by", nargs="*", default=None,
+                    help="maintenance compact: z-order layout columns")
+    ap.add_argument("--keep-last", type=int, default=1,
+                    help="maintenance expire-snapshots: snapshots to keep")
+    ap.add_argument("--older-than-seconds", type=float, default=None,
+                    help="maintenance expire-snapshots / remove-orphans: "
+                         "age horizon (remove-orphans default: 3 days)")
+    ap.add_argument("--bloom-by", nargs="*", default=None,
+                    help="maintenance build-sidecars: key columns to build "
+                         "Bloom sidecars for")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -205,6 +227,43 @@ def main(argv: list[str] | None = None) -> int:
     from anomalydetection_spark.operators.stats import StatsThresholds
     from anomalydetection_spark.plans.suite import SuiteConfig, run_suite
     from anomalydetection_spark.session import get_spark
+
+    if args.maintenance:
+        if not (args.docs_path and args.docs_format == "docstore"):
+            ap.error("--maintenance requires --docs-path and --docs-format docstore")
+        from anomalydetection_spark.sources import docstore as ds
+
+        if args.maintenance == "expire-snapshots":
+            rep = ds.expire_snapshots(
+                args.docs_path, keep_last=args.keep_last,
+                older_than_seconds=args.older_than_seconds,
+            )
+        elif args.maintenance == "remove-orphans":
+            rep = ds.remove_orphan_files(
+                args.docs_path,
+                **(
+                    {"older_than_seconds": args.older_than_seconds}
+                    if args.older_than_seconds is not None
+                    else {}
+                ),
+            )
+        else:  # compact / rewrite-eq-deletes / build-sidecars need Spark
+            spark = get_spark(app_name="validate-maintenance", master=args.master)
+            ds.register(spark)  # compact reads/writes format("docstore")
+            if args.maintenance == "compact":
+                v = ds.compact_snapshot(
+                    spark, args.docs_path, n_files=args.compact_files,
+                    zorder_by=args.zorder_by or None,
+                )
+                rep = {"new_version": v, "n_files": args.compact_files}
+            elif args.maintenance == "rewrite-eq-deletes":
+                rep = ds.rewrite_eq_deletes(spark, args.docs_path)
+            else:
+                if not args.bloom_by:
+                    ap.error("--maintenance build-sidecars requires --bloom-by")
+                rep = ds.build_sidecars(spark, args.docs_path, args.bloom_by)
+        print(json.dumps({"maintenance": args.maintenance, **rep}))
+        return 0
 
     spark = get_spark(app_name="validate-suite", master=args.master)
 

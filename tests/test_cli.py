@@ -93,3 +93,45 @@ def test_cli_verdict_report_size_gate(spark, tmp_path, capsys):
     assert out2.count("  partition=") == 40
     assert s2["partitions_failed"] == summary["partitions_failed"]
     assert s2["constraints_failed"] == summary["constraints_failed"]
+
+
+def test_cli_maintenance_surface(spark, tmp_path, capsys):
+    """--maintenance runs one docstore procedure and prints its JSON
+    report: rewrite-eq-deletes folds eq files to position deletes,
+    compact rewrites to N files, expire-snapshots + remove-orphans
+    reclaim history — the Iceberg procedure surface on the spark-submit
+    CLI."""
+    from pyspark.sql import functions as F
+
+    from anomalydetection_spark.sources import docstore as ds
+
+    ds.register(spark)
+    path = str(tmp_path / "mt")
+    spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("grp")
+    ).repartition(4).write.format("docstore").option("path", path).mode(
+        "append"
+    ).save()
+    for g in (1, 3):
+        ds.delete_where_eq(spark, path, "grp", [g])
+    base = ["--docs-path", path, "--docs-format", "docstore"]
+
+    rc, out = _run(capsys, base + ["--maintenance", "rewrite-eq-deletes"])
+    rep = json.loads(out.splitlines()[-1])
+    assert rc == 0 and rep["maintenance"] == "rewrite-eq-deletes"
+    assert rep["eq_files_folded"] == 2 and rep["deleted_rows"] == 160
+    assert not ds.load_manifest(path).get("eq_deletes")
+
+    rc, out = _run(capsys, base + ["--maintenance", "compact", "--compact-files", "2"])
+    rep = json.loads(out.splitlines()[-1])
+    assert rc == 0 and rep["new_version"] == ds.current_version(path)
+    assert len(ds.load_manifest(path)["files"]) == 2
+
+    rc, out = _run(capsys, base + ["--maintenance", "expire-snapshots", "--keep-last", "1"])
+    rep = json.loads(out.splitlines()[-1])
+    assert rc == 0 and rep["maintenance"] == "expire-snapshots"
+    rc, out = _run(capsys, base + ["--maintenance", "remove-orphans", "--older-than-seconds", "0"])
+    rep = json.loads(out.splitlines()[-1])
+    assert rc == 0 and rep["maintenance"] == "remove-orphans"
+    got = spark.read.format("docstore").option("path", path).load()
+    assert got.count() == 240 and got.filter("grp IN (1,3)").count() == 0
