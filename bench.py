@@ -322,10 +322,11 @@ def main() -> int:
             "table read from parquet (the Iceberg-scan analog); identical input\n"
             "at two parallelism levels — the in-sandbox proxy for the N vs 4N\n"
             "cluster-size criterion (BASELINE.md protocol, \"N and 4N cores\").\n"
-            f"Best of {n_reps} interleaved repetitions per level: the sandbox\n"
-            "is a shared-host VM whose identical runs vary up to 4× with\n"
-            "neighbor load, so alternating levels and taking each level's\n"
-            "best decorrelates host noise from the comparison.\n\n"
+            f"Median of {n_reps} interleaved repetitions per level (best-of\n"
+            "kept as the warm-cache auxiliary): the sandbox is a shared-host\n"
+            "VM whose identical runs vary up to 4× with neighbor load, so\n"
+            "alternating levels and comparing level-wise medians\n"
+            "decorrelates host noise.\n\n"
             f"| config | docs | elapsed (s) | docs/sec (median) | docs/sec (best) |\n|---|---|---|---|---|\n"
             f"| local[{lo}] (N) | {results[lo]['n_docs']} | {results[lo]['elapsed_sec']:.2f} | {med[lo]:.1f} | {results[lo]['docs_per_sec']:.1f} |\n"
             f"| local[{hi}] (4N) | {results[hi]['n_docs']} | {results[hi]['elapsed_sec']:.2f} | {med[hi]:.1f} | {results[hi]['docs_per_sec']:.1f} |\n\n"
