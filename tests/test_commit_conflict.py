@@ -133,3 +133,40 @@ def test_manifest_content_atomic_under_link(tmp_path):
     assert m["files"] == [{**f, "seq": v} for f in files]
     # no temp litter
     assert not [p for p in os.listdir(t) if p.startswith("._manifest")]
+
+
+def test_rewrite_eq_deletes_retries_on_conflict(spark, tmp_path, monkeypatch):
+    """The eq→position fold is a read-modify-write: a concurrent append
+    landing between its manifest read and its commit must raise
+    CommitConflict (stale expected_base) and the operation-level retry
+    must recompute against the new head — the appended rows survive, the
+    fold still applies, and no eq list leaks into the final snapshot."""
+    t = str(tmp_path / "race")
+    _write(spark, t, _rows("a", 6), "overwrite")
+    docstore.delete_where_eq(spark, t, "doc_id", ["a-0", "a-1"])
+
+    real_commit = docstore.commit_snapshot
+    fired = {"n": 0}
+
+    def racing_commit(table_dir, files, schema_json, **kw):
+        # intercept ONLY the fold's commit (it clears eq_deletes); slip a
+        # concurrent append in first so its expected_base goes stale
+        if kw.get("eq_deletes") == [] and fired["n"] == 0:
+            fired["n"] = 1
+            _write(spark, t, _rows("late", 2, pid=1), "append")
+        return real_commit(table_dir, files, schema_json, **kw)
+
+    monkeypatch.setattr(docstore, "commit_snapshot", racing_commit)
+    rep = docstore.rewrite_eq_deletes(spark, t)
+    monkeypatch.setattr(docstore, "commit_snapshot", real_commit)
+
+    assert fired["n"] == 1
+    assert rep["eq_files_folded"] == 1 and rep["deleted_rows"] == 2
+    m = docstore.load_manifest(t)
+    assert not m.get("eq_deletes")
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("docstore").option("path", t).load().collect()
+    )
+    # eq-deleted a-0/a-1 stay gone; the racing append's rows survive
+    assert got == ["a-2", "a-3", "a-4", "a-5", "late-0", "late-1"]
