@@ -376,3 +376,23 @@ def test_mor_and_fold_over_imported_files(spark, tmp_path):
     assert got2.filter("grp IN (1, 2)").count() == 0
     # external source files never rewritten
     assert len(_glob.glob(f"{ext}/*.parquet")) == n_ext
+
+
+def test_rewrite_eq_deletes_after_rename(spark, table):
+    """The fold binds eq keys by FIELD ID like every other eq consumer: a
+    column rename between the delete and the fold must not detach it —
+    the fold's semi-join probes the CURRENT column name resolved from
+    the delete's recorded field id."""
+    path, docs = table
+    all_ids = _ids(docs)
+    ds.delete_where_eq(spark, path, "doc_id", all_ids[:4])
+    ds.rename_column(path, "doc_id", "document_id")
+
+    rep = ds.rewrite_eq_deletes(spark, path)
+    assert rep["eq_files_folded"] == 1 and rep["deleted_rows"] == 4
+    assert not ds.load_manifest(path).get("eq_deletes")
+    left = sorted(
+        r["document_id"]
+        for r in _read(spark, path).select("document_id").collect()
+    )
+    assert set(left) == set(all_ids) - set(all_ids[:4])
