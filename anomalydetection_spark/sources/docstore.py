@@ -2847,6 +2847,44 @@ def merge_into(
     }
 
 
+def _write_position_deletes(probe_df, table_dir: str) -> list:
+    """Executor-side position-delete-file writes, shared by
+    delete_where_mor and rewrite_eq_deletes: the (``_pkey``, ``_pos``)
+    probe frame groups by data file, each ``applyInPandas`` task sorts
+    its file's positions and writes one bitmap parquet where it runs —
+    positions never materialize on the driver. Returns the collected
+    O(hit files) rows (``_pkey``, ``_dname``, ``_n``). A retried or
+    speculated task can leave an orphan delete file behind —
+    unreferenced, invisible to readers, reclaimed by
+    remove_orphan_files (the abandoned-rewrite lifecycle)."""
+
+    def _write_delete(key, pdf):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"delete-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(table_dir, f"._tmp.{name}")
+        pq.write_table(
+            pa.table({
+                "pos": pa.array(
+                    np.sort(pdf["_pos"].to_numpy(dtype=np.int64)),
+                    type=pa.int64(),
+                )
+            }),
+            tmp,
+        )
+        os.replace(tmp, os.path.join(table_dir, name))
+        return pd.DataFrame(
+            [(key[0], name, len(pdf))], columns=["_pkey", "_dname", "_n"]
+        )
+
+    return probe_df.groupBy("_pkey").applyInPandas(
+        _write_delete, "_pkey string, _dname string, _n long"
+    ).collect()
+
+
 @_retry_on_conflict
 def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
     """Merge-on-read row-level delete (the Iceberg V2 *position delete*
@@ -2892,32 +2930,7 @@ def delete_where_mor(spark, table_dir: str, condition: str) -> dict:
         .withColumn("_pkey", _file_pathkey_col())
         .select("_pkey", "_pos")
     )
-
-    def _write_delete(key, pdf):
-        import numpy as np
-        import pandas as pd
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        name = f"delete-{uuid.uuid4().hex}.parquet"
-        tmp = os.path.join(table_dir, f"._tmp.{name}")
-        pq.write_table(
-            pa.table({
-                "pos": pa.array(
-                    np.sort(pdf["_pos"].to_numpy(dtype=np.int64)),
-                    type=pa.int64(),
-                )
-            }),
-            tmp,
-        )
-        os.replace(tmp, os.path.join(table_dir, name))
-        return pd.DataFrame(
-            [(key[0], name, len(pdf))], columns=["_pkey", "_dname", "_n"]
-        )
-
-    written = probe.groupBy("_pkey").applyInPandas(
-        _write_delete, "_pkey string, _dname string, _n long"
-    ).collect()
+    written = _write_position_deletes(probe, table_dir)
     if not written:
         return {"new_version": manifest["version"], "delete_files": 0, "deleted_rows": 0}
     by_file = {r["_pkey"]: (r["_dname"], int(r["_n"])) for r in written}
@@ -3036,18 +3049,15 @@ def rewrite_eq_deletes(spark, table_dir: str) -> dict:
 
     Mechanics: the position-visible rows (eq deletes NOT applied) carry
     (file, pos, per-file seq); each eq file contributes the positions it
-    would have deleted via one sequence-scoped semi-join — all
-    distributed; only the matched (file, pos) pairs collect, bounded by
-    rows actually deleted (the same bound delete_where_mor documents; a
-    table wanting to fold MORE deleted rows than driver memory holds
-    should run compact_snapshot, which rewrites the data instead). The
-    folded eq files stay on disk for older snapshots' time-travel reads
-    and are reclaimed by expire_snapshots.
+    would have deleted via one sequence-scoped semi-join, and the
+    matched (file, pos) pairs write their bitmaps EXECUTOR-SIDE
+    (_write_position_deletes — positions never reach the driver; only
+    the O(hit files) name table collects for the commit). The folded eq
+    files stay on disk for older snapshots' time-travel reads and are
+    reclaimed by expire_snapshots.
 
     Returns {new_version, eq_files_folded, delete_files, deleted_rows}.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     base = current_version(table_dir)
@@ -3059,7 +3069,7 @@ def rewrite_eq_deletes(spark, table_dir: str) -> dict:
             "new_version": m["version"], "eq_files_folded": 0,
             "delete_files": 0, "deleted_rows": 0,
         }
-    hits: list = []
+    written: list = []
     if eqs and m["files"]:
         vis = _read_files_visible(
             spark, table_dir, m["files"], manifest=m,
@@ -3091,23 +3101,18 @@ def rewrite_eq_deletes(spark, table_dir: str) -> dict:
                 "left_semi",
             ).select("_pkey", "_pos")
             matched = h if matched is None else matched.unionByName(h)
-        hits = matched.distinct().collect()
-    by_file: dict[str, list[int]] = {}
-    for r in hits:
-        by_file.setdefault(r["_pkey"], []).append(int(r["_pos"]))
+        # distinct: a row matching several eq files must delete once;
+        # bitmaps then write executor-side, positions never collected
+        written = _write_position_deletes(matched.distinct(), table_dir)
+    by_file = {r["_pkey"]: (r["_dname"], int(r["_n"])) for r in written}
+    deleted_rows = sum(n for _, n in by_file.values())
     new_files = []
     n_delete_files = 0
     for f in m["files"]:
         entry = dict(f)
-        pos = by_file.get(_entry_abspath(table_dir, f))
-        if pos:
-            name = f"delete-{uuid.uuid4().hex}.parquet"
-            tmp = os.path.join(table_dir, f"._tmp.{name}")
-            pq.write_table(
-                pa.table({"pos": pa.array(sorted(pos), type=pa.int64())}), tmp
-            )
-            os.replace(tmp, os.path.join(table_dir, name))
-            entry["deletes"] = list(f.get("deletes", ())) + [name]
+        hit = by_file.get(_entry_abspath(table_dir, f))
+        if hit:
+            entry["deletes"] = list(f.get("deletes", ())) + [hit[0]]
             n_delete_files += 1
         new_files.append(entry)
     v = commit_snapshot(
@@ -3118,7 +3123,7 @@ def rewrite_eq_deletes(spark, table_dir: str) -> dict:
         "new_version": v,
         "eq_files_folded": len(all_eq),
         "delete_files": n_delete_files,
-        "deleted_rows": len(hits),
+        "deleted_rows": deleted_rows,
     }
 
 
