@@ -3299,23 +3299,33 @@ def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
             )
         return df
 
+    def _pos_df(delete_paths):
+        """One distributed frame of the positions a set of delete files
+        names — never a driver list, never an In literal (the same
+        anti-join shape _read_files_visible uses; here the caller scopes
+        to ONE data file, so positions alone are the key)."""
+        return (
+            spark.read.parquet(
+                *[os.path.join(table_dir, d) for d in delete_paths]
+            )
+            .select(F.col("pos").alias("_pos"))
+            .distinct()
+        )
+
     def _visible(entry: dict, version_files: dict, m: dict):
         """Rows of one data file minus its position AND equality deletes
         at a version."""
         df = _read([entry["path"]], entry)
         dels = version_files.get(entry["path"], {}).get("deletes", ())
         if dels:
-            import pyarrow.parquet as pq
-
-            dropped: list[int] = []
-            for d in dels:
-                dropped.extend(
-                    pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
-                )
             raw = spark.read.parquet(os.path.join(table_dir, entry["path"])).withColumn(
                 "_pos", F.col("_metadata.row_index")
             )
-            df = _project(raw, entry).filter(~F.col("_pos").isin(dropped)).drop("_pos")
+            df = (
+                _project(raw, entry)
+                .join(_pos_df(dels), "_pos", "left_anti")
+                .drop("_pos")
+            )
         return _eq_anti(df, m, entry)
 
     # old side: removed files as visible at v_from, plus carried files'
@@ -3347,18 +3357,23 @@ def changelog(spark, table_dir: str, key_col: str, v_from: int, v_to: int):
         new_dels = [d for d in by1[p].get("deletes", ()) if d not in by0[p].get("deletes", ())]
         if not new_dels:
             continue
-        import pyarrow.parquet as pq
-
-        pos: list[int] = []
-        for d in new_dels:
-            pos.extend(
-                pq.read_table(os.path.join(table_dir, d), columns=["pos"])["pos"].to_pylist()
-            )
         raw = spark.read.parquet(os.path.join(table_dir, p)).withColumn(
             "_pos", F.col("_metadata.row_index")
         )
+        # rows AT the newly-deleted positions (semi join, positions stay
+        # executor-side) — minus rows an eq delete had ALREADY removed at
+        # v_from: they were invisible there, so they are not deletes of
+        # this range (the streaming CDC's skip_eq rule; without it a
+        # rewrite_eq_deletes fold emitted its folded rows as phantom
+        # deletes even though the visible set never changed)
         old_parts.append(
-            _project(raw, by0[p]).filter(F.col("_pos").isin(pos)).drop("_pos")
+            _eq_anti(
+                _project(raw, by0[p])
+                .join(_pos_df(new_dels), "_pos", "left_semi")
+                .drop("_pos"),
+                m0,
+                by0[p],
+            )
         )
     old_side = old_parts[0] if old_parts else _read([])
     for part in old_parts[1:]:

@@ -396,3 +396,24 @@ def test_rewrite_eq_deletes_after_rename(spark, table):
         for r in _read(spark, path).select("document_id").collect()
     )
     assert set(left) == set(all_ids) - set(all_ids[:4])
+
+
+def test_fold_commit_is_changelog_invisible(spark, table):
+    """rewrite_eq_deletes changes the table's DELETE REPRESENTATION, not
+    its visible rows — so the change feed across the fold commit must be
+    EMPTY (rows the new bitmaps name were already eq-invisible at the
+    parent version; without the v_from eq guard they re-emitted as
+    phantom deletes), while ranges crossing the original eq commits
+    still emit exactly the deleted rows once."""
+    path, docs = table
+    all_ids = _ids(docs)
+    v0 = ds.current_version(path)
+    ds.delete_where_eq(spark, path, "doc_id", all_ids[:5])
+    v_eq = ds.current_version(path)
+    ds.rewrite_eq_deletes(spark, path)
+    v_fold = ds.current_version(path)
+
+    assert ds.changelog(spark, path, "doc_id", v_eq, v_fold).count() == 0
+    span = ds.changelog(spark, path, "doc_id", v0, v_fold).collect()
+    assert sorted(r["doc_id"] for r in span) == sorted(all_ids[:5])
+    assert all(r["_change_type"] == "delete" for r in span)
