@@ -3429,6 +3429,10 @@ def metadata_table(spark, table_dir: str, kind: str, ref: str | None = None):
     * ``history``: the ancestry of ``ref`` (default main), newest first —
       version, branch, parent, is_current; the lineage rollback/publish
       decisions read.
+    * ``delete_files``: one row per live delete file (position bitmaps
+      with their owning data file; equality key files with current key
+      column + scoping seq) — the rewrite_eq_deletes / compaction
+      trigger metric.
 
     Metadata is manifest-sized (file counts, not row counts), so building
     these driver-side matches how Iceberg itself plans metadata tables —
@@ -3539,6 +3543,38 @@ def metadata_table(spark, table_dir: str, kind: str, ref: str | None = None):
             for k, c in sorted(agg.items(), key=lambda kv: (kv[0] is None, kv[0]))
         ]
         return spark.createDataFrame(rows, schema)
+    if kind == "delete_files":
+        # the Iceberg `table$delete_files` analog: one row per live
+        # delete file of a snapshot, both flavors — position bitmaps
+        # (with their owning data file) and equality key files (with the
+        # field-id-resolved CURRENT key column + scoping sequence; a
+        # dropped-column delete shows key_col NULL = unbindable). `rows`
+        # comes from each delete file's parquet FOOTER — O(delete files)
+        # metadata reads, no data pages. The maintenance dashboard query:
+        # when sum(equality rows) or count(position files) grows, run
+        # rewrite_eq_deletes / compact_snapshot.
+        schema = StructType([
+            StructField("path", StringType(), False),
+            StructField("type", StringType(), False),
+            StructField("data_file", StringType(), True),
+            StructField("key_col", StringType(), True),
+            StructField("seq", IntegerType(), True),
+            StructField("rows", LongType(), False),
+        ])
+        m = load_manifest(table_dir, ref=ref)
+        rows = []
+        for f in m["files"]:
+            for d in f.get("deletes", ()):
+                n, _ = _footer_stats(os.path.join(table_dir, d))
+                rows.append((d, "position", f["path"], None, None, int(n)))
+        for e in m.get("eq_deletes") or []:
+            n, _ = _footer_stats(os.path.join(table_dir, e["path"]))
+            rows.append((
+                e["path"], "equality", None, _eq_current_col(m, e),
+                int(e.get("seq", 0)), int(n),
+            ))
+        return spark.createDataFrame(rows, schema)
     raise ValueError(
-        f"unknown metadata table '{kind}' (snapshots|refs|files|history|partitions)"
+        f"unknown metadata table '{kind}' "
+        "(snapshots|refs|files|history|partitions|delete_files)"
     )

@@ -417,3 +417,30 @@ def test_fold_commit_is_changelog_invisible(spark, table):
     span = ds.changelog(spark, path, "doc_id", v0, v_fold).collect()
     assert sorted(r["doc_id"] for r in span) == sorted(all_ids[:5])
     assert all(r["_change_type"] == "delete" for r in span)
+
+
+def test_delete_files_metadata_table(spark, table):
+    """The `delete_files` metadata table: one row per live delete file of
+    a snapshot, both flavors, rows from footers only — and after a fold
+    the equality rows disappear while position bitmaps appear, giving
+    maintenance its trigger metric."""
+    path, docs = table
+    all_ids = _ids(docs)
+    ds.delete_where_mor(spark, path, f"doc_id = '{all_ids[0]}'")
+    ds.delete_where_eq(spark, path, "doc_id", all_ids[1:4])
+
+    md = ds.metadata_table(spark, path, "delete_files").collect()
+    by_type = {}
+    for r in md:
+        by_type.setdefault(r["type"], []).append(r)
+    assert len(by_type["position"]) == 1
+    assert by_type["position"][0]["rows"] == 1
+    assert by_type["position"][0]["data_file"] is not None
+    assert len(by_type["equality"]) == 1
+    eq = by_type["equality"][0]
+    assert eq["rows"] == 3 and eq["key_col"] == "doc_id" and eq["seq"] >= 1
+
+    ds.rewrite_eq_deletes(spark, path)
+    md2 = ds.metadata_table(spark, path, "delete_files").collect()
+    assert all(r["type"] == "position" for r in md2)
+    assert sum(r["rows"] for r in md2) == 4  # 1 MOR + 3 folded
